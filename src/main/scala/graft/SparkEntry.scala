@@ -10,6 +10,10 @@ import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
 import graft.operators.SurrogateKeys
 import graft.quality.DataQuality
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
@@ -404,7 +408,138 @@ object SparkEntry {
       },
       Some("""SELECT event_type, count(*) AS n,
         | sum(CAST(value AS DECIMAL(18,2))) AS total_value
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- text analysis (LLM-pipeline ops) ----
+    ("q_textstats",
+      (s, d) => TextAnalysis.stats(Tables(s, d).documents)
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "stopword_ratio", "token_estimate", "quality_score"),
+      Some("""WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS chars_alpha,
+        |  length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_chars,
+        |  len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS stopword_count,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS token_estimate
+        | FROM d)
+        |SELECT doc_id, n_tokens,
+        | round(CAST(chars_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+        | round(CAST(punct_chars AS DOUBLE) / length(text), 6) AS punct_ratio,
+        | round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        | token_estimate,
+        | (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        |  + CASE WHEN round(CAST(punct_chars AS DOUBLE) / length(text), 6) < 0.1 THEN 0.3 ELSE 0.0 END
+        |  + CASE WHEN round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) AS quality_score
+        |FROM s""".stripMargin)),
+
+    ("q_langid",
+      (s, d) => TextAnalysis.langId(Tables(s, d).documents)
+        .select("doc_id", "lang", "lang_guess"),
+      Some("""WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS en,
+        | len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS de,
+        | len(list_filter(toks, t -> t IN ('el','los','las','y','como'))) AS es,
+        | len(list_filter(toks, t -> t IN ('le','les','et','une','dans'))) AS fr,
+        | len(list_filter(toks, t -> t IN ('的','了','是','在','我'))) AS zh
+        | FROM d)
+        |SELECT doc_id, lang,
+        | CASE WHEN en + de + es + fr + zh = 0 THEN 'und'
+        |  WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
+        |  WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN es >= fr AND es >= zh THEN 'es'
+        |  WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess
+        |FROM s""".stripMargin)),
+
+    ("q_fingerprint",
+      (s, d) => Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents")),
+
+    ("q_top_tokens",
+      (s, d) => TextAnalysis.termFrequencies(Tables(s, d).documents, "doc_id")
+        .groupBy("token").agg(sum("tf").as("total_tf"))
+        .orderBy(col("total_tf").desc, col("token")).limit(20),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS total_tf
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY total_tf DESC, token LIMIT 20""".stripMargin)),
+
+    ("q_tfidf",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        TextAnalysis.tfIdf(docs, "doc_id", "text", docs.count())
+          .filter(col("doc_id") < 10)
+          .select("doc_id", "token", "tf", "df", "idf", "tf_idf")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT t.doc_id, t.token, t.tf, d.df,
+        | round(ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6) AS idf,
+        | round(t.tf * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6), 6) AS tf_idf
+        |FROM tf t JOIN dfq d USING (token) WHERE t.doc_id < 10""".stripMargin)),
+
+    // ---- dedup (LLM-pipeline ops) ----
+    ("q_dedup_exact",
+      (s, d) => Dedup.exactStats(Tables(s, d).documents),
+      Some("""WITH g AS (SELECT md5(lower(trim(text))) AS fp, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS total_docs, count(*) AS distinct_texts,
+        | CAST(sum(n - 1) AS BIGINT) AS duplicate_rows FROM g""".stripMargin)),
+
+    ("q_jaccard",
+      (s, d) => Dedup.jaccardPairs(
+        Tables(s, d).documents.filter(col("doc_id") < 1000), "doc_id",
+        minJaccard = 0.05),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents WHERE doc_id < 1000),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.05""".stripMargin)),
+
+    ("q_minhash",
+      (s, d) => Dedup.minHashPairs(Tables(s, d).documents, "doc_id",
+        maxDistance = 0.998),
+      None),
+
+    ("q_simhash",
+      (s, d) => Dedup.simHash(Tables(s, d).documents, "doc_id"),
+      None),
+
+    // ---- similarity search (LLM-pipeline ops) ----
+    ("q_ann_brute",
+      (s, d) => Similarity.bruteForceTopK(Tables(s, d).embeddings, "vec_id",
+        col("vec_id") < 10, k = 5),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, n.v), z -> z[1] * z[2])) / (q.qnorm * n.norm) AS cosine
+        |  FROM q, n WHERE n.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin)),
+
+    ("q_ann_lsh",
+      (s, d) => Similarity.lshTopK(Tables(s, d).embeddings, "vec_id",
+        col("vec_id") < 10, k = 5),
+      None),
+
+    // ---- multimodal plumbing (LLM-pipeline ops) ----
+    ("q_multimodal",
+      (s, d) => Multimodal.sampleChunks(
+          Multimodal.withMedia(Tables(s, d).documents), "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_chunk_bytes")),
+      Some("""SELECT doc_id,
+        | CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS total_chunk_bytes
+        |FROM documents""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

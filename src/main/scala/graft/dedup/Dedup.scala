@@ -1,0 +1,132 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data corpus.
+  *
+  *  - Exact dedup: hash-groupBy on a content fingerprint — one shuffle on
+  *    the md5 key, no text comparison.
+  *  - Exact n-gram Jaccard: shingle explode + equi-join on the shingle —
+  *    quadratic in colliding docs, so callers cap the candidate set; the
+  *    scale path is MinHash-LSH.
+  *  - MinHash-LSH: banded minhash signatures via spark.ml — candidate pairs
+  *    come from bucket joins (never all-pairs), which is the only shape that
+  *    survives 100 TB.
+  *  - SimHash: 64-bit signature from per-token hash bit votes — one
+  *    aggregation pass; near-dup candidates by band equality.
+  */
+object Dedup {
+
+  /** Exact-duplicate statistics by normalized-content fingerprint. */
+  def exactStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("total_docs"),
+        count(lit(1)).as("distinct_texts"),
+        sum(col("n") - 1).as("duplicate_rows"))
+
+  /** Distinct word n-gram shingles per document, long format. */
+  def shingles(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3): DataFrame =
+    TextAnalysis.withTokens(df, textCol)
+      .withColumn("_sh",
+        expr(s"""CASE WHEN size(tokens) >= $n
+          | THEN array_distinct(transform(sequence(1, size(tokens) - ${n - 1}),
+          |   i -> concat_ws(' ', slice(tokens, i, $n))))
+          | ELSE array() END""".stripMargin))
+      .select(col(keyCol), explode(col("_sh")).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard similarity via shingle equi-join.
+    * Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) for
+    * jaccard >= minJaccard, doc_a < doc_b.
+    */
+  def jaccardPairs(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, n).cache()
+    val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
+    val pairs = sh.toDF(s"doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.toDF("doc_a", "size_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not
+    * all-pairs). Jaccard DISTANCE threshold (1 - similarity).
+    */
+  def minHashPairs(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3, maxDistance: Double = 0.9, numHashTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = TextAnalysis.withTokens(df, textCol)
+      .withColumn("sh",
+        expr(s"""CASE WHEN size(tokens) >= $n
+          | THEN array_distinct(transform(sequence(1, size(tokens) - ${n - 1}),
+          |   i -> concat_ws(' ', slice(tokens, i, $n))))
+          | ELSE array(concat_ws(' ', tokens)) END""".stripMargin))
+      .select(col(keyCol), col("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(sh).filter(expr("size(sh) > 0"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxDistance, "jaccard_dist")
+      .select(
+        col(s"datasetA.$keyCol").as("doc_a"),
+        col(s"datasetB.$keyCol").as("doc_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** 64-bit SimHash signature per document: per-token xxhash64, each bit
+    * votes +1/−1, sign of the vote sum sets the bit. One explode + one
+    * aggregation (64 conditional sums fused in a single pass).
+    */
+  def simHash(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.withTokens(df, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(expr(s"(h & ${1L << b}L) != 0L"), 1).otherwise(-1)).as(s"_b$b")
+    }
+    val voted = toks.groupBy(keyCol).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+    voted.withColumn("simhash", sig).select(col(keyCol), col("simhash"))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit signature into `bands`
+    * equal bands; docs sharing any band are candidates (bucket join), then
+    * filter by exact Hamming distance <= maxHamming.
+    */
+  def simHashPairs(df: DataFrame, keyCol: String, textCol: String = "text",
+      bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    val width = 64 / bands
+    val sigs = simHash(df, keyCol, textCol).cache()
+    val banded = sigs.select(col(keyCol), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'key', (simhash >> (b * $width)) & ${(1L << width) - 1}L))"))
+        .as("bk"))
+      .select(col(keyCol), col("simhash"), col("bk.band"), col("bk.key"))
+    banded.toDF("doc_a", "sig_a", "band", "key")
+      .join(banded.toDF("doc_b", "sig_b", "band", "key"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k of a bounded query set against
+  *    the corpus — broadcast the queries, never cross-join corpus×corpus.
+  *    All arithmetic is double-precision sequential folds, so results are
+  *    bit-reproducible (and oracle-comparable) across engines.
+  *  - [[lshTopK]]: random-hyperplane LSH — seeded deterministic hyperplanes,
+  *    candidates only from matching sign-bucket, exact re-rank inside the
+  *    bucket. The bucket join is the 100 TB path: candidate count per query
+  *    is corpus/2^planes on average instead of the whole corpus.
+  */
+object Similarity {
+
+  /** Double-precision sequential dot product of two double arrays. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Adds `v` (double array) and `norm` columns. */
+  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+
+  /** Exact cosine top-k: queries (selected by `queryPred` on the key) are
+    * broadcast against the full corpus; rank by (cosine desc, key asc).
+    */
+  def bruteForceTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    val queries = base.filter(queryPred)
+      .toDF("query_id", "qv", "qnorm")
+    val pairs = base.toDF("neighbor_id", "nv", "nnorm")
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic seeded Gaussian hyperplanes. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[(Int, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nPlanes).map(p => p -> Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket assignment: bucket = bitmask of sign(plane · v). */
+  def withBucket(df: DataFrame, keyCol: String, nPlanes: Int, seed: Long,
+      embCol: String = "embedding"): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val planesDf = df.sparkSession.createDataFrame(planes).toDF("plane_id", "pvec")
+    withNorm(df, embCol)
+      .select(col(keyCol), col("v"), col("norm"))
+      .join(broadcast(planesDf))
+      .withColumn("bit",
+        when(expr(s"${dot("pvec", "v")} > 0"), expr("shiftleft(1L, plane_id)")).otherwise(0L))
+      .groupBy(keyCol, "v", "norm")
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket,
+    * exact cosine re-rank inside. Recall is tunable via nPlanes (fewer
+    * planes → bigger buckets → higher recall, more work).
+    */
+  def lshTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
+      nPlanes: Int = 8, seed: Long = 42L, embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = withBucket(df, keyCol, nPlanes, seed, embCol)
+      .select(col(keyCol), col("v"), col("norm"), col("bucket"))
+    val queries = bucketed.filter(queryPred)
+      .toDF("query_id", "qv", "qnorm", "bucket")
+    bucketed.toDF("neighbor_id", "nv", "nnorm", "bucket")
+      .join(queries, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization, text
+  * quality statistics, stopword ratios, n-gram language ID, document
+  * fingerprinting, and term frequencies / TF-IDF.
+  *
+  * Everything is built-in expressions (split / regexp / higher-order array
+  * functions) — fully codegen'd, no UDFs — so the whole stats projection is
+  * one WholeStageCodegen pass over the scan and survives a 100 TB corpus:
+  * per-document work is O(doc length), no shuffle until an aggregation asks
+  * for one.
+  */
+object TextAnalysis {
+
+  /** Small English stopword list (deterministic, fixed order). */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace tokenization of the trimmed text. */
+  def withTokens(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("tokens", split(trim(col(textCol)), "\\s+"))
+
+  /** Per-document quality statistics (token count, average token length,
+    * punctuation ratio, stopword ratio, a BPE-ish token estimate, and a
+    * composite quality score). One projection, no aggregation.
+    */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame =
+    withTokens(df, textCol)
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("chars_alpha", length(regexp_replace(col(textCol), "\\s", "")))
+      .withColumn("avg_token_len",
+        round(col("chars_alpha").cast("double") / col("n_tokens"), 6))
+      .withColumn("punct_chars", length(regexp_replace(col(textCol), "[\\w\\s]", "")))
+      .withColumn("punct_ratio",
+        round(col("punct_chars").cast("double") / length(col(textCol)), 6))
+      .withColumn("stopword_count",
+        expr(s"size(filter(tokens, t -> t IN (${sqlList(EnStopwords)})))"))
+      .withColumn("stopword_ratio",
+        round(col("stopword_count").cast("double") / col("n_tokens"), 6))
+      // BPE-ish estimate: word pieces + punctuation marks each count as one.
+      .withColumn("token_estimate",
+        size(expr(s"regexp_extract_all($textCol, '\\\\w+|[^\\\\w\\\\s]', 0)")))
+      .withColumn("quality_score",
+        (when(length(col(textCol)).between(100, 10000), 0.4).otherwise(0.0)
+          + when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)
+          + when(col("stopword_ratio").between(0.01, 0.5), 0.3).otherwise(0.0)))
+      .drop("tokens")
+
+  /** Marker stopwords per language for the n-gram(1) heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "como"),
+    "fr" -> Seq("le", "les", "et", "une", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我")
+  )
+
+  /** Language ID by marker-word counts, argmax with a fixed preference order
+    * (en > de > es > fr > zh) and 'und' when no marker hits. Deterministic by
+    * construction — an oracle can replicate it exactly.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = LangMarkers.foldLeft(withTokens(df, textCol)) { case (d, (lang, ws)) =>
+      d.withColumn(s"_s_$lang", expr(s"size(filter(tokens, t -> t IN (${sqlList(ws)})))"))
+    }
+    val Seq(en, de, es, fr, zh) = LangMarkers.map { case (l, _) => col(s"_s_$l") }
+    scored
+      .withColumn("lang_guess",
+        when(en + de + es + fr + zh === 0, "und")
+          .when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .drop("tokens")
+      .drop(LangMarkers.map { case (l, _) => s"_s_$l" }: _*)
+  }
+
+  /** Content fingerprint: md5 of the normalized (lower, trimmed) text —
+    * the exact-dedup key. Hash is computed on UTF-8 bytes in any engine.
+    */
+  def fingerprint(textCol: Column): Column = md5(lower(trim(textCol)))
+
+  /** Long-format term frequencies: (doc key, token, tf). */
+  def termFrequencies(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame =
+    withTokens(df, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .groupBy(keyCol, "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus document frequencies + idf = ln(N / df). N is passed by the
+    * caller (count once, don't embed an action here).
+    */
+  def docFrequencies(tf: DataFrame, keyCol: String, corpusSize: Long): DataFrame =
+    tf.groupBy("token")
+      .agg(countDistinct(col(keyCol)).as("df"))
+      .withColumn("idf", round(log(lit(corpusSize.toDouble) / col("df")), 6))
+
+  /** TF-IDF long format: join tf with idf (broadcast — the vocabulary is
+    * small relative to the corpus).
+    */
+  def tfIdf(df: DataFrame, keyCol: String, textCol: String = "text",
+      corpusSize: Long): DataFrame = {
+    val tf = termFrequencies(df, keyCol, textCol)
+    tf.join(broadcast(docFrequencies(tf, keyCol, corpusSize)), Seq("token"))
+      .withColumn("tf_idf", round(col("tf") * col("idf"), 6))
+  }
+}
