@@ -1,0 +1,83 @@
+package graft.gold
+
+import graft.SparkSpec
+import graft.core.GraftConf
+import org.apache.spark.sql.functions._
+
+class GoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val conf = GraftConf(asOfDate = java.time.LocalDate.parse("2002-01-01"))
+
+  private lazy val orders = Seq(
+    (1L, 10L, "O", 100000.0, "2000-01-01", "1-URGENT"),
+    (2L, 10L, "F", 200000.0, "2000-01-01", "2-HIGH"),
+    (3L, 10L, "F", 300000.0, "2000-02-15", "2-HIGH"),
+    (4L, 11L, "P", 50000.0, "2001-07-01", "3-MEDIUM")
+  ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+    .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+
+  test("daily aggregates with deterministic stddev from exact sums") {
+    val d = SalesSummary.daily(orders).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    val jan1 = d("2000-01-01")
+    assert(jan1.getAs[Long]("order_count") === 2L)
+    assert(jan1.getAs[java.math.BigDecimal]("daily_revenue").doubleValue === 300000.0)
+    // sample stddev of {100000, 200000} = 70710.68
+    assert(math.abs(jan1.getAs[Double]("order_value_stddev") - 70710.68) < 0.01)
+    // single-order day has null stddev (sample semantics)
+    assert(d("2001-07-01").isNullAt(d("2001-07-01").fieldIndex("order_value_stddev")))
+  }
+
+  test("monthly rollup counts active days and builds month_year") {
+    val m = SalesSummary.monthly(orders).collect()
+      .map(r => r.getAs[String]("month_year") -> r).toMap
+    assert(m("2000-01").getAs[Long]("order_count") === 2L)
+    assert(m("2000-01").getAs[Long]("active_days") === 1L)
+    assert(m.keySet === Set("2000-01", "2000-02", "2001-07"))
+  }
+
+  test("customerMetrics recency/tenure from injected as-of") {
+    val cm = CustomerAnalytics.customerMetrics(orders, conf).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    assert(cm(10L).getAs[Long]("total_orders") === 3L)
+    assert(cm(10L).getAs[Int]("tenure_days") === 45)
+    assert(cm(11L).getAs[Int]("recency_days") === 184)
+  }
+
+  test("analytics left join keeps customers without orders, fillna applies") {
+    val customer = Seq((10L, "Customer#10", "BUILDING", 100.0), (99L, "Customer#99", "MACHINERY", 5.0))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val a = CustomerAnalytics.analytics(customer, orders, conf).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    assert(a(99L).getAs[Long]("total_orders") === 0L)
+    assert(a(99L).getAs[Int]("recency_days") === -1)
+    assert(a(99L).getAs[Long]("small_orders") === 0L)
+    assert(a(10L).getAs[Long]("total_orders") === 3L)
+  }
+
+  test("multiGrainUnion conforms daily+monthly to one schema") {
+    val u = SalesSummary.multiGrainUnion(orders)
+    assert(u.columns.toSeq === Seq("summary_type", "period", "revenue", "order_count", "unique_customers"))
+    val types = u.groupBy("summary_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("daily" -> 3L, "monthly" -> 3L))
+  }
+
+  test("seededSplit is deterministic for a fixed seed and roughly proportioned") {
+    val df = (1 to 10000).toDF("id")
+    val s1 = MlFeatures.seededSplit(df, conf).groupBy("data_split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = MlFeatures.seededSplit(df, conf).groupBy("data_split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    assert(s1("train") > 6500 && s1("train") < 7500)
+  }
+
+  test("keyedSplit fractions are exact on uniform keys") {
+    val df = (0L until 1000L).toDF("k")
+    val s = MlFeatures.keyedSplit(df, "k").groupBy("data_split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s === Map("train" -> 700L, "validation" -> 200L, "test" -> 100L))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.incremental
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermark store persists and updates marks") {
+    val dir = java.nio.file.Files.createTempDirectory("wmspec").toString
+    val store = new WatermarkStore(dir)
+    assert(store.get("t", "c").isEmpty)
+    store.put("t", "c", "2024-01-01")
+    assert(store.get("t", "c").contains("2024-01-01"))
+    store.put("t", "c", "2024-02-01")
+    assert(store.get("t", "c").contains("2024-02-01"))
+    intercept[IllegalArgumentException](store.put("../evil", "c", "x"))
+  }
+
+  test("union of range batches equals full scan exactly") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(1000)(rnd.nextDouble() * 1e6).toDF("wm")
+    val batches = Incremental.rangeBatches(df, "wm", 5)
+    assert(batches.size === 5)
+    assert(batches.map(_.count()).sum === 1000L)
+    // Exact decimal sums: double summation order differs between the
+    // unioned batches and the full scan, so compare exact arithmetic.
+    val dec = col("wm").cast("decimal(28,10)")
+    val unioned = batches.reduce(_ unionByName _).agg(sum(dec)).head.getDecimal(0)
+    val full = df.agg(sum(dec)).head.getDecimal(0)
+    assert(unioned === full)
+  }
+
+  test("runBatched processes every row once and commits the final mark") {
+    val dir = java.nio.file.Files.createTempDirectory("wmspec2").toString
+    val store = new WatermarkStore(dir)
+    val df = (1 to 100).map(_.toDouble).toDF("wm")
+    val out = Incremental.runBatched(df, "t", "wm", 4, store)(b =>
+      b.agg(count(lit(1)).as("n")))
+    assert(out.agg(sum("n")).head.getLong(0) === 100L)
+    assert(store.get("t", "wm").map(_.toDouble).contains(100.0))
+  }
+}

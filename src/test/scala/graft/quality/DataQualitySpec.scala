@@ -1,0 +1,81 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.core.GraftConf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Seeded fixture with injected nulls and duplicates (mirrors the
+  // reference's conftest fixtures: 5% nulls, explicit dup rows).
+  private lazy val df = Seq(
+    (1, Some("a@x.com"), Some(10.0)),
+    (2, None, Some(20.0)),
+    (3, Some("c@y.org"), None),
+    (3, Some("c@y.org"), None), // duplicate id 3
+    (4, Some("d@z.io"), Some(999.0))
+  ).toDF("id", "email", "amount")
+
+  test("nullCheck counts per-column nulls in one pass") {
+    val res = DataQuality.nullCheck(df, Seq("id", "email", "amount")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(res("id") === ((0L, 0.0)))
+    assert(res("email")._1 === 1L)
+    assert(res("amount")._1 === 2L)
+    assert(res("amount")._2 === 40.0)
+  }
+
+  test("duplicateCheck counts all members of dup groups (keep=False semantics)") {
+    val r = DataQuality.duplicateCheck(df, Seq("id")).collect().head
+    assert(r.getAs[Long]("duplicate_rows") === 2L)
+    assert(r.getAs[Long]("duplicate_groups") === 1L)
+  }
+
+  test("rangeCheck flags min/max and allowed-value violations") {
+    val res = DataQuality.rangeCheck(df, Seq(
+      DataQuality.RangeRule("amount", min = Some(0), max = Some(100)),
+      DataQuality.RangeRule("email", allowed = Some(Seq("a@x.com", "c@y.org"))))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("amount") === 1L) // 999 out of range; nulls don't violate
+    assert(res("email") === 1L)  // d@z.io not allowed; null not counted
+  }
+
+  test("freshness measures age against injected as-of, never wall clock") {
+    val events = Seq(java.sql.Timestamp.valueOf("2024-01-31 12:00:00"))
+      .toDF("ts")
+    val conf = GraftConf(asOfDate = java.time.LocalDate.parse("2024-02-01"))
+    val r = DataQuality.freshness(events, "ts", conf).collect().head
+    assert(r.getAs[Long]("age_seconds") === 12L * 3600)
+    assert(r.getAs[Long]("age_hours") === 12L)
+  }
+
+  test("iqrOutliers flags values beyond 1.5*IQR with exact percentiles") {
+    val vals = (1 to 100).map(_.toDouble) :+ 1000.0 // one clear outlier
+    val d = vals.toDF("x")
+    val r = DataQuality.iqrOutliers(d, Seq("x")).collect().head
+    assert(r.getAs[Long]("outliers") === 1L)
+    assert(r.getAs[Long]("total") === 101L)
+  }
+
+  test("schemaCompliance reports missing, extra, and mismatched columns") {
+    val expected = StructType(Seq(
+      StructField("id", IntegerType), StructField("email", StringType),
+      StructField("score", DoubleType)))
+    val actual = StructType(Seq(
+      StructField("id", LongType), StructField("email", StringType),
+      StructField("extra_col", StringType)))
+    val rep = DataQuality.schemaCompliance(actual, expected)
+    assert(rep.missing === Seq("score"))
+    assert(rep.typeMismatch === Seq("id"))
+    assert(rep.extra === Seq("extra_col"))
+    assert(math.abs(rep.score - 100.0 / 3) < 1e-9)
+  }
+
+  test("quarantine splits rows by predicate including null predicate rows") {
+    val split = DataQuality.quarantine(df, col("amount").isNotNull && col("amount") < 100)
+    assert(split.clean.count() === 2)
+    assert(split.quarantined.count() === 3) // two null-amount rows + 999
+  }
+}

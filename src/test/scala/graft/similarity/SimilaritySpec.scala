@@ -1,0 +1,55 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 deterministic random vectors + one planted near-copy of vec 0.
+  private lazy val vecs: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 20L).map(i => i -> Seq.fill(16)(rnd.nextGaussian().toFloat))
+    val near = 20L -> base.head._2.map(x => x + 0.01f)
+    base :+ near
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+
+  test("brute-force top-1 of vec 0 is its planted near-copy") {
+    val top = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") === 0, k = 3)
+      .filter(col("rank") === 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") === 20L)
+    assert(top.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("brute-force cosine matches driver-side sequential computation") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- ad.indices) { dot += ad(i) * bd(i); na += ad(i) * ad(i); nb += bd(i) * bd(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") === 0, k = 20)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    val v0 = vecs.head._2
+    for ((id, v) <- vecs.drop(1))
+      assert(got(id) === cos(v0, v), s"vec $id")
+  }
+
+  test("LSH bucketed top-k recalls the planted near-dup (same bucket by construction)") {
+    val r = Similarity.lshTopK(df, "vec_id", col("vec_id") === 0, k = 3, nPlanes = 4)
+      .collect().map(x => x.getAs[Long]("neighbor_id"))
+    assert(r.contains(20L)) // near-identical vector lands in vec 0's bucket
+  }
+
+  test("LSH results are a subset of brute-force candidates with correct cosines") {
+    val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.lshTopK(df, "vec_id", col("vec_id") < 5, k = 5, nPlanes = 4)
+      .collect()
+    for (r <- lsh) {
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) === r.getAs[Double]("cosine"))
+    }
+  }
+}
