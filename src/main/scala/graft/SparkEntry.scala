@@ -539,7 +539,66 @@ object SparkEntry {
       Some("""SELECT doc_id,
         | CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
         | CAST(octet_length(encode(text)) AS BIGINT) AS total_chunk_bytes
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // ---- A/B statistics (M10) ----
+    ("q_abtest",
+      (s, d) => {
+        val stats = graft.ml.AbTesting.groupStats(
+          Tables(s, d).events.filter(col("event_type").isin("purchase", "click")),
+          "value", "event_type")
+        val r = graft.ml.AbTesting.welchTTest(stats("purchase"), stats("click"))
+        import s.implicits._
+        // HALF_UP on the exact binary value == DuckDB round (half away from
+        // zero) — safe for negative t statistics, unlike math.round.
+        def r6(x: Double): Double = new java.math.BigDecimal(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        Seq((stats("purchase").n, stats("click").n,
+          r6(r.meanA), r6(r.meanB), r6(r.tStat), r6(r.cohensD)))
+          .toDF("n_a", "n_b", "mean_a", "mean_b", "t_stat", "cohens_d")
+      },
+      // Mirrors AbTesting exactly: exact decimal sums -> double moments ->
+      // Welch t / pooled-sd Cohen's d, identical op order.
+      Some("""WITH g AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS ss
+        | FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |m AS (SELECT event_type, n, s / n AS mean,
+        |  greatest((ss - s * s / n) / (n - 1), 0.0) AS variance FROM g),
+        |ab AS (SELECT
+        |  (SELECT n FROM m WHERE event_type = 'purchase') AS na,
+        |  (SELECT mean FROM m WHERE event_type = 'purchase') AS ma,
+        |  (SELECT variance FROM m WHERE event_type = 'purchase') AS va,
+        |  (SELECT n FROM m WHERE event_type = 'click') AS nb,
+        |  (SELECT mean FROM m WHERE event_type = 'click') AS mb,
+        |  (SELECT variance FROM m WHERE event_type = 'click') AS vb)
+        |SELECT na AS n_a, nb AS n_b,
+        | round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        | round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+        | round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 6) AS cohens_d
+        |FROM ab""".stripMargin)),
+
+    // ---- ML training smoke (M6/M7/M8) — model metrics are not
+    // SQL-expressible; rows-only ----
+    ("q_ml_train",
+      (s, d) => {
+        import org.apache.spark.ml.functions.vector_to_array
+        val feats = graft.gold.MlFeatures.withTargets(
+          graft.gold.MlFeatures.features(Tables(s, d).orders))
+          .select(col("o_custkey"),
+            col("order_count").cast("double").as("f1"),
+            col("weekend_preference").as("f2"),
+            col("monetary_log").as("f3"),
+            col("recency_score").as("f4"),
+            col("high_frequency").cast("int").as("label"))
+        val model = graft.ml.MlPipeline.trainClassifier(
+          feats, Seq("f1", "f2", "f3", "f4"), "label", "lr")
+        model.transform(feats)
+          .groupBy(col("label"), col("prediction").cast("int").as("prediction"))
+          .count().orderBy("label", "prediction")
+      },
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

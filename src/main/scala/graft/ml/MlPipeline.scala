@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+
+/** ML layer (M6–M9, M11): feature assembly/scaling/encoding, RF/GBT/LR
+  * training, evaluation metrics, k-fold CV and grid tuning — all spark.ml
+  * (distributed; the reference trains single-node sklearn,
+  * reference/sagemaker/training/train.py:106-170).
+  */
+object MlPipeline {
+
+  /** M6: assemble numeric features (+ optional categorical string index)
+    * into a scaled vector column.
+    */
+  def featurePipeline(numericCols: Seq[String],
+      categoricalCol: Option[String] = None): Pipeline = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.ml.PipelineStage]
+    val inputCols = categoricalCol match {
+      case Some(c) =>
+        stages += new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+          .setHandleInvalid("keep")
+        numericCols :+ s"${c}_idx"
+      case None => numericCols
+    }
+    stages += new VectorAssembler().setInputCols(inputCols.toArray)
+      .setOutputCol("features_raw").setHandleInvalid("keep")
+    stages += new StandardScaler().setInputCol("features_raw")
+      .setOutputCol("features").setWithMean(true).setWithStd(true)
+    new Pipeline().setStages(stages.toArray)
+  }
+
+  /** M7: the three reference classifier families behind one switch. */
+  def classifier(kind: String, labelCol: String, seed: Long = 42L) = kind match {
+    case "rf" => new RandomForestClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features").setNumTrees(50).setSeed(seed)
+    case "gbt" => new GBTClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features").setMaxIter(20).setSeed(seed)
+    case "lr" => new LogisticRegression().setLabelCol(labelCol)
+      .setFeaturesCol("features").setMaxIter(50)
+    case other => throw new IllegalArgumentException(s"unknown classifier: $other")
+  }
+
+  def trainClassifier(df: DataFrame, numericCols: Seq[String], labelCol: String,
+      kind: String = "lr", seed: Long = 42L): PipelineModel = {
+    val fp = featurePipeline(numericCols)
+    new Pipeline().setStages(fp.getStages :+ classifier(kind, labelCol, seed)).fit(df)
+  }
+
+  /** M8: standard evaluation metric set on a scored frame. */
+  def classificationMetrics(scored: DataFrame, labelCol: String): Map[String, Double] = {
+    def m(metric: String) = new MulticlassClassificationEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(scored)
+    Map(
+      "accuracy" -> m("accuracy"),
+      "f1" -> m("f1"),
+      "weightedPrecision" -> m("weightedPrecision"),
+      "weightedRecall" -> m("weightedRecall"))
+  }
+
+  def aucRoc(scored: DataFrame, labelCol: String): Double =
+    new BinaryClassificationEvaluator().setLabelCol(labelCol)
+      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+      .evaluate(scored)
+
+  def regressionMetrics(scored: DataFrame, labelCol: String): Map[String, Double] = {
+    def m(metric: String) = new RegressionEvaluator().setLabelCol(labelCol)
+      .setPredictionCol("prediction").setMetricName(metric).evaluate(scored)
+    Map("rmse" -> m("rmse"), "mae" -> m("mae"), "r2" -> m("r2"))
+  }
+
+  /** M9+M11: k-fold cross-validation over a small LR grid (grid/random
+    * search; the reference's Bayesian HPO is a managed-service feature, out
+    * of engine scope per SURVEY §2.11).
+    */
+  def crossValidateLr(df: DataFrame, numericCols: Seq[String], labelCol: String,
+      folds: Int = 5, seed: Long = 42L): CrossValidatorModel = {
+    val fp = featurePipeline(numericCols)
+    val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
+    val pipe = new Pipeline().setStages(fp.getStages :+ lr)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("f1"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds)
+      .setSeed(seed)
+      .setParallelism(4)
+      .fit(df)
+  }
+}

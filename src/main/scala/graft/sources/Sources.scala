@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers (S1/S2/S5) for the layered lake.
+  *
+  * The reference reads cataloged tables (Glue catalog), JDBC-extracts with an
+  * incremental predicate, and dispatches parquet/CSV/JSON by extension
+  * (reference/lambda/data_quality_monitor/lambda_function.py:73-90,
+  * reference/lambda/snowflake_extractor/watermark_manager.py:181-209).
+  * Spark-native: format dispatch on `spark.read`, and the incremental
+  * predicate expressed as a filter that Catalyst pushes into the source scan
+  * (PushedFilters for parquet; WHERE-clause pushdown for JDBC) — the
+  * predicate reaches storage, it is never a post-scan filter.
+  */
+object Readers {
+
+  /** S5: multi-format read by extension (parquet/csv/json). */
+  def read(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r: DataFrameReader = spark.read.options(options)
+    path.toLowerCase match {
+      case p if p.endsWith(".parquet") => r.parquet(path)
+      case p if p.endsWith(".csv")     => r.option("header", "true").option("inferSchema", "true").csv(path)
+      case p if p.endsWith(".json")    => r.json(path)
+      case _                           => r.parquet(path) // directories default to parquet
+    }
+  }
+
+  /** S2: incremental source — rows strictly beyond the watermark. The filter
+    * is declarative, so it pushes down to the scan (verify in explain:
+    * PushedFilters: [IsNotNull(wm), GreaterThan(wm, v)]).
+    */
+  def incremental(df: DataFrame, wmCol: String, lastWatermark: Option[String]): DataFrame =
+    lastWatermark match {
+      case Some(v) => df.filter(col(wmCol) > lit(v).cast(df.schema(wmCol).dataType))
+      case None    => df
+    }
+
+  /** S2 (JDBC shape): predicate-pushdown JDBC read. Not executable in this
+    * environment (no database), but the construction is the production path:
+    * the WHERE clause rides inside the dbtable subquery, so the database —
+    * not Spark — applies the watermark predicate and LIMIT batching.
+    */
+  def jdbcIncremental(spark: SparkSession, url: String, table: String,
+      wmCol: String, lastWatermark: String, batchSize: Int,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val sub = s"(SELECT * FROM $table WHERE $wmCol > '$lastWatermark' " +
+      s"ORDER BY $wmCol LIMIT $batchSize) AS _graft_inc"
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", sub).options(options).load()
+  }
+}
+
+/** Sinks (S3/S4/S6/S7/S8).
+  *
+  * Mirrors the reference's write paths: snappy parquet partitioned by
+  * year/month (bronze_to_silver_orders.py:296-358), single-file JSON quality
+  * reports (:360-378), audit-columned encode (snowflake_extractor
+  * lambda_function.py:253-294), hive-style partition layout (:352-361), and
+  * the quarantine copy (data_quality_monitor/lambda_function.py:455-496).
+  */
+object Sinks {
+
+  /** S3/S7: partitioned snappy parquet — hive-style layout means partition
+    * pruning is free for every downstream reader.
+    */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** S4/O3: single-file JSON (reports are small; coalesce(1) is correct ONLY
+    * for driver-scale outputs like quality summaries — never for data).
+    */
+  def jsonSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** S6: audit columns stamped at ingest (deterministic timestamp injected,
+    * not wall clock).
+    */
+  def withAuditColumns(df: DataFrame, sourceSystem: String,
+      extractionTs: java.time.LocalDateTime): DataFrame =
+    df.withColumn("extraction_timestamp",
+        to_timestamp(lit(extractionTs.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))))
+      .withColumn("source_system", lit(sourceSystem))
+
+  /** S7: derive hive partition columns from a date column. */
+  def withDatePartitions(df: DataFrame, dateCol: String): DataFrame =
+    df.withColumn("year", year(col(dateCol)))
+      .withColumn("month", month(col(dateCol)))
+      .withColumn("day", dayofmonth(col(dateCol)))
+
+  /** S8: quarantine sink — failed rows + a machine-readable reason column,
+    * written beside the clean output. One pass decides both destinations.
+    */
+  def quarantine(df: DataFrame, rowPredicate: org.apache.spark.sql.Column,
+      cleanPath: String, quarantinePath: String, reason: String): (Long, Long) = {
+    val tagged = df.withColumn("_pass", rowPredicate).cache()
+    val clean = tagged.filter(col("_pass")).drop("_pass")
+    val bad = tagged.filter(!col("_pass") || col("_pass").isNull).drop("_pass")
+      .withColumn("quarantine_reason", lit(reason))
+    clean.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(cleanPath)
+    bad.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(quarantinePath)
+    val counts = (clean.count(), bad.count())
+    tagged.unpersist()
+    counts
+  }
+}
+
+/** I3: processed-file ledger — the Spark-native equivalent of Glue job
+  * bookmarks for file sources. Tracks which input files a job has consumed;
+  * `newFiles` diffs the current listing against the ledger.
+  * (Structured Streaming's file-source checkpoint is the managed variant;
+  * this ledger is the explicit one for batch jobs.)
+  */
+final class FileLedger(ledgerPath: String) {
+  private val p = java.nio.file.Paths.get(ledgerPath)
+
+  def processed(): Set[String] =
+    if (java.nio.file.Files.exists(p))
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSet
+    else Set.empty
+
+  def newFiles(listing: Seq[String]): Seq[String] = {
+    val seen = processed()
+    listing.filterNot(seen)
+  }
+
+  def commit(files: Seq[String]): Unit = {
+    val all = (processed() ++ files).toSeq.sorted
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      scala.jdk.CollectionConverters.SeqHasAsJava(all).asJava)
+  }
+}
+
+/** I4: event-driven trigger routing — map an arriving object key to the
+  * (layer, source, action) that should run, skipping non-data markers.
+  * Mirrors crawler_trigger.py:157-246's key parsing + exclusion rules.
+  */
+object TriggerRouter {
+  final case class Route(layer: String, source: String, action: String)
+
+  private val Excluded = Seq("_SUCCESS", "_temporary", ".crc", "_metadata")
+
+  def route(objectKey: String): Option[Route] = {
+    if (Excluded.exists(objectKey.contains)) None
+    else objectKey.split("/").toList match {
+      case "bronze" :: source :: _ => Some(Route("bronze", source, "run_silver_job"))
+      case "silver" :: source :: _ => Some(Route("silver", source, "run_gold_job"))
+      case "gold" :: source :: _   => Some(Route("gold", source, "refresh_marts"))
+      case _                       => None
+    }
+  }
+}

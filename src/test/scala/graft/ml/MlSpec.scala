@@ -1,0 +1,73 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Linearly separable two-class fixture.
+  private lazy val train = {
+    val rnd = new scala.util.Random(5)
+    (1 to 400).map { i =>
+      val label = i % 2
+      val x = rnd.nextGaussian() + label * 4.0
+      val y = rnd.nextGaussian() + label * 4.0
+      (x, y, label)
+    }.toDF("x", "y", "label")
+  }
+
+  test("feature pipeline + LR separates a separable dataset") {
+    val model = MlPipeline.trainClassifier(train, Seq("x", "y"), "label", "lr")
+    val scored = model.transform(train)
+    val metrics = MlPipeline.classificationMetrics(scored, "label")
+    assert(metrics("accuracy") > 0.95)
+    assert(metrics("f1") > 0.95)
+    assert(MlPipeline.aucRoc(scored, "label") > 0.98)
+  }
+
+  test("RF and GBT train through the same pipeline surface") {
+    for (kind <- Seq("rf", "gbt")) {
+      val m = MlPipeline.trainClassifier(train, Seq("x", "y"), "label", kind)
+      val acc = MlPipeline.classificationMetrics(m.transform(train), "label")("accuracy")
+      assert(acc > 0.9, kind)
+    }
+  }
+
+  test("welch t-test detects a known mean shift with correct sign and scale") {
+    val df = ((1 to 200).map(i => ("a", 10.0 + (i % 10))) ++
+      (1 to 200).map(i => ("b", 12.0 + (i % 10)))).toDF("grp", "v")
+    val r = AbTesting.compare(df, "v", "grp", "a", "b")
+    assert(r.meanA === 14.5 && r.meanB === 16.5)
+    assert(r.tStat < -5) // strongly negative: a < b
+    assert(math.abs(r.cohensD + 2.0 / math.sqrt(8.25)) < 0.01)
+  }
+
+  test("bootstrap CI brackets the true mean difference deterministically") {
+    val a = (1 to 100).map(i => 10.0 + i % 5)
+    val b = (1 to 100).map(i => 12.0 + i % 5)
+    val (lo, hi) = AbTesting.bootstrapMeanDiffCi(a, b, iterations = 500)
+    assert(lo < -2.0 + 0.5 && hi > -2.0 - 0.5)
+    assert(AbTesting.bootstrapMeanDiffCi(a, b, iterations = 500) === ((lo, hi)))
+  }
+
+  test("feature store versions, reads latest, keyed get, lineage") {
+    val root = java.nio.file.Files.createTempDirectory("fs").toString
+    val fs = new FeatureStore(spark, root)
+    val ts = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+    val v1 = fs.ingest("cust_features", Seq((1L, 0.5), (2L, 0.7)).toDF("id", "score"), "id", ts)
+    val v2 = fs.ingest("cust_features", Seq((1L, 0.6), (2L, 0.8), (3L, 0.9)).toDF("id", "score"), "id", ts)
+    assert((v1, v2) === ((1, 2)))
+    assert(fs.read("cust_features").count() === 3) // latest
+    assert(fs.read("cust_features", Some(1)).count() === 2)
+    val got = fs.getByKeys("cust_features", "id", Seq(3L)).collect()
+    assert(got.length === 1 && got.head.getAs[Double]("score") === 0.9)
+    assert(fs.lineage().size === 2)
+  }
+
+  test("cross-validation selects a model and reports fold metrics") {
+    val cv = MlPipeline.crossValidateLr(train, Seq("x", "y"), "label", folds = 3)
+    assert(cv.avgMetrics.length === 6) // 3 regParam x 2 elasticNet
+    assert(cv.avgMetrics.max > 0.9)
+  }
+}

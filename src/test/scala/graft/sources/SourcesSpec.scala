@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("srcspec").toString
+
+  test("multi-format reader round-trips parquet, csv and json") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    df.write.parquet(s"$dir/t.parquet")
+    df.write.option("header", "true").csv(s"$dir/t.csv")
+    df.write.json(s"$dir/t.json")
+    for (ext <- Seq("parquet", "csv", "json")) {
+      val back = Readers.read(spark, s"$dir/t.$ext")
+      assert(back.count() === 2, ext)
+      assert(back.columns.toSet === Set("id", "name"), ext)
+    }
+  }
+
+  test("incremental reader pushes the watermark filter into the parquet scan") {
+    val dir = tmp()
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("wm", "v")
+      .write.parquet(s"$dir/inc.parquet")
+    val df = spark.read.parquet(s"$dir/inc.parquet")
+    val out = Readers.incremental(df, "wm", Some("40"))
+    assert(out.count() === 60)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(wm,40"),
+      s"watermark filter not pushed:\n$plan")
+  }
+
+  test("partitioned parquet sink lays out hive-style partitions") {
+    val dir = tmp()
+    val df = Seq(("2000-01-05", 1.0), ("2000-02-06", 2.0)).toDF("d", "x")
+      .withColumn("d", col("d").cast("date"))
+    Sinks.parquetPartitioned(Sinks.withDatePartitions(df, "d"),
+      s"$dir/out", Seq("year", "month"))
+    assert(new java.io.File(s"$dir/out/year=2000/month=1").exists())
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+    // partition pruning: only month=1 files scanned
+    val pruned = spark.read.parquet(s"$dir/out").filter(col("month") === 1)
+    assert(pruned.count() === 1)
+  }
+
+  test("json single-file sink writes exactly one part file") {
+    val dir = tmp()
+    Sinks.jsonSingleFile(Seq((1, "ok")).toDF("id", "status"), s"$dir/report")
+    val parts = new java.io.File(s"$dir/report").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1)
+  }
+
+  test("audit columns are stamped deterministically") {
+    val ts = java.time.LocalDateTime.parse("2024-02-01T00:00:00")
+    val out = Sinks.withAuditColumns(Seq(1).toDF("id"), "snowflake", ts).collect().head
+    assert(out.getAs[String]("source_system") === "snowflake")
+    assert(out.getAs[java.sql.Timestamp]("extraction_timestamp").toString
+      === "2024-02-01 00:00:00.0")
+  }
+
+  test("quarantine sink splits rows and tags the reason") {
+    val dir = tmp()
+    val df = Seq((1, 10.0), (2, -1.0), (3, 999999.0)).toDF("id", "amount")
+    val (nClean, nBad) = Sinks.quarantine(df,
+      col("amount").between(0, 1000), s"$dir/clean", s"$dir/quarantine", "amount_range")
+    assert((nClean, nBad) === ((1L, 2L)))
+    val bad = spark.read.parquet(s"$dir/quarantine")
+    assert(bad.select("quarantine_reason").distinct().head.getString(0) === "amount_range")
+  }
+
+  test("file ledger tracks processed files across commits") {
+    val ledger = new FileLedger(s"${tmp()}/ledger.txt")
+    assert(ledger.newFiles(Seq("a", "b")) === Seq("a", "b"))
+    ledger.commit(Seq("a"))
+    assert(ledger.newFiles(Seq("a", "b", "c")) === Seq("b", "c"))
+    ledger.commit(Seq("b", "c"))
+    assert(ledger.newFiles(Seq("a", "b", "c")) === Seq.empty)
+  }
+
+  test("trigger router maps object keys and skips markers") {
+    assert(TriggerRouter.route("bronze/orders/year=2024/f.parquet")
+      .contains(TriggerRouter.Route("bronze", "orders", "run_silver_job")))
+    assert(TriggerRouter.route("silver/customers/f.parquet")
+      .map(_.action).contains("run_gold_job"))
+    assert(TriggerRouter.route("bronze/orders/_SUCCESS").isEmpty)
+    assert(TriggerRouter.route("random/path.txt").isEmpty)
+  }
+}
