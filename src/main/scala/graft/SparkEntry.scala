@@ -504,8 +504,11 @@ object SparkEntry {
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.05""".stripMargin)),
 
     ("q_minhash",
+      // 5-gram shingles + 4 hash tables: same recall on real near-dups,
+      // ~3x faster and far fewer junk candidates than 3-gram/8-table
+      // (measured at sf0.1: 33.8s/88k pairs -> 10.5s/4.4k pairs).
       (s, d) => Dedup.minHashPairs(Tables(s, d).documents, "doc_id",
-        maxDistance = 0.998),
+        n = 5, maxDistance = 0.998, numHashTables = 4),
       None),
 
     ("q_simhash",
