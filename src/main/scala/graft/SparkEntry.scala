@@ -8,8 +8,8 @@ import graft.dsl.{QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.SurrogateKeys
-import graft.quality.DataQuality
+import graft.operators.{Scd2, SurrogateKeys}
+import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -601,7 +601,73 @@ object SparkEntry {
           .groupBy(col("label"), col("prediction").cast("int").as("prediction"))
           .count().orderBy("label", "prediction")
       },
-      None)
+      None),
+
+    // ---- SCD2 merge + keep-first dedup (I5) ----
+    ("q_scd2",
+      (s, d) => {
+        val t = Tables(s, d)
+        val cur = Scd2.withScd2Columns(t.customer.select("c_custkey", "c_mktsegment"))
+        val inc = t.customer.select(col("c_custkey"),
+          when(col("c_custkey") < 50, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        Scd2.merge(cur, inc, "c_custkey", Seq("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, DATE '2002-01-01' AS effective_date,
+        | CAST(NULL AS DATE) AS end_date, true AS is_current
+        |FROM customer WHERE c_custkey >= 50
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, DATE '2002-01-01', DATE '2002-01-01', false
+        |FROM customer WHERE c_custkey < 50
+        |UNION ALL
+        |SELECT c_custkey, 'CHANGED', DATE '2002-01-01', CAST(NULL AS DATE), true
+        |FROM customer WHERE c_custkey < 50""".stripMargin)),
+
+    ("q_dedup_keep",
+      (s, d) => Scd2.dedupKeepFirst(Tables(s, d).events,
+          Seq("user_id", "event_type"), "ts")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("earliest")),
+      Some("""WITH r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY ts, user_id, event_type) AS rn FROM events)
+        |SELECT event_type, count(*) AS n, min(ts) AS earliest
+        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- composite quality report (Q7/Q9) ----
+    ("q_quality",
+      (s, d) => {
+        val rep = QualityReport.run(Tables(s, d).orders, QualityReport.Config(
+          nullColumns = Seq("o_orderkey", "o_custkey"),
+          dupKeys = Seq("o_custkey"),
+          rangeRules = Seq(DataQuality.RangeRule("o_totalprice",
+            min = Some(5000), max = Some(400000)))))
+        import s.implicits._
+        rep.checks.map(c => (c.check, c.score, c.passed))
+          .toDF("check_name", "score", "passed")
+      },
+      Some("""WITH t AS (SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        | CAST(sum(CASE WHEN o_totalprice < 5000 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+        | FROM orders),
+        |d AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_rows FROM
+        | (SELECT count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1))
+        |SELECT 'null_check' AS check_name,
+        | 100.0 - greatest(round(CAST(nk AS DOUBLE) / total * 100.0, 6),
+        |                  round(CAST(nc AS DOUBLE) / total * 100.0, 6)) AS score,
+        | greatest(round(CAST(nk AS DOUBLE) / total * 100.0, 6),
+        |          round(CAST(nc AS DOUBLE) / total * 100.0, 6)) <= 10.0 AS passed
+        |FROM t
+        |UNION ALL
+        |SELECT 'duplicate_check',
+        | 100.0 - CAST(dup_rows AS DOUBLE) / (SELECT total FROM t) * 100.0,
+        | CAST(dup_rows AS DOUBLE) / (SELECT total FROM t) * 100.0 <= 5.0
+        |FROM d
+        |UNION ALL
+        |SELECT 'range_check',
+        | 100.0 - round(CAST(v0 AS DOUBLE) / total * 100.0, 6),
+        | round(CAST(v0 AS DOUBLE) / total * 100.0, 6) <= 2.0
+        |FROM t""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

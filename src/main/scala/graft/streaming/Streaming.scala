@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming layer.
+  *
+  * The reference's "event-driven" processing is S3-PUT-triggered batch jobs
+  * (reference/terraform/modules/glue/templates/crawler_trigger.py:101-125) —
+  * the Spark-native idiom for that is the file streaming source with
+  * `Trigger.AvailableNow` (process-everything-then-stop) plus checkpointed
+  * progress, which subsumes Glue bookmarks (I3) and the batched incremental
+  * loop (I2) with exactly-once file tracking.
+  *
+  * Included: watermarked tumbling-window aggregation, late/duplicate
+  * handling via dropDuplicatesWithinWatermark-style keys (I5), and a
+  * mapGroupsWithState running-count example for custom state.
+  */
+object Streaming {
+
+  /** File source stream: reads files as they land, schema pinned (streaming
+    * sources require a declared schema — no inference race).
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermarked tumbling-window count+sum per event type: late rows beyond
+    * the watermark are dropped deterministically by the engine, not by
+    * job-level bookkeeping.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** I5: drop duplicate events by id within the watermark horizon. */
+  def dedupedStream(events: DataFrame, idCol: String, tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
+  /** Custom keyed state: running per-user event counts via mapGroupsWithState
+    * (the KeyValueGroupedDataset state API).
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), lit(1L).as("one"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (user, next)
+      }
+      .toDF("user_id", "running_count")
+  }
+
+  /** Batch-incremental runner: AvailableNow processes all pending input then
+    * stops; the checkpoint is the file ledger. Re-running continues where the
+    * last run stopped — Glue bookmark semantics, engine-managed.
+    */
+  def runAvailableNow(out: DataFrame, checkpoint: String, sinkPath: String): Unit = {
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Test/debug sink: run a streaming frame to completion into an in-memory
+    * table and return its contents as a batch frame.
+    */
+  def runToMemory(out: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+}
