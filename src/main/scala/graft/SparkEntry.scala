@@ -633,6 +633,24 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(ts) AS earliest
         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ---- struct build + nested access (F18/F19) ----
+    ("q_struct",
+      (s, d) => SilverCustomers.clean(Tables(s, d).customer)
+        .select("c_custkey", "profile"),
+      Some("""SELECT c_custkey,
+        | struct_pack(segment := upper(trim(c_mktsegment)),
+        |             acctbal := CAST(c_acctbal AS DECIMAL(18,2)),
+        |             nation_key := c_nationkey) AS profile
+        |FROM customer""".stripMargin)),
+
+    // ---- F16 hash-encode (rows-only: Spark Murmur3 != DuckDB hash) ----
+    ("q_hash_encode",
+      (s, d) => MlFeatures.hashEncode(
+          Tables(s, d).customer.select("c_custkey", "c_mktsegment"), "c_mktsegment")
+        .groupBy("c_mktsegment", "c_mktsegment_encoded").count()
+        .orderBy("c_mktsegment"),
+      None),
+
     // ---- composite quality report (Q7/Q9) ----
     ("q_quality",
       (s, d) => {

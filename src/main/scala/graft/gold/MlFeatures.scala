@@ -86,6 +86,13 @@ object MlFeatures {
       when(r < train, "train").when(r < train + validation, "validation").otherwise("test"))
   }
 
+  /** F16: categorical hash-encoding, `hash(col) % buckets` — mirrors
+    * silver_to_gold_ml_features.py:378-384's state_encoded. Murmur3-based
+    * (Spark's hash), stable across Spark runs; pmod keeps it non-negative.
+    */
+  def hashEncode(df: DataFrame, column: String, buckets: Int = 100): DataFrame =
+    df.withColumn(s"${column}_encoded", pmod(hash(col(column)), lit(buckets)))
+
   /** M5 (scale/oracle variant): hash-free deterministic split on a key
     * column — stable under repartitioning, reproducible in any engine.
     */

@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision sequential dot product of two double arrays. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Double-precision sequential dot product — the native codegen
+    * expression (graft.functions.DotProduct); bit-identical to the
+    * higher-order `aggregate(zip_with(...))` fold it replaced, but a tight
+    * primitive loop inside WholeStageCodegen instead of interpreted lambdas.
+    */
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** Adds `v` (double array) and `norm` columns. */
-  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame =
+  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+  }
 
   /** Exact cosine top-k: queries (selected by `queryPred` on the key) are
     * broadcast against the full corpus; rank by (cosine desc, key asc).
