@@ -8,7 +8,7 @@ import graft.dsl.{QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{Scd2, SurrogateKeys}
+import graft.operators.{Scd2, Skew, SurrogateKeys}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -632,6 +632,15 @@ object SparkEntry {
         |  PARTITION BY user_id, event_type ORDER BY ts, user_id, event_type) AS rn FROM events)
         |SELECT event_type, count(*) AS n, min(ts) AS earliest
         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- skew-salted aggregation (two-phase, hot-key fan-out) ----
+    ("q_salted",
+      (s, d) => Skew.saltedCountSum(
+        Tables(s, d).orders.select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        Seq("o_custkey"), "price"),
+      Some(s"""SELECT o_custkey, count(*) AS n, sum($PriceDecSql) AS total
+        |FROM orders GROUP BY 1""".stripMargin)),
 
     // ---- struct build + nested access (F18/F19) ----
     ("q_struct",
