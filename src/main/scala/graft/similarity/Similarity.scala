@@ -56,35 +56,52 @@ object Similarity {
     (0 until nPlanes).map(p => p -> Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket assignment: bucket = bitmask of sign(plane · v). */
-  def withBucket(df: DataFrame, keyCol: String, nPlanes: Int, seed: Long,
-      embCol: String = "embedding"): DataFrame = {
+  /** Multi-table sign-bucket assignment: for each of `numTables` seeded
+    * plane sets, bucket = bitmask of sign(plane · v). Long format:
+    * (key, table, bucket). Multiple tables are what make hyperplane LSH
+    * usable — candidate if the pair agrees in ANY table, recall
+    * ≈ 1 − (1 − p^m)^L for per-plane agreement p.
+    */
+  def withBuckets(df: DataFrame, keyCol: String, nPlanes: Int, numTables: Int,
+      seed: Long, embCol: String = "embedding"): DataFrame = {
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val planesDf = df.sparkSession.createDataFrame(planes).toDF("plane_id", "pvec")
+    val planes = (0 until numTables).flatMap { t =>
+      hyperplanes(dim, nPlanes, seed + t).map { case (p, vec) => (t, p, vec) }
+    }
+    val planesDf = df.sparkSession.createDataFrame(planes)
+      .toDF("table_id", "plane_id", "pvec")
     withNorm(df, embCol)
-      .select(col(keyCol), col("v"), col("norm"))
+      .select(col(keyCol), col("v"))
       .join(broadcast(planesDf))
       .withColumn("bit",
         when(expr(s"${dot("pvec", "v")} > 0"), expr("shiftleft(1L, plane_id)")).otherwise(0L))
-      .groupBy(keyCol, "v", "norm")
+      .groupBy(col(keyCol), col("table_id"))
       .agg(sum(col("bit")).as("bucket"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's bucket,
-    * exact cosine re-rank inside. Recall is tunable via nPlanes (fewer
-    * planes → bigger buckets → higher recall, more work).
+  /** LSH-bucketed approximate top-k: candidate pairs share a bucket in at
+    * least one table (bucket join, id-only dedup — arrays never ride
+    * through the distinct), then exact cosine re-rank of candidates only.
+    * Recall/work trade-off: more tables → higher recall, more candidates;
+    * more planes → smaller buckets → less work per table.
     */
   def lshTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
-      nPlanes: Int = 8, seed: Long = 42L, embCol: String = "embedding"): DataFrame = {
+      nPlanes: Int = 8, numTables: Int = 4, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = withBucket(df, keyCol, nPlanes, seed, embCol)
-      .select(col(keyCol), col("v"), col("norm"), col("bucket"))
-    val queries = bucketed.filter(queryPred)
-      .toDF("query_id", "qv", "qnorm", "bucket")
-    bucketed.toDF("neighbor_id", "nv", "nnorm", "bucket")
-      .join(queries, Seq("bucket"))
+    val buckets = withBuckets(df, keyCol, nPlanes, numTables, seed, embCol)
+    val queryIds = df.filter(queryPred).select(col(keyCol))
+    val queryBuckets = buckets.join(broadcast(queryIds), Seq(keyCol))
+      .toDF("query_id", "table_id", "bucket")
+    val candidates = buckets.toDF("neighbor_id", "table_id", "bucket")
+      .join(queryBuckets, Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    candidates
+      .join(base.toDF("query_id", "qv", "qnorm"), Seq("query_id"))
+      .join(base.toDF("neighbor_id", "nv", "nnorm"), Seq("neighbor_id"))
       .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
