@@ -633,6 +633,40 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(ts) AS earliest
         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ---- semi-structured JSON extraction ----
+    ("q_json",
+      (s, d) => Tables(s, d).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("distinct_k")),
+      Some("""SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- rollup multi-grain (cleaner A12 synthesis; SURVEY §2.4) ----
+    ("q_rollup",
+      (s, d) => Tables(s, d).orders
+        .withColumn("order_year", year(col("o_orderdate").cast("date")))
+        .withColumn("order_quarter", quarter(col("o_orderdate").cast("date")))
+        .rollup("order_year", "order_quarter")
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue")),
+      Some(s"""SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+        | quarter(CAST(o_orderdate AS DATE)) AS order_quarter,
+        | count(*) AS order_count, sum($PriceDecSql) AS revenue
+        |FROM orders GROUP BY ROLLUP(order_year, order_quarter)""".stripMargin)),
+
+    // ---- exact percentile family ----
+    ("q_quantiles",
+      (s, d) => Tables(s, d).orders.agg(
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("price_quantiles"),
+        expr("percentile(o_totalprice, 0.5D)").as("median_price")),
+      Some("""SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS price_quantiles,
+        | quantile_cont(o_totalprice, 0.5) AS median_price
+        |FROM orders""".stripMargin)),
+
     // ---- skew-salted aggregation (two-phase, hot-key fan-out) ----
     ("q_salted",
       (s, d) => Skew.saltedCountSum(

@@ -72,3 +72,20 @@ object GraftFunctions {
       },
       "built-in")
 }
+
+/** SparkSessionExtensions entry point — the production path for shipping
+  * graft's native functions with a cluster config instead of per-session
+  * code:
+  *
+  * {{{
+  * spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+}

@@ -43,14 +43,26 @@ object Readers {
     * the WHERE clause rides inside the dbtable subquery, so the database —
     * not Spark — applies the watermark predicate and LIMIT batching.
     */
+  /** The pushdown subquery (public for tests; identifiers validated — the
+    * watermark VALUE is data and rides as a literal).
+    */
+  def incrementalSubquery(table: String, wmCol: String, lastWatermark: String,
+      batchSize: Int): String = {
+    val ident = "[A-Za-z0-9_.]+".r
+    require(ident.matches(table) && ident.matches(wmCol),
+      s"invalid identifier: $table/$wmCol")
+    require(batchSize > 0, "batchSize must be positive")
+    s"(SELECT * FROM $table WHERE $wmCol > '${lastWatermark.replace("'", "''")}' " +
+      s"ORDER BY $wmCol LIMIT $batchSize) AS _graft_inc"
+  }
+
   def jdbcIncremental(spark: SparkSession, url: String, table: String,
       wmCol: String, lastWatermark: String, batchSize: Int,
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val sub = s"(SELECT * FROM $table WHERE $wmCol > '$lastWatermark' " +
-      s"ORDER BY $wmCol LIMIT $batchSize) AS _graft_inc"
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
-      .option("url", url).option("dbtable", sub).options(options).load()
-  }
+      .option("url", url)
+      .option("dbtable", incrementalSubquery(table, wmCol, lastWatermark, batchSize))
+      .options(options).load()
 }
 
 /** Sinks (S3/S4/S6/S7/S8).

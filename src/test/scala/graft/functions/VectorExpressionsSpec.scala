@@ -34,6 +34,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(q.agg(sum("d")).head.getDouble(0) > 0) // executes the generated code
   }
 
+  test("GraftExtensions wires the same builder through SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without throwing
+    // the injected builder constructs the native expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = DotProduct(Literal.create(Array(1.0)), Literal.create(Array(2.0)))
+    assert(e.prettyName === "graft_dot")
+  }
+
   test("null arrays yield null, mismatched lengths use the shorter prefix") {
     GraftFunctions.register(spark)
     val df = Seq(

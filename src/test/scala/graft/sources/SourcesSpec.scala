@@ -82,6 +82,18 @@ class SourcesSpec extends SparkSpec {
     assert(ledger.newFiles(Seq("a", "b", "c")) === Seq.empty)
   }
 
+  test("jdbc incremental subquery pushes watermark + limit into the database") {
+    val sub = Readers.incrementalSubquery("public.orders", "updated_at",
+      "2024-01-01 00:00:00", 10000)
+    assert(sub ===
+      "(SELECT * FROM public.orders WHERE updated_at > '2024-01-01 00:00:00' " +
+        "ORDER BY updated_at LIMIT 10000) AS _graft_inc")
+    // identifiers validated; watermark values escaped
+    intercept[IllegalArgumentException](
+      Readers.incrementalSubquery("t; DROP TABLE x", "c", "v", 10))
+    assert(Readers.incrementalSubquery("t", "c", "it's", 10).contains("'it''s'"))
+  }
+
   test("trigger router maps object keys and skips markers") {
     assert(TriggerRouter.route("bronze/orders/year=2024/f.parquet")
       .contains(TriggerRouter.Route("bronze", "orders", "run_silver_job")))
