@@ -8,7 +8,7 @@ import graft.dsl.{QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{Scd2, Skew, SurrogateKeys}
+import graft.operators.{Scd2, Skew, SurrogateKeys, Windows}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -632,6 +632,54 @@ object SparkEntry {
         |  PARTITION BY user_id, event_type ORDER BY ts, user_id, event_type) AS rn FROM events)
         |SELECT event_type, count(*) AS n, min(ts) AS earliest
         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- window frames: moving average, lag delta, cumulative sum ----
+    ("q_window_ma",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("order_date"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        Windows.movingStats(daily, Seq("o_orderpriority"), "order_date", "revenue", 7)
+      },
+      Some(s"""WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_date,
+        |  sum($PriceDecSql) AS revenue FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, order_date, revenue,
+        | round(CAST(sum(revenue) OVER w7 AS DOUBLE) / count(revenue) OVER w7, 6) AS revenue_ma,
+        | lag(revenue, 1) OVER wb AS revenue_prev,
+        | revenue - coalesce(lag(revenue, 1) OVER wb, revenue) AS revenue_delta,
+        | sum(revenue) OVER wc AS revenue_cum
+        |FROM daily
+        |WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY order_date),
+        | w7 AS (PARTITION BY o_orderpriority ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        | wc AS (PARTITION BY o_orderpriority ORDER BY order_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- gap-based sessionization ----
+    ("q_sessions",
+      (s, d) => Windows.sessionStats(
+        Windows.sessionize(Tables(s, d).events, "user_id", "ts", 1800,
+          tieBreakCols = Seq("event_id")),
+        "user_id", "ts", "value"),
+      Some("""WITH s AS (SELECT *,
+        |  CASE WHEN prev_ts IS NULL OR
+        |   CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)),
+        |n AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS events,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | sum(CAST(value AS DECIMAL(18,2))) AS session_value
+        |FROM n GROUP BY 1, 2""".stripMargin)),
+
+    // ---- embedding-cosine near-duplicate pairs ----
+    ("q_embdedup",
+      (s, d) => Dedup.embeddingNearDups(Tables(s, d).embeddings, "vec_id", 0.5),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) / (a.nrm * b.nrm) AS cosine
+        | FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.5""".stripMargin)),
 
     // ---- semi-structured JSON extraction ----
     ("q_json",

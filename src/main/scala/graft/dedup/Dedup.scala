@@ -90,6 +90,24 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact pairwise cosine over the
+    * corpus, keeping pairs above `minCosine`. Exact all-pairs — O(n²) — so
+    * callers bound the corpus; the scale path routes candidates through
+    * [[graft.similarity.Similarity.lshTopK]] buckets first and re-ranks
+    * only bucket mates.
+    */
+  def embeddingNearDups(df: DataFrame, keyCol: String, minCosine: Double,
+      embCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val base = Similarity.withNorm(df, embCol)
+      .select(col(keyCol), col("v"), col("norm"))
+    base.toDF("doc_a", "va", "na")
+      .join(base.toDF("doc_b", "vb", "nb"), col("doc_a") < col("doc_b"))
+      .withColumn("cosine", expr("graft_dot(va, vb) / (na * nb)"))
+      .filter(col("cosine") >= minCosine)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, each bit
     * votes +1/−1, sign of the vote sum sets the bit. One explode + one
     * aggregation (64 conditional sums fused in a single pass).

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("movingStats computes trailing average, lag delta and cumulative sum") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0))
+      .toDF("k", "t", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val out = Windows.movingStats(df, Seq("k"), "t", "v", 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out(("a", 1)).getAs[Double]("v_ma") === 10.0)
+    assert(out(("a", 3)).getAs[Double]("v_ma") === 25.0) // (20+30)/2
+    assert(out(("a", 3)).getAs[java.math.BigDecimal]("v_delta").doubleValue === 10.0)
+    assert(out(("a", 1)).getAs[java.math.BigDecimal]("v_delta").doubleValue === 0.0) // first row
+    assert(out(("a", 3)).getAs[java.math.BigDecimal]("v_cum").doubleValue === 60.0)
+    assert(out(("b", 1)).getAs[java.math.BigDecimal]("v_cum").doubleValue === 5.0)
+  }
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 100L), (1L, "2024-01-01 10:10:00", 101L),
+      (1L, "2024-01-01 12:00:00", 102L), // > 30 min gap -> new session
+      (2L, "2024-01-01 09:00:00", 103L)
+    ).toDF("user_id", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Windows.sessionize(df, "user_id", "ts", 1800, Seq("event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+    assert(out === Map(100L -> 1L, 101L -> 1L, 102L -> 2L, 103L -> 1L))
+  }
+
+  test("sessionStats aggregates per session") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:00:00", 4.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_id", col("value").cast("long"))
+    val sessions = Windows.sessionStats(
+      Windows.sessionize(df, "user_id", "ts", 1800, Seq("event_id")),
+      "user_id", "ts", "value")
+    val byId = sessions.collect().map(r => r.getAs[Long]("session_seq") -> r).toMap
+    assert(byId(1L).getAs[Long]("events") === 2L)
+    assert(byId(1L).getAs[java.math.BigDecimal]("session_value").doubleValue === 3.0)
+    assert(byId(2L).getAs[Long]("events") === 1L)
+  }
+
+  test("embeddingNearDups finds planted high-cosine pair only") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 30L).map(i => i -> Seq.fill(16)(rnd.nextGaussian().toFloat))
+    val planted = 30L -> base.head._2.map(x => x * 1.01f)
+    val df = (base :+ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 30L)))
+  }
+}
