@@ -55,6 +55,15 @@ object ScaleBench {
       println(f"  brute-agreement recall@$k: ${lsh.intersect(brute).size.toDouble / brute.size}%.3f" +
         f"   planted-neighbor recall: ${plantedPairs.intersect(lsh).size / 20.0}%.2f")
     }
+    for ((clusters, probe) <- Seq((64, 8), (256, 16))) {
+      val ivf = timed(s"IVF($clusters cells, probe $probe) top-$k") {
+        graft.similarity.Similarity.ivfTopK(vecs, "vec_id", queryPred, k,
+          nClusters = clusters, nProbe = probe)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(f"  brute-agreement recall@$k: ${ivf.intersect(brute).size.toDouble / brute.size}%.3f" +
+        f"   planted-neighbor recall: ${plantedPairs.intersect(ivf).size / 20.0}%.2f")
+    }
     spark.stop()
   }
 }

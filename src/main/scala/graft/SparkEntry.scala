@@ -533,6 +533,11 @@ object SparkEntry {
         col("vec_id") < 10, k = 5),
       None),
 
+    ("q_ann_ivf",
+      (s, d) => Similarity.ivfTopK(Tables(s, d).embeddings, "vec_id",
+        col("vec_id") < 10, k = 5, nClusters = 16, nProbe = 4),
+      None),
+
     // ---- multimodal plumbing (LLM-pipeline ops) ----
     ("q_multimodal",
       (s, d) => Multimodal.sampleChunks(

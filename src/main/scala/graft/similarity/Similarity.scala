@@ -79,6 +79,53 @@ object Similarity {
       .agg(sum(col("bit")).as("bucket"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    * quantizer partitions the corpus into `nClusters` cells; each query
+    * probes its `nProbe` nearest cells and exact-ranks only their members.
+    * Work per query ≈ nProbe/nClusters of the corpus. Higher recall per
+    * candidate than hyperplane LSH when the corpus is clusterable; the
+    * centroid table is tiny and broadcast.
+    */
+  def ivfTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.sql.expressions.Window
+
+    val base = withNorm(df, embCol)
+      .select(col(keyCol), col("v"), col("norm"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(base)
+    val assigned = model.transform(base).select(col(keyCol), col("v"), col("norm"), col("cell"))
+
+    val centroids = df.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "centroid")
+
+    // probe assignment: each query's nProbe nearest centroids (by cosine)
+    val probes = assigned.filter(queryPred)
+      .toDF("query_id", "qv", "qnorm", "qcell")
+      .join(broadcast(centroids))
+      .withColumn("csim", expr(
+        s"${dot("qv", "centroid")} / (qnorm * sqrt(${dot("centroid", "centroid")}))"))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select("query_id", "qv", "qnorm", "cell")
+
+    assigned.toDF("neighbor_id", "nv", "nnorm", "cell")
+      .join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidate pairs share a bucket in at
     * least one table (bucket join, id-only dedup — arrays never ride
     * through the distinct), then exact cosine re-rank of candidates only.

@@ -42,6 +42,16 @@ class SimilaritySpec extends SparkSpec {
     assert(r.contains(20L)) // near-identical vector lands in vec 0's bucket
   }
 
+  test("IVF top-k recalls the planted near-copy and matches brute cosines") {
+    val r = Similarity.ivfTopK(df, "vec_id", col("vec_id") === 0, k = 3,
+      nClusters = 4, nProbe = 2)
+      .collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).contains(20L))
+    val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") === 0, k = 20)
+      .collect().map(x => x.getAs[Long]("neighbor_id") -> x.getAs[Double]("cosine")).toMap
+    r.foreach(x => assert(brute(x.getAs[Long]("neighbor_id")) === x.getAs[Double]("cosine")))
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
