@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: session/codegen/shuffle machinery initialization would
+    // otherwise be billed to the alphabetically-first query.
+    try {
+      val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      warm.groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     // Failed queries are reported in "failed" and excluded from the total —
     // never folded in as if they ran (round-1 verdict fix).
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -305,6 +305,19 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, sum($PriceDecSql) AS priority_revenue, count(*) AS order_count
         |      FROM orders GROUP BY 1)""".stripMargin)),
 
+    ("q_insights",
+      (s, d) => SalesSummary.insights(Tables(s, d).orders),
+      Some(s"""WITH t AS (SELECT count(*) AS total_orders, sum($PriceDecSql) AS total_revenue,
+        |  count(DISTINCT o_custkey) AS unique_customers FROM orders),
+        |bd AS (SELECT CAST(o_orderdate AS DATE) AS best_day, sum($PriceDecSql) AS best_day_revenue
+        | FROM orders GROUP BY 1 ORDER BY best_day_revenue DESC, best_day LIMIT 1),
+        |bm AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0') AS best_month,
+        |  sum($PriceDecSql) AS best_month_revenue
+        | FROM orders GROUP BY 1 ORDER BY best_month_revenue DESC, best_month LIMIT 1)
+        |SELECT t.*, bd.*, bm.*,
+        | round(CAST(total_revenue AS DOUBLE) / unique_customers, 6) AS avg_revenue_per_customer
+        |FROM t, bd, bm""".stripMargin)),
+
     ("q_best_day",
       (s, d) => SalesSummary.bestDay(Tables(s, d).orders),
       Some(s"""SELECT CAST(o_orderdate AS DATE) AS order_date,

@@ -121,6 +121,30 @@ object SalesSummary {
       .orderBy(col("daily_revenue").desc, col("order_date"))
       .limit(1)
 
+  /** A8: the "insights block" — corpus-level scalars + best day/month
+    * (silver_to_gold_sales_summary.py:453-496). Stays fully lazy: totals
+    * come from one global aggregate and the best-day/month rows ride in via
+    * broadcast cross-joins of 1-row frames — no driver-side collect, so the
+    * pattern composes into larger plans at any scale.
+    */
+  def insights(orders: DataFrame): DataFrame = {
+    val totals = orders.agg(
+      count(lit(1)).as("total_orders"),
+      sum(priceDec).as("total_revenue"),
+      countDistinct(col("o_custkey")).as("unique_customers"))
+    val best = bestDay(orders)
+      .select(col("order_date").as("best_day"), col("daily_revenue").as("best_day_revenue"))
+    val bestMonth = monthly(orders)
+      .orderBy(col("monthly_revenue").desc, col("month_year"))
+      .limit(1)
+      .select(col("month_year").as("best_month"), col("monthly_revenue").as("best_month_revenue"))
+    totals
+      .crossJoin(broadcast(best))
+      .crossJoin(broadcast(bestMonth))
+      .withColumn("avg_revenue_per_customer",
+        round(col("total_revenue").cast("double") / col("unique_customers"), 6))
+  }
+
   /** A12/U1: daily + monthly summaries conformed to one schema and unioned
     * with a summary_type tag (silver_to_gold_sales_summary.py:334-397).
     */

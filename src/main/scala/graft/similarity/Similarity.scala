@@ -96,7 +96,9 @@ object Similarity {
     val base = withNorm(df, embCol)
       .select(col(keyCol), col("v"), col("norm"))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    // coarse quantizer: few iterations suffice — cells only route
+    // candidates, exact re-rank fixes any assignment fuzziness
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell").fit(base)
     val assigned = model.transform(base).select(col(keyCol), col("v"), col("norm"), col("cell"))
 
