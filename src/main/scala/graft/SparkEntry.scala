@@ -493,6 +493,25 @@ object SparkEntry {
         | round(t.tf * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6), 6) AS tf_idf
         |FROM tf t JOIN dfq d USING (token) WHERE t.doc_id < 10""".stripMargin)),
 
+    // ---- end-to-end corpus curation funnel ----
+    ("q_curate",
+      (s, d) => graft.text.CorpusCuration.funnel(Tables(s, d).documents),
+      Some("""WITH d AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, md5(lower(trim(text))) AS fp, len(toks) AS n_tokens,
+        |  (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) / length(text), 6) < 0.1 THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 6) BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) AS q
+        | FROM d),
+        |f AS (SELECT *, lang = 'en' AS lang_ok, q >= 0.5 AS quality_ok,
+        |  n_tokens BETWEEN 10 AND 100000 AS length_ok FROM s)
+        |SELECT count(*) AS total_docs,
+        | CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lang,
+        | CAST(sum(CASE WHEN lang_ok AND NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+        | CAST(sum(CASE WHEN lang_ok AND quality_ok AND NOT length_ok THEN 1 ELSE 0 END) AS BIGINT) AS dropped_length,
+        | CAST(sum(CASE WHEN lang_ok AND quality_ok AND length_ok THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+        | count(DISTINCT CASE WHEN lang_ok AND quality_ok AND length_ok THEN fp END) AS distinct_passed
+        |FROM f""".stripMargin)),
+
     // ---- dedup (LLM-pipeline ops) ----
     ("q_dedup_exact",
       (s, d) => Dedup.exactStats(Tables(s, d).documents),

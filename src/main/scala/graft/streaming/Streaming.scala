@@ -50,6 +50,14 @@ object Streaming {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (re-read-per-batch) static dimension — the streaming counterpart of
+    * J1; broadcast by Catalyst when the dim is small.
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey), "left")
+
   /** Custom keyed state: running per-user event counts via mapGroupsWithState
     * (the KeyValueGroupedDataset state API).
     */

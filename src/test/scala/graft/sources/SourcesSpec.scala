@@ -47,6 +47,22 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() === 1)
   }
 
+  test("dynamic partition overwrite replaces only touched partitions (idempotent re-run)") {
+    val dir = tmp()
+    val day1 = Seq((1, "2000-01-05"), (2, "2000-02-06")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    Sinks.parquetOverwritePartitions(
+      Sinks.withDatePartitions(day1, "d"), s"$dir/t", Seq("year", "month"))
+    // re-run month=2 only, with a corrected row — month=1 must survive
+    val rerun = Seq((3, "2000-02-07")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    Sinks.parquetOverwritePartitions(
+      Sinks.withDatePartitions(rerun, "d"), s"$dir/t", Seq("year", "month"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() === 2)
+    assert(back.select("id").collect().map(_.getInt(0)).toSet === Set(1, 3))
+  }
+
   test("json single-file sink writes exactly one part file") {
     val dir = tmp()
     Sinks.jsonSingleFile(Seq((1, "ok")).toDF("id", "status"), s"$dir/report")

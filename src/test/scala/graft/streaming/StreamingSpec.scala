@@ -57,6 +57,18 @@ class StreamingSpec extends SparkSpec {
     assert(counts === Map(101L -> 3L, 102L -> 2L))
   }
 
+  test("stream-static join enriches micro-batches against a dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in5").toString
+    writeEvents(dir)
+    val schema = spark.read.parquet(dir).schema
+    val dim = Seq((101L, "alice"), (102L, "bob")).toDF("uid", "name")
+    val stream = Streaming.fileStream(spark, dir, schema)
+    val out = Streaming.runToMemory(
+      Streaming.enrichedStream(stream, dim, "user_id", "uid"), "enriched")
+    val names = out.collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("name")).toMap
+    assert(names === Map(101L -> "alice", 102L -> "bob"))
+  }
+
   test("AvailableNow checkpoint resumes without reprocessing (bookmark semantics)") {
     val in = java.nio.file.Files.createTempDirectory("stream-in4").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
