@@ -58,11 +58,11 @@ object SparkEntry {
         | $PriceDecSql AS o_totalprice_dec,
         | $SizeSql AS order_size_category,
         | CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank,
-        | year(CAST(o_orderdate AS DATE)) AS order_year,
-        | month(CAST(o_orderdate AS DATE)) AS order_month,
-        | quarter(CAST(o_orderdate AS DATE)) AS order_quarter,
-        | dayofweek(CAST(o_orderdate AS DATE)) + 1 AS order_dayofweek,
-        | date_diff('day', CAST(o_orderdate AS DATE), $AsOf) AS days_since_order,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        | CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS order_month,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS order_quarter,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS order_dayofweek,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), $AsOf) AS INT) AS days_since_order,
         | ($StatusSql) != 'UNKNOWN' AND o_totalprice > 0 AND o_orderdate IS NOT NULL AS is_complete_order,
         | (CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END
         |  + CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END
@@ -198,15 +198,18 @@ object SparkEntry {
 
     ("q_monthly",
       (s, d) => SalesSummary.monthly(Tables(s, d).orders),
-      Some(s"""SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
-        | month(CAST(o_orderdate AS DATE)) AS order_month,
+      Some(s"""WITH o AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS order_month,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_custkey, $PriceDecSql AS price
+        | FROM orders)
+        |SELECT order_year, order_month,
         | count(*) AS order_count,
-        | sum($PriceDecSql) AS monthly_revenue,
+        | sum(price) AS monthly_revenue,
         | count(DISTINCT o_custkey) AS unique_customers,
-        | count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days,
-        | CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0') AS month_year,
-        | round(CAST(sum($PriceDecSql) AS DOUBLE) / count(DISTINCT CAST(o_orderdate AS DATE)), 6) AS avg_daily_revenue
-        |FROM orders GROUP BY 1, 2""".stripMargin)),
+        | count(DISTINCT order_date) AS active_days,
+        | CAST(order_year AS VARCHAR) || '-' || lpad(CAST(order_month AS VARCHAR), 2, '0') AS month_year,
+        | round(CAST(sum(price) AS DOUBLE) / count(DISTINCT order_date), 6) AS avg_daily_revenue
+        |FROM o GROUP BY 1, 2""".stripMargin)),
 
     ("q_clv",
       (s, d) => CustomerAnalytics.customerMetrics(Tables(s, d).orders),
@@ -217,8 +220,8 @@ object SparkEntry {
         | max(CAST(o_orderdate AS DATE)) AS last_order_date,
         | count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days,
         | round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value,
-        | date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
-        | date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days
+        | CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS INT) AS recency_days,
+        | CAST(date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS INT) AS tenure_days
         |FROM orders GROUP BY 1""".stripMargin)),
 
     ("q_segment",
@@ -255,8 +258,8 @@ object SparkEntry {
           "small_orders", "medium_orders", "large_orders", "extra_large_orders"),
       Some(s"""WITH m AS (SELECT o_custkey, count(*) AS total_orders, sum($PriceDecSql) AS total_spent,
         |  round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value,
-        |  date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
-        |  date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days,
+        |  CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS INT) AS recency_days,
+        |  CAST(date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS INT) AS tenure_days,
         |  count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
         | FROM orders GROUP BY 1),
         | p AS (SELECT o_custkey,
@@ -381,8 +384,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3_orders,
         |  CAST(sum(CASE WHEN quarter(CAST(o_orderdate AS DATE)) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS q4_orders,
         |  CAST(sum(CASE WHEN $PriceDecSql >= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
-        |  date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS recency_days,
-        |  date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS tenure_days
+        |  CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS INT) AS recency_days,
+        |  CAST(date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS INT) AS tenure_days
         | FROM orders GROUP BY 1)
         |SELECT o_custkey, order_count, weekend_orders, large_orders, recency_days, tenure_days,
         | round(CAST(weekend_orders AS DOUBLE) / order_count, 6) AS weekend_preference,
@@ -429,11 +432,11 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio", "token_estimate", "quality_score"),
       Some("""WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |s AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
         |  length(regexp_replace(text, '\s', '', 'g')) AS chars_alpha,
         |  length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_chars,
         |  len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS stopword_count,
-        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS token_estimate
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS token_estimate
         | FROM d)
         |SELECT doc_id, n_tokens,
         | round(CAST(chars_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len,
@@ -738,8 +741,8 @@ object SparkEntry {
         .rollup("order_year", "order_quarter")
         .agg(count(lit(1)).as("order_count"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue")),
-      Some(s"""SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
-        | quarter(CAST(o_orderdate AS DATE)) AS order_quarter,
+      Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS order_quarter,
         | count(*) AS order_count, sum($PriceDecSql) AS revenue
         |FROM orders GROUP BY ROLLUP(order_year, order_quarter)""".stripMargin)),
 
