@@ -47,7 +47,7 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
     val sh = shingles(df, keyCol, textCol, n).cache()
     val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
-    val pairs = sh.toDF(s"doc_a", "shingle")
+    val pairs = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
