@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{GraftConf, Tables}
 import graft.dsl.{QualityRule, RuleEngine}
@@ -55,7 +56,7 @@ object SparkEntry {
       (s, d) => SilverOrders.silver(Tables(s, d).orders),
       Some(s"""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         | $StatusSql AS order_status_standardized,
-        | $PriceDecSql AS o_totalprice_dec,
+        | CAST($PriceDecSql AS DOUBLE) AS o_totalprice_dec,
         | $SizeSql AS order_size_category,
         | CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank,
         | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
@@ -81,7 +82,7 @@ object SparkEntry {
         | regexp_replace(c_name, '[^0-9]', '', 'g') AS customer_number,
         | upper(trim(c_mktsegment)) AS segment_standardized,
         | upper(trim(c_mktsegment)) || ':' || lower(trim(c_name)) AS display_name,
-        | CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_dec,
         | c_acctbal > 0 AS is_positive_balance,
         | upper(trim(c_mktsegment)) AS profile_segment,
         | (CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END
@@ -100,7 +101,7 @@ object SparkEntry {
         | upper(trim(p_type)) AS type_standardized,
         | lpad(regexp_replace(p_brand, '[^0-9]', '', 'g'), 4, '0') AS brand_code_padded,
         | regexp_matches(p_brand, '^Brand#[0-9]+$') AS is_valid_brand,
-        | CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price_dec,
+        | CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price_dec,
         | round((p_retailprice - p_retailprice * 0.7) / p_retailprice * 100.0, 2) AS margin_percentage,
         | CASE WHEN p_size <= 10 THEN 'COMPACT' WHEN p_size <= 30 THEN 'STANDARD' ELSE 'OVERSIZE' END AS size_category,
         | (CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END
@@ -185,10 +186,10 @@ object SparkEntry {
       (s, d) => SalesSummary.daily(Tables(s, d).orders),
       Some(s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
         | count(*) AS order_count,
-        | sum($PriceDecSql) AS daily_revenue,
+        | CAST(sum($PriceDecSql) AS DOUBLE) AS daily_revenue,
         | count(DISTINCT o_custkey) AS unique_customers,
-        | min($PriceDecSql) AS min_order_value,
-        | max($PriceDecSql) AS max_order_value,
+        | CAST(min($PriceDecSql) AS DOUBLE) AS min_order_value,
+        | CAST(max($PriceDecSql) AS DOUBLE) AS max_order_value,
         | CASE WHEN count(*) > 1 THEN round(sqrt(greatest(
         |   (CAST(sum($PriceDecSql * $PriceDecSql) AS DOUBLE)
         |    - CAST(sum($PriceDecSql) AS DOUBLE) * CAST(sum($PriceDecSql) AS DOUBLE) / count(*))
@@ -204,7 +205,7 @@ object SparkEntry {
         | FROM orders)
         |SELECT order_year, order_month,
         | count(*) AS order_count,
-        | sum(price) AS monthly_revenue,
+        | CAST(sum(price) AS DOUBLE) AS monthly_revenue,
         | count(DISTINCT o_custkey) AS unique_customers,
         | count(DISTINCT order_date) AS active_days,
         | CAST(order_year AS VARCHAR) || '-' || lpad(CAST(order_month AS VARCHAR), 2, '0') AS month_year,
@@ -215,7 +216,7 @@ object SparkEntry {
       (s, d) => CustomerAnalytics.customerMetrics(Tables(s, d).orders),
       Some(s"""SELECT o_custkey,
         | count(*) AS total_orders,
-        | sum($PriceDecSql) AS total_spent,
+        | CAST(sum($PriceDecSql) AS DOUBLE) AS total_spent,
         | min(CAST(o_orderdate AS DATE)) AS first_order_date,
         | max(CAST(o_orderdate AS DATE)) AS last_order_date,
         | count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days,
@@ -234,7 +235,8 @@ object SparkEntry {
         |   CAST(sum(order_count) AS BIGINT) AS segment_orders,
         |   min(lifetime_value) AS min_clv, max(lifetime_value) AS max_clv
         |  FROM b GROUP BY 1)
-        |SELECT value_segment, customers, segment_revenue, segment_orders, min_clv, max_clv,
+        |SELECT value_segment, customers, CAST(segment_revenue AS DOUBLE) AS segment_revenue,
+        | segment_orders, CAST(min_clv AS DOUBLE) AS min_clv, CAST(max_clv AS DOUBLE) AS max_clv,
         | round(CAST(segment_revenue AS DOUBLE) / CAST(sum(segment_revenue) OVER () AS DOUBLE) * 100.0, 6) AS revenue_share_pct
         |FROM seg""".stripMargin)),
 
@@ -256,7 +258,7 @@ object SparkEntry {
         .select("o_custkey", "c_name", "c_mktsegment", "c_acctbal", "total_orders",
           "total_spent", "avg_order_value", "recency_days", "tenure_days", "active_days",
           "small_orders", "medium_orders", "large_orders", "extra_large_orders"),
-      Some(s"""WITH m AS (SELECT o_custkey, count(*) AS total_orders, sum($PriceDecSql) AS total_spent,
+      Some(s"""WITH m AS (SELECT o_custkey, count(*) AS total_orders, CAST(sum($PriceDecSql) AS DOUBLE) AS total_spent,
         |  round(CAST(sum($PriceDecSql) AS DOUBLE) / count(*), 6) AS avg_order_value,
         |  CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), $AsOf) AS INT) AS recency_days,
         |  CAST(date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS INT) AS tenure_days,
@@ -303,28 +305,28 @@ object SparkEntry {
 
     ("q_rank",
       (s, d) => SalesSummary.priorityRanking(Tables(s, d).orders),
-      Some(s"""SELECT o_orderpriority, priority_revenue, order_count,
+      Some(s"""SELECT o_orderpriority, CAST(priority_revenue AS DOUBLE) AS priority_revenue, order_count,
         | CAST(row_number() OVER (ORDER BY priority_revenue DESC, o_orderpriority) AS BIGINT) AS priority_rank
         |FROM (SELECT o_orderpriority, sum($PriceDecSql) AS priority_revenue, count(*) AS order_count
         |      FROM orders GROUP BY 1)""".stripMargin)),
 
     ("q_insights",
       (s, d) => SalesSummary.insights(Tables(s, d).orders),
-      Some(s"""WITH t AS (SELECT count(*) AS total_orders, sum($PriceDecSql) AS total_revenue,
+      Some(s"""WITH t AS (SELECT count(*) AS total_orders, CAST(sum($PriceDecSql) AS DOUBLE) AS total_revenue,
         |  count(DISTINCT o_custkey) AS unique_customers FROM orders),
-        |bd AS (SELECT CAST(o_orderdate AS DATE) AS best_day, sum($PriceDecSql) AS best_day_revenue
+        |bd AS (SELECT CAST(o_orderdate AS DATE) AS best_day, CAST(sum($PriceDecSql) AS DOUBLE) AS best_day_revenue
         | FROM orders GROUP BY 1 ORDER BY best_day_revenue DESC, best_day LIMIT 1),
         |bm AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0') AS best_month,
-        |  sum($PriceDecSql) AS best_month_revenue
+        |  CAST(sum($PriceDecSql) AS DOUBLE) AS best_month_revenue
         | FROM orders GROUP BY 1 ORDER BY best_month_revenue DESC, best_month LIMIT 1)
         |SELECT t.*, bd.*, bm.*,
-        | round(CAST(total_revenue AS DOUBLE) / unique_customers, 6) AS avg_revenue_per_customer
+        | round(total_revenue / unique_customers, 6) AS avg_revenue_per_customer
         |FROM t, bd, bm""".stripMargin)),
 
     ("q_best_day",
       (s, d) => SalesSummary.bestDay(Tables(s, d).orders),
       Some(s"""SELECT CAST(o_orderdate AS DATE) AS order_date,
-        | sum($PriceDecSql) AS daily_revenue, count(*) AS order_count
+        | CAST(sum($PriceDecSql) AS DOUBLE) AS daily_revenue, count(*) AS order_count
         |FROM orders GROUP BY 1 ORDER BY daily_revenue DESC, order_date LIMIT 1""".stripMargin)),
 
     ("q_page",
@@ -339,13 +341,13 @@ object SparkEntry {
       (s, d) => SalesSummary.multiGrainUnion(Tables(s, d).orders),
       Some(s"""SELECT 'daily' AS summary_type,
         | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS period,
-        | sum($PriceDecSql) AS revenue, count(*) AS order_count,
+        | CAST(sum($PriceDecSql) AS DOUBLE) AS revenue, count(*) AS order_count,
         | count(DISTINCT o_custkey) AS unique_customers
         |FROM orders GROUP BY 1, 2
         |UNION ALL
         |SELECT 'monthly',
         | CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-' || lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0'),
-        | sum($PriceDecSql), count(*), count(DISTINCT o_custkey)
+        | CAST(sum($PriceDecSql) AS DOUBLE), count(*), count(DISTINCT o_custkey)
         |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     // ---- distribution counts (A9) ----
@@ -423,7 +425,7 @@ object SparkEntry {
           sum(col("n")).as("n"), sum(col("total_value")).as("total_value"))
       },
       Some("""SELECT event_type, count(*) AS n,
-        | sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
     // ---- text analysis (LLM-pipeline ops) ----
@@ -443,9 +445,9 @@ object SparkEntry {
         | round(CAST(punct_chars AS DOUBLE) / length(text), 6) AS punct_ratio,
         | round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
         | token_estimate,
-        | (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        | CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
         |  + CASE WHEN round(CAST(punct_chars AS DOUBLE) / length(text), 6) < 0.1 THEN 0.3 ELSE 0.0 END
-        |  + CASE WHEN round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) AS quality_score
+        |  + CASE WHEN round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END AS DOUBLE) AS quality_score
         |FROM s""".stripMargin)),
 
     ("q_langid",
@@ -683,11 +685,11 @@ object SparkEntry {
       },
       Some(s"""WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_date,
         |  sum($PriceDecSql) AS revenue FROM orders GROUP BY 1, 2)
-        |SELECT o_orderpriority, order_date, revenue,
+        |SELECT o_orderpriority, order_date, CAST(revenue AS DOUBLE) AS revenue,
         | round(CAST(sum(revenue) OVER w7 AS DOUBLE) / count(revenue) OVER w7, 6) AS revenue_ma,
-        | lag(revenue, 1) OVER wb AS revenue_prev,
-        | revenue - coalesce(lag(revenue, 1) OVER wb, revenue) AS revenue_delta,
-        | sum(revenue) OVER wc AS revenue_cum
+        | CAST(lag(revenue, 1) OVER wb AS DOUBLE) AS revenue_prev,
+        | CAST(revenue - coalesce(lag(revenue, 1) OVER wb, revenue) AS DOUBLE) AS revenue_delta,
+        | CAST(sum(revenue) OVER wc AS DOUBLE) AS revenue_cum
         |FROM daily
         |WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY order_date),
         | w7 AS (PARTITION BY o_orderpriority ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
@@ -708,7 +710,7 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM s)
         |SELECT user_id, session_seq, count(*) AS events,
         | min(ts) AS session_start, max(ts) AS session_end,
-        | sum(CAST(value AS DECIMAL(18,2))) AS session_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM n GROUP BY 1, 2""".stripMargin)),
 
     // ---- embedding-cosine near-duplicate pairs ----
@@ -743,15 +745,22 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue")),
       Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
         | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS order_quarter,
-        | count(*) AS order_count, sum($PriceDecSql) AS revenue
+        | count(*) AS order_count, CAST(sum($PriceDecSql) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP(order_year, order_quarter)""".stripMargin)),
 
-    // ---- exact percentile family ----
+    // ---- exact percentile family (scalar columns: the driver's comparator
+    //      sorts pandas frames, which cannot sort array cells) ----
     ("q_quantiles",
       (s, d) => Tables(s, d).orders.agg(
-        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("price_quantiles"),
+        expr("percentile(o_totalprice, 0.25D)").as("q25"),
+        expr("percentile(o_totalprice, 0.5D)").as("q50"),
+        expr("percentile(o_totalprice, 0.75D)").as("q75"),
+        expr("percentile(o_totalprice, 0.9D)").as("q90"),
         expr("percentile(o_totalprice, 0.5D)").as("median_price")),
-      Some("""SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS price_quantiles,
+      Some("""SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+        | quantile_cont(o_totalprice, 0.5) AS q50,
+        | quantile_cont(o_totalprice, 0.75) AS q75,
+        | quantile_cont(o_totalprice, 0.9) AS q90,
         | quantile_cont(o_totalprice, 0.5) AS median_price
         |FROM orders""".stripMargin)),
 
@@ -761,17 +770,23 @@ object SparkEntry {
         Tables(s, d).orders.select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price")),
         Seq("o_custkey"), "price"),
-      Some(s"""SELECT o_custkey, count(*) AS n, sum($PriceDecSql) AS total
+      Some(s"""SELECT o_custkey, count(*) AS n, CAST(sum($PriceDecSql) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin)),
 
-    // ---- struct build + nested access (F18/F19) ----
+    // ---- struct build + nested access (F18/F19): the struct is BUILT in
+    //      SilverCustomers.clean and read back out via dot paths here — the
+    //      registered output is flat scalars because the driver's comparator
+    //      cannot sort dict cells ----
     ("q_struct",
       (s, d) => SilverCustomers.clean(Tables(s, d).customer)
-        .select("c_custkey", "profile"),
+        .select(col("c_custkey"),
+          col("profile.segment").as("profile_segment"),
+          col("profile.acctbal").as("profile_acctbal"),
+          col("profile.nation_key").as("profile_nation_key")),
       Some("""SELECT c_custkey,
-        | struct_pack(segment := upper(trim(c_mktsegment)),
-        |             acctbal := CAST(c_acctbal AS DECIMAL(18,2)),
-        |             nation_key := c_nationkey) AS profile
+        | upper(trim(c_mktsegment)) AS profile_segment,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS profile_acctbal,
+        | CAST(c_nationkey AS INT) AS profile_nation_key
         |FROM customer""".stripMargin)),
 
     // ---- F16 hash-encode (rows-only: Spark Murmur3 != DuckDB hash) ----
@@ -819,8 +834,28 @@ object SparkEntry {
         |FROM t""".stripMargin))
   )
 
+  /** Output-boundary rule: money math stays DECIMAL internally (exact,
+    * partition-order independent) but every REGISTERED query result casts
+    * decimal columns to DOUBLE. The driver's comparator coerces DuckDB
+    * decimals to float while Spark parquet decimals stay typed Decimal, so a
+    * decimal output column hash-mismatches on any value with a trailing zero
+    * even when the numbers are equal. Doubles derived from exact decimal sums
+    * are a single correctly-rounded conversion in both engines — bit-equal.
+    * Each oracle SQL applies the same CAST(... AS DOUBLE) at its boundary.
+    */
+  private def noDec(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (n, f, _) => n -> f }.toMap
+    registry.map { case (n, f, _) =>
+      n -> ((s: SparkSession, d: String) => noDec(f(s, d)))
+    }.toMap
 
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
