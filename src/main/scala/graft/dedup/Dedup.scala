@@ -62,6 +62,43 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard restricted to a given candidate pair set: joins
+    * the shingle table through the (small) candidate list instead of
+    * corpus×corpus — linear in candidate-pair shingles. Candidates with an
+    * empty intersection drop out, which is correct for any minJaccard > 0.
+    */
+  def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, n)
+    val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
+    sh.toDF("doc_a", "shingle")
+      .join(broadcast(candidates.select("doc_a", "doc_b")), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "size_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Scale-safe exact Jaccard near-dup pairs: MinHash-LSH banded candidates
+    * (bucket join — never all-pairs) followed by [[exactJaccardForPairs]]
+    * re-rank. Same output as [[jaccardPairs]] at `minJaccard` provided the
+    * banding catches every pair at that similarity (candMaxDistance leaves
+    * margin; more hash tables raise recall: P(miss) = (1-j)^tables).
+    */
+  def jaccardPairsScalable(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3, minJaccard: Double = 0.5, candMaxDistance: Double = 0.6,
+      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val cand = minHashPairs(df, keyCol, textCol, n, candMaxDistance,
+      numHashTables, seed).select("doc_a", "doc_b")
+    exactJaccardForPairs(df, cand, keyCol, textCol, n, minJaccard)
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not
     * all-pairs). Jaccard DISTANCE threshold (1 - similarity).
     */
@@ -103,6 +140,33 @@ object Dedup {
       .select(col(keyCol), col("v"), col("norm"))
     base.toDF("doc_a", "va", "na")
       .join(base.toDF("doc_b", "vb", "nb"), col("doc_a") < col("doc_b"))
+      .withColumn("cosine", expr("graft_dot(va, vb) / (na * nb)"))
+      .filter(col("cosine") >= minCosine)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
+  /** Scale-safe embedding-cosine near-dup pairs: hyperplane-LSH sign-bucket
+    * candidates ([[graft.similarity.Similarity.withBuckets]] — bucket join,
+    * never all-pairs) with exact cosine re-rank of bucket mates only. For a
+    * pair at cosine c the per-plane agreement is p = 1 − arccos(c)/π, so
+    * per-table P(same bucket) = p^nPlanes and overall
+    * P(candidate) = 1 − (1 − p^nPlanes)^numTables: fewer planes / more
+    * tables raise recall at mid thresholds; planes scale up with corpus
+    * size to keep buckets small.
+    */
+  def embeddingNearDupsScalable(df: DataFrame, keyCol: String, minCosine: Double,
+      nPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val buckets = Similarity.withBuckets(df, keyCol, nPlanes, numTables, seed, embCol)
+    val cand = buckets.toDF("doc_a", "table_id", "bucket")
+      .join(buckets.toDF("doc_b", "table_id", "bucket"), Seq("table_id", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val base = Similarity.withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    cand
+      .join(base.toDF("doc_a", "va", "na"), Seq("doc_a"))
+      .join(base.toDF("doc_b", "vb", "nb"), Seq("doc_b"))
       .withColumn("cosine", expr("graft_dot(va, vb) / (na * nb)"))
       .filter(col("cosine") >= minCosine)
       .select("doc_a", "doc_b", "cosine")

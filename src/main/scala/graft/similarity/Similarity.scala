@@ -128,6 +128,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Recall@k of an approximate top-k result against the exact brute-force
+    * top-k — the standard ANN acceptance metric. Both inputs are
+    * deterministic here (seeded hyperplanes / quantizer, exact cosine,
+    * tie-broken ranks), so the summary row is reproducible bit-for-bit.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(k).as("k"), col("hits"),
+        round(col("hits").cast("double") / (col("n_queries") * k), 6).as("recall"))
+  }
+
   /** LSH-bucketed approximate top-k: candidate pairs share a bucket in at
     * least one table (bucket join, id-only dedup — arrays never ride
     * through the distinct), then exact cosine re-rank of candidates only.

@@ -49,4 +49,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L)))
   }
+
+  test("jaccardPairsScalable matches the exact all-pairs result") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val scalable = Dedup.jaccardPairsScalable(docs, "doc_id",
+      minJaccard = 0.5, candMaxDistance = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(scalable === exact)
+    assert(exact.nonEmpty) // the planted dups must be in both
+  }
+
+  test("exactJaccardForPairs only scores the candidate pairs it is given") {
+    val cand = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val r = Dedup.exactJaccardForPairs(docs, cand, "doc_id", minJaccard = 0.0).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet === Set((0L, 1L)))
+    assert(r.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("embeddingNearDupsScalable matches the exact theta-join result") {
+    val vecs = (0L until 30L).map { i =>
+      val rnd = new scala.util.Random(i)
+      i -> Array.fill(16)(rnd.nextGaussian().toFloat)
+    }
+    val planted = 30L -> vecs.head._2.map(x => x * 1.01f)
+    val df = (vecs :+ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, "vec_id", 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val scalable = Dedup.embeddingNearDupsScalable(df, "vec_id", 0.9,
+      nPlanes = 4, numTables = 8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact === Set((0L, 30L)))
+    assert(scalable === exact)
+  }
 }

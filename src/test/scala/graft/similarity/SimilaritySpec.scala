@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     r.foreach(x => assert(brute(x.getAs[Long]("neighbor_id")) === x.getAs[Double]("cosine")))
   }
 
+  test("recallAtK is 1.0 when approx equals exact, and counts partial hits") {
+    val exact = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 3)
+    val full = Similarity.recallAtK(exact, exact, k = 3).collect().head
+    assert(full.getAs[Long]("n_queries") === 5L)
+    assert(full.getAs[Long]("hits") === 15L)
+    assert(full.getAs[Double]("recall") === 1.0)
+    val half = Similarity.recallAtK(exact.filter(col("rank") <= 2), exact, k = 3)
+      .collect().head
+    assert(half.getAs[Long]("hits") === 10L)
+    assert(math.abs(half.getAs[Double]("recall") - 0.666667) < 1e-9)
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
