@@ -57,13 +57,12 @@ object Incremental {
     }
   }
 
-  /** Split a frame into range batches on a numeric/timestamp watermark column
-    * (cast to double for boundary comparison). Batches are half-open
-    * `(lo, hi]` with the first open below and last open above, so
-    * `batches.reduce(_ union _) ≡ df` exactly.
+  /** Half-open `(lo, hi]` range predicates from percentile bounds; first
+    * batch open below, last open above, so the batches partition `df`
+    * exactly.
     */
-  def rangeBatches(df: DataFrame, wmCol: String, batches: Int): Seq[DataFrame] = {
-    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+  private def batchesFromBounds(df: DataFrame, wmCol: String,
+      bounds: Seq[Double]): Seq[DataFrame] = {
     val c = col(wmCol).cast("double")
     val cuts = Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity
     cuts.sliding(2).map { case Seq(lo, hi) =>
@@ -73,19 +72,45 @@ object Incremental {
     }.toSeq
   }
 
+  /** Split a frame into range batches on a numeric/timestamp watermark column
+    * (cast to double for boundary comparison). Batches are half-open
+    * `(lo, hi]` with the first open below and last open above, so
+    * `batches.reduce(_ union _) ≡ df` exactly.
+    */
+  def rangeBatches(df: DataFrame, wmCol: String, batches: Int): Seq[DataFrame] = {
+    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+    batchesFromBounds(df, wmCol, bounds)
+  }
+
   /** I1+I2 driver: process each batch in watermark order, committing the
     * batch's max watermark to the store after each step. Returns the union of
     * per-batch results of `process`.
+    *
+    * Cost discipline: exactly TWO Spark jobs regardless of batch count —
+    * one for the percentile boundaries, one grouped aggregate for every
+    * batch's high-water mark. (A per-batch `max` action would scan the
+    * source once per batch and then again when the returned union runs —
+    * at 100 TB that's `batches + 1` full passes instead of 2.) The returned
+    * union stays lazy; its single action is the only evaluation of
+    * `process` lineage.
     */
   def runBatched(df: DataFrame, table: String, wmCol: String, batches: Int,
       store: WatermarkStore)(process: DataFrame => DataFrame): DataFrame = {
-    val parts = rangeBatches(df, wmCol, batches)
-    val results = parts.map { b =>
-      val out = process(b)
-      val maxWm = b.agg(max(col(wmCol)).cast("string")).head().getString(0)
-      if (maxWm != null) store.put(table, wmCol, maxWm)
-      out
-    }
-    results.reduce(_ unionByName _)
+    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+    val parts = batchesFromBounds(df, wmCol, bounds)
+    // batch id = number of bounds strictly below the value — identical
+    // assignment to the range predicates above.
+    val c = col(wmCol).cast("double")
+    val bid = bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c > b, 1).otherwise(0) }
+    val maxes = df
+      .groupBy(bid.as("_bid"))
+      .agg(max(col(wmCol)).cast("string").as("_max_wm"))
+      .collect()
+      .flatMap(r => Option(r.getString(1)).map(m => r.getInt(0) -> m))
+      .sortBy(_._1)
+    // commit in batch order: last committed mark == global max, and an
+    // empty batch commits nothing — same sequence a per-batch loop produced
+    maxes.foreach { case (_, m) => store.put(table, wmCol, m) }
+    parts.map(process).reduce(_ unionByName _)
   }
 }

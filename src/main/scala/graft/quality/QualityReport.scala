@@ -75,6 +75,42 @@ object QualityReport {
     Report(checks.toSeq, overall, passed, severity)
   }
 
+  /** Severity-tagged quality alert — the payload the reference publishes to
+    * its notification topic on failed checks
+    * (reference/lambda/data_quality_monitor/lambda_function.py:568-691).
+    */
+  final case class Alert(table: String, severity: String, overallScore: Double,
+      failedChecks: Seq[String])
+
+  /** Notification transport: the reference hardwires SNS; here any sink
+    * (logger, queue client, HTTP poster) plugs in as a callback.
+    */
+  trait Notifier { def send(alert: Alert): Unit }
+
+  object Notifier {
+    /** Collects alerts in memory — tests and local runs. */
+    final class Buffering extends Notifier {
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      def send(alert: Alert): Unit = alerts += alert
+    }
+    /** Default transport: structured line to stderr. */
+    val logging: Notifier = (a: Alert) => System.err.println(
+      s"[quality-alert] table=${a.table} severity=${a.severity} " +
+        f"score=${a.overallScore}%.2f failed=${a.failedChecks.mkString(",")}")
+  }
+
+  /** [[run]] plus alert routing: warning/critical reports dispatch one alert
+    * through the notifier; passing reports dispatch nothing.
+    */
+  def runWithAlerts(df: DataFrame, config: Config, table: String,
+      notifier: Notifier, conf: GraftConf = GraftConf.default): Report = {
+    val report = run(df, config, conf)
+    if (report.severity != "none")
+      notifier.send(Alert(table, report.severity, report.overallScore,
+        report.failedChecks))
+    report
+  }
+
   /** Quarantine integration: when the report fails, split rows by the
     * row-level predicate and write both sides (S8).
     */

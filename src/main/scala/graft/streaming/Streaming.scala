@@ -58,6 +58,27 @@ object Streaming {
       dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey), "left")
 
+  /** Stream-stream join with bounded state: BOTH sides watermarked, and the
+    * join condition carries an event-time range (right within `joinWindow`
+    * after left) — the time bound plus the watermarks let the engine expire
+    * buffered rows instead of keeping both streams' full history in state.
+    * Key and timestamp columns are renamed apart so callers can join a
+    * stream to itself (e.g. impressions×clicks from one event stream).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", watermark: String = "2 hours",
+      joinWindow: String = "1 hour", joinType: String = "inner"): DataFrame = {
+    val l = left.withColumnRenamed(key, "l_key").withColumnRenamed(tsCol, "l_ts")
+      .withWatermark("l_ts", watermark)
+    val r = right.withColumnRenamed(key, "r_key").withColumnRenamed(tsCol, "r_ts")
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"),
+      joinType)
+  }
+
   /** Custom keyed state: running per-user event counts via mapGroupsWithState
     * (the KeyValueGroupedDataset state API).
     */

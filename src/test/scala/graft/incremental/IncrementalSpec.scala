@@ -40,4 +40,35 @@ class IncrementalSpec extends SparkSpec {
     assert(out.agg(sum("n")).head.getLong(0) === 100L)
     assert(store.get("t", "wm").map(_.toDouble).contains(100.0))
   }
+
+  test("runBatched setup job count is independent of the batch count") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def setupJobs(batches: Int): Int = {
+      val dir = java.nio.file.Files.createTempDirectory(s"wmspec3-$batches").toString
+      val store = new WatermarkStore(dir)
+      val df = (1 to 1000).map(_.toDouble).toDF("wm")
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        val out = Incremental.runBatched(df, "t", "wm", batches, store)(b =>
+          b.agg(count(lit(1)).as("n")))
+        // listener events post asynchronously — settle before reading
+        Thread.sleep(500)
+        val jobs = counter.get()
+        assert(out.agg(sum("n")).head.getLong(0) === 1000L)
+        assert(store.get("t", "wm").map(_.toDouble).contains(1000.0))
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // boundaries + ONE grouped high-water-mark pass: a per-batch max action
+    // would make the 12-batch setup run 10 more jobs than the 2-batch one
+    val j2 = setupJobs(2)
+    val j12 = setupJobs(12)
+    assert(j12 === j2, s"setup jobs must not scale with batches (2->$j2, 12->$j12)")
+  }
 }

@@ -67,4 +67,19 @@ class QualityReportSpec extends SparkSpec {
     assert(rep.checks.head.check === "freshness")
     assert(rep.checks.head.passed) // 24h exactly at the default threshold
   }
+
+  test("runWithAlerts routes warning/critical to the notifier, nothing on pass") {
+    val n = new QualityReport.Notifier.Buffering
+    val repGood = QualityReport.runWithAlerts(good, config, "orders", n)
+    assert(repGood.passed && n.alerts.isEmpty)
+
+    val repBad = QualityReport.runWithAlerts(bad, config, "orders", n)
+    assert(!repBad.passed && n.alerts.size === 1)
+    val a = n.alerts.head
+    assert(a.table === "orders")
+    assert(a.severity === repBad.severity)
+    assert(Set("warning", "critical").contains(a.severity))
+    assert(a.failedChecks.toSet === Set("null_check", "duplicate_check", "range_check"))
+    assert(a.overallScore === repBad.overallScore)
+  }
 }

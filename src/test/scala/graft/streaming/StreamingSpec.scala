@@ -91,4 +91,32 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(sink).count() === 6)
   }
+
+  test("stream-stream windowed join pairs clicks with purchases in the window") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in5").toString
+    // clicks at 10:05 and 11:50 for user 101; purchases at 10:35 (inside the
+    // 1h window of the first click) and 13:30 (outside both windows)
+    Seq(
+      (1L, "2024-01-01 10:05:00", 101L, "click", 1.0),
+      (2L, "2024-01-01 11:50:00", 101L, "click", 2.0),
+      (3L, "2024-01-01 10:35:00", 101L, "purchase", 10.0),
+      (4L, "2024-01-01 13:30:00", 101L, "purchase", 20.0),
+      (5L, "2024-01-01 10:10:00", 102L, "purchase", 30.0) // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def stream() = Streaming.fileStream(spark, dir, schema)
+    val clicks = stream().filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"), col("value"))
+    val joined = Streaming.streamStreamJoin(clicks, purchases, key = "user_id",
+      watermark = "10 minutes", joinWindow = "1 hour")
+    val out = Streaming.runToMemory(joined, "ss_join")
+    val pairs = out.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("purchase_id"))).toSet
+    // click 1 -> purchase 3 only; click 2 and user-102 purchase never pair
+    assert(pairs === Set((1L, 3L)))
+  }
 }
