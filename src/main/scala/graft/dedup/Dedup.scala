@@ -69,7 +69,9 @@ object Dedup {
     */
   def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(df, keyCol, textCol, n)
+    // the shingle frame feeds both intersection sides AND the size rollup —
+    // cache it so one tokenize+explode pass serves all three subplans
+    val sh = shingles(df, keyCol, textCol, n).cache()
     val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
     sh.toDF("doc_a", "shingle")
       .join(broadcast(candidates.select("doc_a", "doc_b")), Seq("doc_a"))
@@ -115,7 +117,10 @@ object Dedup {
       .select(col(keyCol), col("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val vecs = tf.transform(sh).filter(expr("size(sh) > 0"))
+    // cached: approxSimilarityJoin(vecs, vecs, ...) transforms each side
+    // independently — without the cache the tokenize+shingle+TF pass runs
+    // twice over the corpus
+    val vecs = tf.transform(sh).filter(expr("size(sh) > 0")).cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)
@@ -206,9 +211,11 @@ object Dedup {
     banded.toDF("doc_a", "sig_a", "band", "key")
       .join(banded.toDF("doc_b", "sig_b", "band", "key"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      // hamming BEFORE the distinct: the cheap bit_count filter drops the
+      // vast majority of band collisions pre-shuffle, so the distinct
+      // de-dups only true near-candidates instead of every co-banded pair
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 }
