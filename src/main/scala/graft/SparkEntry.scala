@@ -498,6 +498,29 @@ object SparkEntry {
         | round(t.tf * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6), 6) AS tf_idf
         |FROM tf t JOIN dfq d USING (token) WHERE t.doc_id < 10""".stripMargin)),
 
+    // ---- token-window chunking with overlap (LLM pre-training prep) ----
+    ("q_chunks",
+      (s, d) => TextAnalysis.tokenChunks(Tables(s, d).documents, "doc_id",
+        chunkSize = 16, stride = 8),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS s FROM d)
+        |SELECT doc_id, CAST((s - 1) // 8 AS INT) AS chunk_idx,
+        | CAST(len(list_slice(toks, s, s + 15)) AS INT) AS chunk_tokens,
+        | array_to_string(list_slice(toks, s, s + 15), ' ') AS chunk,
+        | md5(array_to_string(list_slice(toks, s, s + 15), ' ')) AS chunk_hash
+        |FROM u""".stripMargin)),
+
+    // ---- within-document repetition / type-token stats (corpus quality) ----
+    ("q_repetition",
+      (s, d) => TextAnalysis.repetitionStats(Tables(s, d).documents, "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | CAST(max(tf) AS BIGINT) AS top_token_count,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6) AS type_token_ratio,
+        | round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6) AS top_token_share
+        |FROM tf GROUP BY 1""".stripMargin)),
+
     // ---- end-to-end corpus curation funnel ----
     ("q_curate",
       (s, d) => graft.text.CorpusCuration.funnel(Tables(s, d).documents),

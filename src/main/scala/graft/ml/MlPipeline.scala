@@ -97,4 +97,59 @@ object MlPipeline {
       .setParallelism(4)
       .fit(df)
   }
+
+  /** Continuous hyperparameter range, matching the reference's
+    * ContinuousParameter declarations
+    * (reference/lambda/ml_pipeline_orchestrator/lambda_function.py:97-198).
+    * `logScale` samples log-uniformly — the right prior for regularization
+    * strengths spanning orders of magnitude.
+    */
+  final case class ParamRange(name: String, lo: Double, hi: Double,
+      logScale: Boolean = false) {
+    require(lo <= hi && (!logScale || lo > 0), s"bad range for $name")
+    def sample(u: Double): Double =
+      if (logScale) math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+      else lo + u * (hi - lo)
+  }
+
+  /** M11: range-based hyperparameter search — the engine-side stand-in for
+    * the reference's Bayesian HPO job config: seeded random sampling over
+    * the declared ranges, each trial scored with k-fold CV, trials trained
+    * in parallel. Random search over low-dimensional continuous ranges is
+    * competitive with Bayesian optimization at a few dozen trials
+    * (Bergstra & Bengio, JMLR 2012) and — unlike a sequential Bayesian
+    * loop — keeps every trial independent, so the cluster stays busy.
+    */
+  def randomSearchLr(df: DataFrame, numericCols: Seq[String], labelCol: String,
+      ranges: Seq[ParamRange], trials: Int = 16, folds: Int = 3,
+      seed: Long = 42L): CrossValidatorModel = {
+    require(trials > 0, "trials must be positive")
+    val fp = featurePipeline(numericCols)
+    val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
+    val pipe = new Pipeline().setStages(fp.getStages :+ lr)
+    val rnd = new scala.util.Random(seed)
+    val maps = Array.fill(trials) {
+      val pm = new org.apache.spark.ml.param.ParamMap()
+      ranges.foreach { r =>
+        val v = r.sample(rnd.nextDouble())
+        r.name match {
+          case "regParam"        => pm.put(lr.regParam, v)
+          case "elasticNetParam" => pm.put(lr.elasticNetParam, v)
+          case "tol"             => pm.put(lr.tol, v)
+          case "maxIter"         => pm.put(lr.maxIter, math.round(v).toInt)
+          case other => throw new IllegalArgumentException(s"unknown LR param: $other")
+        }
+      }
+      pm
+    }
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("f1"))
+      .setEstimatorParamMaps(maps)
+      .setNumFolds(folds)
+      .setSeed(seed)
+      .setParallelism(4)
+      .fit(df)
+  }
 }

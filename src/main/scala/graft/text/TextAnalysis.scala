@@ -111,4 +111,42 @@ object TextAnalysis {
     tf.join(broadcast(docFrequencies(tf, keyCol, corpusSize)), Seq("token"))
       .withColumn("tf_idf", round(col("tf") * col("idf"), 6))
   }
+
+  /** Token-window chunking with overlap — the standard LLM pre-training
+    * prep step (split each document into `size`-token windows every
+    * `stride` tokens; the tail window may be shorter). One projection +
+    * explode, no shuffle: chunking stays embarrassingly parallel at any
+    * corpus size. Output: (key, chunk_idx, chunk_tokens, chunk, chunk_hash).
+    */
+  def tokenChunks(df: DataFrame, keyCol: String, textCol: String = "text",
+      chunkSize: Int = 16, stride: Int = 8): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    withTokens(df, textCol)
+      .select(col(keyCol), posexplode(expr(
+        s"""transform(sequence(1, size(tokens), $stride),
+           |  s -> named_struct(
+           |    'chunk', concat_ws(' ', slice(tokens, s, $chunkSize)),
+           |    'chunk_tokens', size(slice(tokens, s, $chunkSize))))""".stripMargin))
+        .as(Seq("chunk_idx", "c")))
+      .select(col(keyCol), col("chunk_idx"),
+        col("c.chunk_tokens").as("chunk_tokens"), col("c.chunk").as("chunk"))
+      .withColumn("chunk_hash", md5(col("chunk")))
+  }
+
+  /** Within-document repetition statistics — dedup/quality signals for a
+    * training corpus: type-token ratio (distinct/total tokens) and the
+    * share of the single most repeated token. One explode + two
+    * aggregations, partial-aggregated map-side.
+    */
+  def repetitionStats(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame =
+    termFrequencies(df, keyCol, textCol)
+      .groupBy(keyCol)
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("tf")).as("top_token_count"))
+      .withColumn("type_token_ratio",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_token_share",
+        round(col("top_token_count").cast("double") / col("n_tokens"), 6))
 }

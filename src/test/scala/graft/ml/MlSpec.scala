@@ -70,4 +70,24 @@ class MlSpec extends SparkSpec {
     assert(cv.avgMetrics.length === 6) // 3 regParam x 2 elasticNet
     assert(cv.avgMetrics.max > 0.9)
   }
+
+  test("random search samples the declared ranges, seeded-deterministic") {
+    val ranges = Seq(
+      MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true),
+      MlPipeline.ParamRange("elasticNetParam", 0.0, 1.0))
+    def run() = MlPipeline.randomSearchLr(train, Seq("x", "y"), "label",
+      ranges, trials = 4, folds = 2, seed = 7L)
+    val a = run()
+    assert(a.avgMetrics.length === 4)
+    assert(a.avgMetrics.max > 0.9)
+    // every sampled regParam stays inside its (log) range
+    val lrStage = a.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages.last.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(lrStage.getRegParam >= 1e-4 && lrStage.getRegParam <= 1.0)
+    // same seed -> identical trial scores
+    assert(run().avgMetrics.toSeq === a.avgMetrics.toSeq)
+    // log-scale sampling maps the unit interval onto the range ends
+    val r = MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true)
+    assert(math.abs(r.sample(0.0) - 1e-4) < 1e-12 && math.abs(r.sample(1.0) - 1.0) < 1e-12)
+  }
 }

@@ -44,4 +44,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((1L, "spark")) === 0.0) // df=3 of 3 -> idf 0
     assert(out((1L, "rare")) > 0.0)
   }
+
+  test("tokenChunks windows with stride and keeps the shorter tail") {
+    val docs = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.tokenChunks(docs, "doc_id", chunkSize = 16, stride = 8)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length === 3) // starts 1, 9, 17
+    assert(chunks.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 1, 2))
+    assert(chunks.map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(16, 12, 4))
+    assert(chunks(0).getAs[String]("chunk").startsWith("t1 t2 "))
+    assert(chunks(2).getAs[String]("chunk") === "t17 t18 t19 t20")
+    // overlap: token t9 appears in chunks 0 and 1
+    assert(chunks(0).getAs[String]("chunk").split(" ").contains("t9"))
+    assert(chunks(1).getAs[String]("chunk").split(" ").head === "t9")
+  }
+
+  test("repetitionStats computes type-token ratio and top-token share") {
+    val docs = Seq(
+      (1L, "a a a a b"),          // 5 tokens, 2 types, top 'a' x4
+      (2L, "u v w x y")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+         r.getAs[Double]("type_token_ratio"), r.getAs[Double]("top_token_share"))).toMap
+    assert(m(1L) === ((5L, 2L, 0.4, 0.8)))
+    assert(m(2L) === ((5L, 5L, 1.0, 0.2)))
+  }
 }
