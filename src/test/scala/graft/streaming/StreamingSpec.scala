@@ -92,6 +92,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 6)
   }
 
+  test("output-mode matrix: Append emits a window only after the watermark passes it") {
+    val in = java.nio.file.Files.createTempDirectory("stream-in6").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt6").toString
+    val sink = java.nio.file.Files.createTempDirectory("stream-out6").toString + "/out"
+    writeEvents(in) // max ts 12:30
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = Streaming.runAvailableNow(
+      Streaming.windowedEventCounts(
+        Streaming.fileStream(spark, in, schema), watermark = "30 minutes"),
+      ckpt, sink)
+    def emitted(): Map[(String, String), Long] = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    // run 1: final watermark is 12:00 (12:30 - 30min) — whatever intra-run
+    // batching does, the open 12:00 window (holding the 12:30 click) must
+    // NOT have been emitted
+    runOnce()
+    assert(!emitted().keySet.exists(_._1 >= "2024-01-01 12:00:00"))
+    // late-arriving files advance the watermark across checkpointed runs:
+    // 14:00 pushes it to 13:30 which closes the 12:00 window
+    Seq((9L, "2024-01-01 14:00:00", 103L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("append").parquet(in)
+    runOnce()
+    Seq((10L, "2024-01-01 15:00:00", 103L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("append").parquet(in)
+    runOnce()
+    // each batch emits windows ending at or before the watermark as of the
+    // START of the batch (13:30 here — no zero-data finalization batch
+    // runs), exactly once each; the 13:00 and 14:00 windows remain open
+    assert(emitted() === Map(
+      ("2024-01-01 10:00:00.0", "click") -> 2L,
+      ("2024-01-01 11:00:00.0", "purchase") -> 2L,
+      ("2024-01-01 12:00:00.0", "click") -> 1L))
+  }
+
   test("stream-stream windowed join pairs clicks with purchases in the window") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in5").toString
     // clicks at 10:05 and 11:50 for user 101; purchases at 10:35 (inside the
