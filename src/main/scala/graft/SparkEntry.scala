@@ -547,14 +547,15 @@ object SparkEntry {
         |SELECT CAST(sum(n) AS BIGINT) AS total_docs, count(*) AS distinct_texts,
         | CAST(sum(n - 1) AS BIGINT) AS duplicate_rows FROM g""".stripMargin)),
 
-    // Scale-safe registered form: MinHash-LSH banded candidates + exact
-    // shingle re-rank — no corpus×corpus join anywhere in the plan. The
-    // oracle runs the exact quadratic scan (DuckDB's problem, at sf0.01
-    // scale); equality holds because banding recall at jaccard >= 0.5 with
-    // 4 tables and 0.6 distance margin is 1.0 on this corpus.
+    // Scale-safe registered form: native banded-MinHash candidates (fused
+    // min-agg signatures, codegen — no spark.ml UDF) + exact shingle
+    // re-rank — no corpus×corpus join anywhere in the plan. The oracle runs
+    // the exact quadratic scan (DuckDB's problem, at sf0.01 scale);
+    // equality holds because banding recall at jaccard >= 0.5 with 4
+    // tables is 1.0 on this corpus.
     ("q_jaccard",
       (s, d) => Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
-        n = 3, minJaccard = 0.5, candMaxDistance = 0.6, numHashTables = 4),
+        n = 3, minJaccard = 0.5, numHashTables = 4),
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
@@ -567,15 +568,16 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
-    // MinHashLSH distances ARE exact Jaccard distances on the (binary,
-    // hashed) shingle vectors, so the exact 5-gram scan is a true oracle:
-    // candidate recall at sim >= 0.5 is 1.0 (4 banded tables) and the
-    // 2^18-bucket HashingTF space is collision-free on this corpus.
-    // 5-gram + 4 tables tuned in round 2 (33.8s/88k pairs -> 10.5s/4.4k).
+    // Banded MinHash at the 5-gram grain (the dedup-tuned shingle size),
+    // native signatures + exact re-rank, so the exact 5-gram scan is a
+    // true oracle: candidate recall at sim >= 0.5 with 4 tables is 1.0 on
+    // this corpus. (spark.ml MinHashLSH variant kept as Dedup.minHashPairs,
+    // spec-tested; the native form is UDF-free — fully codegen'd signatures
+    // — and shares one cached shingle pass with the re-rank.)
     ("q_minhash",
-      (s, d) => Dedup.minHashPairs(Tables(s, d).documents, "doc_id",
-        n = 5, maxDistance = 0.5, numHashTables = 4)
-        .select("doc_a", "doc_b", "jaccard_dist"),
+      (s, d) => Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
+        n = 5, minJaccard = 0.5, numHashTables = 4)
+        .select("doc_a", "doc_b", "jaccard"),
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
@@ -584,9 +586,9 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        | round(1.0 - (CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)), 6) AS jaccard_dist
+        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
-        |WHERE 1.0 - (CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)) <= 0.5""".stripMargin)),
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
     // SimHash banded candidates (bands=8 so any pair within hamming 7 shares
     // a band by pigeonhole) + exact Jaccard re-rank; asserts the SimHash

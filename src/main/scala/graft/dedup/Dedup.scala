@@ -62,16 +62,13 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard restricted to a given candidate pair set: joins
-    * the shingle table through the (small) candidate list instead of
-    * corpus×corpus — linear in candidate-pair shingles. Candidates with an
-    * empty intersection drop out, which is correct for any minJaccard > 0.
+  /** Exact Jaccard of candidate pairs from a pre-built (cached) shingle
+    * frame: intersections via the broadcast candidate list — linear in
+    * candidate-pair shingles, never corpus×corpus. Pairs with an empty
+    * intersection drop out, which is correct for any minJaccard > 0.
     */
-  def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // the shingle frame feeds both intersection sides AND the size rollup —
-    // cache it so one tokenize+explode pass serves all three subplans
-    val sh = shingles(df, keyCol, textCol, n).cache()
+  private def exactJaccardFromShingles(sh: DataFrame, candidates: DataFrame,
+      keyCol: String, minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
     sh.toDF("doc_a", "shingle")
       .join(broadcast(candidates.select("doc_a", "doc_b")), Seq("doc_a"))
@@ -87,18 +84,46 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
-  /** Scale-safe exact Jaccard near-dup pairs: MinHash-LSH banded candidates
-    * (bucket join — never all-pairs) followed by [[exactJaccardForPairs]]
-    * re-rank. Same output as [[jaccardPairs]] at `minJaccard` provided the
-    * banding catches every pair at that similarity (candMaxDistance leaves
-    * margin; more hash tables raise recall: P(miss) = (1-j)^tables).
+  /** Exact n-gram Jaccard restricted to a given candidate pair set. */
+  def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    // cached: the shingle frame feeds both intersection sides AND the sizes
+    exactJaccardFromShingles(shingles(df, keyCol, textCol, n).cache(),
+      candidates, keyCol, minJaccard)
+
+  /** Native banded MinHash candidates over a shingle frame: per table t the
+    * signature is min(xxhash64(shingle, t)) — numTables fused min-aggs in
+    * ONE codegen pass over the exploded shingles (spark.ml's MinHashLSH
+    * computes the same banding through a per-row UDF, which dominates its
+    * runtime). Candidates = key pairs equal in ANY table's signature
+    * (bucket equi-join, never all-pairs); P(miss) = (1−j)^numTables for a
+    * pair at Jaccard j.
+    */
+  private def minHashCandidatesFromShingles(sh: DataFrame, keyCol: String,
+      numTables: Int): DataFrame = {
+    val aggs = (0 until numTables).map(t =>
+      min(xxhash64(col("shingle"), lit(t))).as(s"_h$t"))
+    val long = sh.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), posexplode(array(
+        (0 until numTables).map(t => col(s"_h$t")): _*)).as(Seq("table_id", "sig")))
+    long.toDF("doc_a", "table_id", "sig")
+      .join(long.toDF("doc_b", "table_id", "sig"), Seq("table_id", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Scale-safe exact Jaccard near-dup pairs: native banded-MinHash
+    * candidates + exact re-rank, all from ONE cached shingle pass. Same
+    * output as [[jaccardPairs]] at `minJaccard` provided the banding
+    * catches every pair at that similarity (more tables raise recall).
+    * Docs with fewer than n tokens have no shingles and can never pair —
+    * consistent with the exact form.
     */
   def jaccardPairsScalable(df: DataFrame, keyCol: String, textCol: String = "text",
-      n: Int = 3, minJaccard: Double = 0.5, candMaxDistance: Double = 0.6,
-      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val cand = minHashPairs(df, keyCol, textCol, n, candMaxDistance,
-      numHashTables, seed).select("doc_a", "doc_b")
-    exactJaccardForPairs(df, cand, keyCol, textCol, n, minJaccard)
+      n: Int = 3, minJaccard: Double = 0.5, numHashTables: Int = 4): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, n).cache()
+    exactJaccardFromShingles(sh,
+      minHashCandidatesFromShingles(sh, keyCol, numHashTables), keyCol, minJaccard)
   }
 
   /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not

@@ -54,7 +54,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.jaccardPairs(docs, "doc_id", minJaccard = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     val scalable = Dedup.jaccardPairsScalable(docs, "doc_id",
-      minJaccard = 0.5, candMaxDistance = 0.9).collect()
+      minJaccard = 0.5, numHashTables = 8).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     assert(scalable === exact)
     assert(exact.nonEmpty) // the planted dups must be in both
