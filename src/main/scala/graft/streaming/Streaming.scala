@@ -64,6 +64,11 @@ object Streaming {
     * buffered rows instead of keeping both streams' full history in state.
     * Key and timestamp columns are renamed apart so callers can join a
     * stream to itself (e.g. impressions×clicks from one event stream).
+    *
+    * Outer-join caveat: the engine's global watermark is the MIN across
+    * both sides, so unmatched rows only emit once BOTH streams' event time
+    * advances past the join window (and the emission rides the batch after
+    * the watermark moves) — a one-sided trickle pins the join state open.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String = "ts", watermark: String = "2 hours",

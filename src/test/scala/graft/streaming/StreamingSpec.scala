@@ -131,6 +131,50 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 12:00:00.0", "click") -> 1L))
   }
 
+  test("left-outer stream-stream join emits unmatched rows once state expires") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in7").toString
+    def append(rows: (Long, String, Long, String, Double)*): Unit =
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("append").parquet(dir)
+    // click for user 201 never gets a purchase; user 202's purchase has no click
+    append((1L, "2024-01-01 10:05:00", 201L, "click", 1.0),
+           (2L, "2024-01-01 10:35:00", 202L, "purchase", 9.0))
+    val schema = spark.read.parquet(dir).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt7").toString
+    val sink = java.nio.file.Files.createTempDirectory("stream-out7").toString + "/out"
+    def runOnce(): Unit = {
+      def stream() = Streaming.fileStream(spark, dir, schema)
+      val clicks = stream().filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"), col("value"))
+      Streaming.runAvailableNow(
+        Streaming.streamStreamJoin(clicks, purchases, key = "user_id",
+          watermark = "10 minutes", joinWindow = "1 hour", joinType = "left_outer"),
+        ckpt, sink)
+    }
+    def rows() = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("purchase_id"))).toSet
+    // run 1: watermark ends at 10:25 — click 1's join window (ends 11:05) is
+    // still open, so the unmatched row must NOT be out yet
+    runOnce()
+    assert(rows() === Set.empty)
+    // the GLOBAL watermark is the min of both sides, so BOTH streams must
+    // advance: stage later purchases (clicks alone would pin the purchase
+    // side at 10:25 and the unmatched row would never emit). Run 2 moves
+    // the watermark past 11:05; run 3's batch then evicts click 1's state
+    // and emits it with a null purchase side.
+    append((3L, "2024-01-01 12:00:00", 203L, "purchase", 2.0),
+           (5L, "2024-01-01 12:00:00", 203L, "click", 1.0))
+    runOnce()
+    append((4L, "2024-01-01 13:00:00", 204L, "purchase", 3.0),
+           (6L, "2024-01-01 13:00:00", 204L, "click", 1.0))
+    runOnce()
+    assert(rows().contains(1L -> None))
+    assert(!rows().exists { case (id, p) => id == 1L && p.isDefined })
+  }
+
   test("stream-stream windowed join pairs clicks with purchases in the window") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in5").toString
     // clicks at 10:05 and 11:50 for user 101; purchases at 10:35 (inside the
