@@ -69,6 +69,24 @@ class ConfigLoaderSpec extends SparkSpec {
       Map("key_not_null" -> 3L, "price_positive" -> 2L, "priority_format" -> 2L))
   }
 
+  test("q_rules' registered rule set loads from JSON and reproduces its result") {
+    val doc = ConfigLoader.parse("""{
+      "data_quality_rules": { "orders": [
+        {"name": "key_not_null", "expression": "o_orderkey IS NOT NULL"},
+        {"name": "price_positive", "expression": "o_totalprice > 0"},
+        {"name": "price_range", "expression": "o_totalprice BETWEEN 1000 AND 600000"},
+        {"name": "status_valid", "expression": "o_orderstatus IN ('O','F','P')"},
+        {"name": "priority_format", "expression": "o_orderpriority RLIKE '^[1-5]-[A-Z ]+$'"}
+      ]}}""")
+    val orders = graft.core.Tables(spark, "/root/testdata/sf0.001").orders
+    val viaJson = RuleEngine.evaluateDf(orders, ConfigLoader.qualityRules(doc, "orders"))
+      .collect().map(_.toSeq).toSet
+    val registered = graft.SparkEntry.queries("q_rules")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(viaJson === registered)
+    assert(viaJson.nonEmpty)
+  }
+
   test("JSON agg spec filters, groups and aggregates like hand-written code") {
     val doc = ConfigLoader.parse(ordersJson)
     val specs = ConfigLoader.aggSpecs(doc, "sales_summary")
