@@ -25,7 +25,13 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Dedup/LSH queries cache intermediates (shingles, TF vectors); left
+      // in place the InMemoryRelations accumulate across the 56-query
+      // session, eating heap and polluting later timings. Clearing is
+      // outside the timer: each query is billed its own cost only.
+      spark.catalog.clearCache()
+      (name, dt, ok)
     }
     val qs = timed.collect { case (k, v, true) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")

@@ -63,15 +63,18 @@ object Dedup {
   }
 
   /** Exact Jaccard of candidate pairs from a pre-built (cached) shingle
-    * frame: intersections via the broadcast candidate list — linear in
-    * candidate-pair shingles, never corpus×corpus. Pairs with an empty
-    * intersection drop out, which is correct for any minJaccard > 0.
+    * frame — linear in candidate-pair shingles, never corpus×corpus. The
+    * candidate set is unbounded at scale (a 100 TB web corpus yields
+    * billions of banding pairs), so no broadcast hint: AQE picks the join
+    * strategy — broadcast when the candidates are measured small, shuffle
+    * hash join on doc_a otherwise. Pairs with an empty intersection drop
+    * out, which is correct for any minJaccard > 0.
     */
   private def exactJaccardFromShingles(sh: DataFrame, candidates: DataFrame,
       keyCol: String, minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
     sh.toDF("doc_a", "shingle")
-      .join(broadcast(candidates.select("doc_a", "doc_b")), Seq("doc_a"))
+      .join(candidates.select("doc_a", "doc_b"), Seq("doc_a"))
       .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
@@ -84,7 +87,14 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard restricted to a given candidate pair set. */
+  /** Exact n-gram Jaccard restricted to a given candidate pair set.
+    *
+    * Note: pairs whose shingle sets do not intersect (and docs with fewer
+    * than `n` tokens, which have no shingles) never appear in the output —
+    * correct for any `minJaccard > 0`; at `minJaccard = 0.0` true
+    * zero-overlap pairs are still omitted rather than returned with
+    * jaccard 0.
+    */
   def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame =
     // cached: the shingle frame feeds both intersection sides AND the sizes

@@ -70,8 +70,19 @@ object ConfigLoader {
     v.asText
   }
 
-  private def strings(n: JsonNode, field: String): Seq[String] =
-    n.path(field).asScala.map(_.asText).toSeq
+  /** Required array field: absent or non-array fails fast (a typo'd
+    * `group_by_columns` would otherwise silently turn a grouped aggregation
+    * into a single global aggregate), mirroring [[str]]'s strictness.
+    */
+  private def strings(n: JsonNode, field: String): Seq[String] = {
+    val v = n.path(field)
+    require(v.isArray, s"missing or non-array field '$field' in rule config")
+    v.asScala.map(_.asText).toSeq
+  }
+
+  /** Optional array field: absent → empty; present but non-array fails. */
+  private def stringsOpt(n: JsonNode, field: String): Seq[String] =
+    if (!n.has(field)) Seq.empty else strings(n, field)
 
   /** `data_quality_rules.<dataset>` → [[QualityRule]]s (threshold optional,
     * defaulting to 1.0 like the DSL).
@@ -88,10 +99,15 @@ object ConfigLoader {
       AggSpec(
         str(n, "name"),
         strings(n, "group_by_columns"),
-        n.path("aggregate_columns").asScala.map { c =>
-          AggRule(str(c, "column"), str(c, "function"), str(c, "alias"))
-        }.toSeq,
-        strings(n, "filters"))
+        {
+          val cols = n.path("aggregate_columns")
+          require(cols.isArray,
+            "missing or non-array field 'aggregate_columns' in rule config")
+          cols.asScala.map { c =>
+            AggRule(str(c, "column"), str(c, "function"), str(c, "alias"))
+          }.toSeq
+        },
+        stringsOpt(n, "filters"))
     }
 
   /** `feature_engineering_config.<dataset>` → [[FeatureDef]]s. */

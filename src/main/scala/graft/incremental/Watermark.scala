@@ -83,8 +83,16 @@ object Incremental {
   }
 
   /** I1+I2 driver: process each batch in watermark order, committing the
-    * batch's max watermark to the store after each step. Returns the union of
+    * batch's max watermark to the store per batch. Returns the union of
     * per-batch results of `process`.
+    *
+    * Commit semantics: the watermark commits happen at PLANNING time — all
+    * batch high-water marks are computed and stored before the returned
+    * lazy union is ever materialized. If the caller's downstream action
+    * fails, the store has already advanced past unprocessed data
+    * (at-most-once). Callers needing at-least-once semantics should
+    * snapshot the store before calling and restore it on failure, or
+    * materialize the result before trusting the committed marks.
     *
     * Cost discipline: exactly TWO Spark jobs regardless of batch count —
     * one for the percentile boundaries, one grouped aggregate for every

@@ -102,6 +102,26 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(!got.contains("2024-01-02")) // filtered out
   }
 
+  test("agg spec fails fast on missing/typo'd required array fields; filters stay optional") {
+    // typo'd group_by_columns must NOT silently become a global aggregate
+    val typo = ConfigLoader.parse("""{"aggregation_rules": {"s": [
+      {"name": "x", "groupby_columns": ["d"],
+       "aggregate_columns": [{"column": "v", "function": "sum", "alias": "sv"}]}]}}""")
+    val e1 = intercept[IllegalArgumentException](ConfigLoader.aggSpecs(typo, "s"))
+    assert(e1.getMessage.contains("group_by_columns"))
+
+    val noAggs = ConfigLoader.parse(
+      """{"aggregation_rules": {"s": [{"name": "x", "group_by_columns": ["d"]}]}}""")
+    val e2 = intercept[IllegalArgumentException](ConfigLoader.aggSpecs(noAggs, "s"))
+    assert(e2.getMessage.contains("aggregate_columns"))
+
+    // filters absent is fine (optional field)
+    val ok = ConfigLoader.parse("""{"aggregation_rules": {"s": [
+      {"name": "x", "group_by_columns": ["d"],
+       "aggregate_columns": [{"column": "v", "function": "sum", "alias": "sv"}]}]}}""")
+    assert(ConfigLoader.aggSpecs(ok, "s").head.filters.isEmpty)
+  }
+
   test("JSON feature definitions compile and apply") {
     val doc = ConfigLoader.parse(ordersJson)
     val feats = ConfigLoader.features(doc, "ml_features")
