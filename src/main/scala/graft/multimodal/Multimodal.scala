@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, chunk/frame sampling, and per-partition feature extraction.
   *
-  * The actual image/audio codecs are NOT available in this environment, so
-  * the decode step is a clearly-marked deterministic STUB; everything
-  * Spark-side — schema, batching, partition-local iteration, output shape —
-  * is real. Swap [[decodeStub]] for a real codec behind the same signature.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (`javax.imageio`: PNG, BMP, GIF, JPEG, WBMP) — [[decode]] parses the
+  * container and returns true width/height; [[channelHistogram]] extracts
+  * per-channel pixel histograms. Audio/video codecs are not available in
+  * this environment, so non-image payloads fall back to the clearly-marked
+  * deterministic [[decodeStub]]; everything Spark-side — schema, batching,
+  * partition-local iteration, output shape — is identical for both paths.
   *
   * Scale design: per-row byte work happens inside mapPartitions (no driver
   * collect, no shuffle); metadata stays columnar so filters on media_type /
@@ -45,14 +48,107 @@ object Multimodal {
         expr(s"substring(media, chunk_idx * $chunkSize + 1, $chunkSize)"))
       .select(col(keyCol), col("chunk_idx"), col("chunk"))
 
-  /** STUB decode: a real implementation would parse the container format.
-    * This deterministic fake derives "dimensions" from the payload length so
+  /** STUB decode for formats without an in-sandbox codec (audio/video):
+    * a deterministic fake deriving "dimensions" from the payload length so
     * the downstream plumbing (schema, joins, filters) is exercised honestly.
     */
   def decodeStub(bytes: Array[Byte]): Row = {
-    // ??? <- real codec goes here; deterministic fake below.
+    // ??? <- real audio/video codec goes here; deterministic fake below.
     val n = bytes.length
     Row("stub/decoded", n % 640, n % 480, n.toLong)
+  }
+
+  /** Real image decode via `javax.imageio` (JDK-shipped codecs: PNG, BMP,
+    * GIF, JPEG, WBMP). Returns (format, width, height, image) or None when
+    * no installed reader recognizes the byte stream.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, java.awt.image.BufferedImage)] = {
+    import javax.imageio.ImageIO
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          Some((s"image/$fmt", img.getWidth, img.getHeight, img))
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Decode with [[MediaMetaSchema]] shape: real `javax.imageio` parse for
+    * recognized image formats, [[decodeStub]] fallback otherwise — same
+    * signature, so downstream schema/joins are identical either way.
+    */
+  def decode(bytes: Array[Byte]): Row = decodeImage(bytes) match {
+    case Some((mt, w, h, _)) => Row(mt, w, h, bytes.length.toLong)
+    case None                => decodeStub(bytes)
+  }
+
+  /** DataFrame-level decode: (key, media_type, width, height, n_bytes) via
+    * mapPartitions — the byte-level parse stays executor-side and
+    * partition-local; no shuffle, no driver collect.
+    */
+  def decodeMedia(df: DataFrame, keyCol: String, mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(df.schema(keyCol) +: MediaMetaSchema.fields.toSeq)
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val meta = decode(r.getAs[Array[Byte]](mediaIdx))
+        Row.fromSeq(r.get(keyIdx) +: meta.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-channel (R, G, B) pixel histograms with `bins` buckets per channel
+    * — (key, r_hist, g_hist, b_hist), null arrays for undecodable payloads.
+    * Each channel histogram sums to width×height. mapPartitions for the
+    * same executor-side batch shape as [[byteHistogram]].
+    */
+  def channelHistogram(df: DataFrame, keyCol: String, mediaCol: String = "media",
+      bins: Int = 8): DataFrame = {
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256: $bins")
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("r_hist", ArrayType(LongType, containsNull = false)),
+      StructField("g_hist", ArrayType(LongType, containsNull = false)),
+      StructField("b_hist", ArrayType(LongType, containsNull = false))))
+    val width256 = 256 / bins
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        decodeImage(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some((_, w, h, img)) =>
+            val rh = new Array[Long](bins); val gh = new Array[Long](bins); val bh = new Array[Long](bins)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val px = img.getRGB(x, y)
+                rh(((px >> 16) & 0xff) / width256) += 1
+                gh(((px >> 8) & 0xff) / width256) += 1
+                bh((px & 0xff) / width256) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(keyIdx), rh.toSeq, gh.toSeq, bh.toSeq)
+          case None => Row(r.get(keyIdx), null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Per-partition feature extraction: 16-bin byte histogram per row.

@@ -41,6 +41,51 @@ object Pipeline {
     def skipped: Set[String] = statuses.collect { case (n, SkippedDeps) => n }.toSet
   }
 
+  /** Dead-letter queue for exhausted-retry failures — the persistent record
+    * the reference keeps when an extraction burns all attempts
+    * (reference/lambda/snowflake_extractor/error_handler.py:267-470: job
+    * name, attempt count, error payload routed to the DLQ). Append-only
+    * JSONL so an overnight orchestrated run never loses failure payloads;
+    * `asDataFrame` reads it back as a table for triage queries.
+    */
+  final class DeadLetterQueue(path: String,
+      now: () => Long = () => System.currentTimeMillis()) {
+    private val p = java.nio.file.Paths.get(path)
+
+    private def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    def record(jobName: String, attempts: Int, error: Throwable): Unit = {
+      val line =
+        s"""{"job_name":"${esc(jobName)}","attempts":$attempts,""" +
+        s""""error_class":"${esc(error.getClass.getName)}",""" +
+        s""""error_message":"${esc(Option(error.getMessage).getOrElse(""))}",""" +
+        s""""failed_at_ms":${now()}}"""
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+    def entries(): Seq[String] =
+      if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      else Seq.empty
+
+    def asDataFrame(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      spark.read.json(spark.createDataset(entries()))
+    }
+  }
+
   /** Circuit breaker: open after `failureThreshold` consecutive failures,
     * half-open (one trial allowed) after `recoveryMs`.
     */
@@ -77,9 +122,12 @@ object Pipeline {
 
   /** Run the DAG: repeatedly pick jobs whose dependencies all succeeded
     * (`get_ready_jobs` semantics); jobs whose dependencies failed are
-    * skipped, not run. Throws on cycles/unknown deps.
+    * skipped, not run. Throws on cycles/unknown deps. When a `dlq` is
+    * given, every exhausted-retry failure is persisted there (name,
+    * attempts, error payload) before the run continues.
     */
-  def run(jobs: Seq[Job], policy: RetryPolicy = RetryPolicy()): RunReport = {
+  def run(jobs: Seq[Job], policy: RetryPolicy = RetryPolicy(),
+      dlq: Option[DeadLetterQueue] = None): RunReport = {
     val byName = jobs.map(j => j.name -> j).toMap
     require(byName.size == jobs.size, "duplicate job names")
     jobs.foreach(j => j.dependsOn.foreach(d =>
@@ -100,7 +148,9 @@ object Pipeline {
         val result = runWithRetry(policy) { () => attempts += 1; j.run() }
         status(j.name) = result match {
           case Success(_) => Succeeded
-          case Failure(e) => FailedJob(attempts, e)
+          case Failure(e) =>
+            dlq.foreach(_.record(j.name, attempts, e))
+            FailedJob(attempts, e)
         }
       }
     }

@@ -16,15 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Readers {
 
-  /** S5: multi-format read by extension (parquet/csv/json). */
+  /** S5: multi-format read by extension (parquet/csv/json).
+    *
+    * `mergeSchema = true` mirrors the reference crawlers' schema-evolution
+    * policy (`MergeNewColumns` / `CombineCompatibleSchemas`,
+    * reference/terraform/modules/glue/variables.tf:125-141): partitions
+    * written with added columns surface the union schema instead of
+    * silently dropping the new columns (parquet defaults to the first
+    * footer's schema). Off by default — the merge costs a footer read per
+    * file, which matters on a 100 TB table with millions of files; turn it
+    * on for tables with active schema drift and report the drift via
+    * [[graft.quality.DataQuality.schemaCompliance]]'s `extra` columns.
+    */
   def read(spark: SparkSession, path: String,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): DataFrame = {
     val r: DataFrameReader = spark.read.options(options)
+    val pq = if (mergeSchema) r.option("mergeSchema", "true") else r
     path.toLowerCase match {
-      case p if p.endsWith(".parquet") => r.parquet(path)
+      case p if p.endsWith(".parquet") => pq.parquet(path)
       case p if p.endsWith(".csv")     => r.option("header", "true").option("inferSchema", "true").csv(path)
       case p if p.endsWith(".json")    => r.json(path)
-      case _                           => r.parquet(path) // directories default to parquet
+      case _                           => pq.parquet(path) // directories default to parquet
     }
   }
 

@@ -37,4 +37,51 @@ class MultimodalSpec extends SparkSpec {
     val b = "hello".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b) === Multimodal.decodeStub(b.clone()))
   }
+
+  /** An in-memory PNG: 7×5, left half pure red, right half pure blue. */
+  private def pngBytes(w: Int = 7, h: Int = 5): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decode parses a real PNG: format and true dimensions") {
+    val r = Multimodal.decode(pngBytes())
+    assert(r.getString(0) === "image/png")
+    assert(r.getInt(1) === 7 && r.getInt(2) === 5)
+  }
+
+  test("decode falls back to the deterministic stub for non-image bytes") {
+    val b = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decode(b) === Multimodal.decodeStub(b))
+  }
+
+  test("decodeMedia decodes PNG rows and stubs the rest, executor-side") {
+    val rows = Seq((1L, pngBytes()), (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeMedia(rows, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("media_type"), r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
+    assert(out(1L) === (("image/png", 7, 5)))
+    assert(out(2L)._1 === "stub/decoded")
+  }
+
+  test("channelHistogram: per-channel sums equal pixel count; colors land in the right bins") {
+    val rows = Seq((1L, pngBytes()), (2L, "xx".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.channelHistogram(rows, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val img = out(1L)
+    def hist(r: org.apache.spark.sql.Row, c: String): scala.collection.Seq[Long] =
+      r.getSeq[Long](r.fieldIndex(c))
+    val (rh, gh, bh) = (hist(img, "r_hist"), hist(img, "g_hist"), hist(img, "b_hist"))
+    assert(rh.sum === 35L && gh.sum === 35L && bh.sum === 35L) // 7×5 pixels
+    // left 3 columns red (r=255 → last bin), right 4 blue (b=255 → last bin)
+    assert(rh.last === 15L && rh.head === 20L)
+    assert(bh.last === 20L && bh.head === 15L)
+    assert(gh.head === 35L) // green channel always 0 → first bin
+    assert(out(2L).isNullAt(1)) // undecodable → null histograms
+  }
 }

@@ -61,6 +61,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!cb.isOpen && cb.allow())
   }
 
+  test("exhausted-retry failure lands in the DLQ with name, attempts and error payload") {
+    val dlqPath = java.nio.file.Files.createTempDirectory("dlq").resolve("dlq.jsonl").toString
+    val dlq = new DeadLetterQueue(dlqPath, now = () => 1700000000000L)
+    val report = Pipeline.run(Seq(
+      Job("extract")(() => throw new IllegalStateException("upstream gone")),
+      Job("ok_job")(() => ())), fastRetry, dlq = Some(dlq))
+    assert(report.failed === Set("extract"))
+    val entries = dlq.entries()
+    assert(entries.size === 1) // only the failure — succeeded jobs never recorded
+    assert(entries.head.contains("\"job_name\":\"extract\""))
+    assert(entries.head.contains("\"attempts\":3"))
+    assert(entries.head.contains("IllegalStateException"))
+    assert(entries.head.contains("upstream gone"))
+    // readable back as a table for triage
+    val df = dlq.asDataFrame(graft.SparkSpec.session)
+    assert(df.count() === 1)
+    assert(df.select("job_name").head().getString(0) === "extract")
+    assert(df.select("attempts").head().getLong(0) === 3L)
+  }
+
+  test("DLQ appends across runs and escapes control characters in errors") {
+    val dlqPath = java.nio.file.Files.createTempDirectory("dlq2").resolve("dlq.jsonl").toString
+    val dlq = new DeadLetterQueue(dlqPath, now = () => 0L)
+    dlq.record("j1", 3, new RuntimeException("line1\nline2\t\"quoted\""))
+    dlq.record("j2", 1, new RuntimeException(null: String))
+    assert(dlq.entries().size === 2)
+    val df = dlq.asDataFrame(graft.SparkSpec.session)
+    assert(df.filter(df("job_name") === "j1").select("error_message").head().getString(0)
+      === "line1\nline2\t\"quoted\"")
+  }
+
   test("cycles are rejected") {
     intercept[IllegalArgumentException] {
       Pipeline.run(Seq(Job("a", Seq("b"))(() => ()), Job("b", Seq("a"))(() => ())), fastRetry)

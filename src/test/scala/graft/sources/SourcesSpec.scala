@@ -22,6 +22,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("mergeSchema surfaces columns added by schema drift and Q1 reports the drift") {
+    val dir = tmp()
+    // two partitions written with drifting schemas: second adds `extra_col`
+    Seq((1, "a")).toDF("id", "name").write.parquet(s"$dir/drift.parquet/p=1")
+    Seq((2, "b", 9.5)).toDF("id", "name", "extra_col")
+      .write.parquet(s"$dir/drift.parquet/p=2")
+
+    val merged = Readers.read(spark, s"$dir/drift.parquet", mergeSchema = true)
+    assert(merged.columns.contains("extra_col"))
+    assert(merged.count() === 2)
+    assert(merged.filter(col("extra_col").isNotNull).count() === 1)
+
+    // Q1 reports the drift: the added column shows up as `extra`
+    val expected = Seq((1, "a")).toDF("id", "name").schema
+    val report = graft.quality.DataQuality.schemaCompliance(
+      merged.drop("p").schema, expected)
+    assert(report.extra === Seq("extra_col"))
+    assert(report.missing.isEmpty && report.typeMismatch.isEmpty)
+  }
+
   test("incremental reader pushes the watermark filter into the parquet scan") {
     val dir = tmp()
     (1 to 100).map(i => (i.toLong, s"r$i")).toDF("wm", "v")
