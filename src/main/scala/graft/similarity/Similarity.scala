@@ -88,7 +88,21 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    ivfTopKWith(df, keyCol, a => a.filter(queryPred), k, nClusters, nProbe, seed, embCol)
+
+  /** [[ivfTopK]] with the query set given as a key DataFrame — same
+    * rationale as [[lshTopKFor]]. */
+  def ivfTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame =
+    ivfTopKWith(df, keyCol,
+      a => a.join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol)),
+      k, nClusters, nProbe, seed, embCol)
+
+  private def ivfTopKWith(df: DataFrame, keyCol: String,
+      selectQueries: DataFrame => DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, seed: Long, embCol: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.sql.expressions.Window
@@ -107,7 +121,7 @@ object Similarity {
       .toDF("cell", "centroid")
 
     // probe assignment: each query's nProbe nearest centroids (by cosine)
-    val probes = assigned.filter(queryPred)
+    val probes = selectQueries(assigned)
       .toDF("query_id", "qv", "qnorm", "qcell")
       .join(broadcast(centroids))
       .withColumn("csim", expr(
@@ -152,11 +166,22 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, keyCol: String, queryPred: Column, k: Int,
       nPlanes: Int = 8, numTables: Int = 4, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame =
+    lshTopKFor(df, keyCol, df.filter(queryPred).select(col(keyCol)), k,
+      nPlanes, numTables, seed, embCol)
+
+  /** [[lshTopK]] with the query set given as a key DataFrame (one column
+    * named `keyCol`) — for data-dependent query sets (planted-pair
+    * endpoints, a feedback loop's hard negatives) that a literal predicate
+    * can't express. The query set is broadcast: ANN queries are by
+    * definition a bounded set, not a second corpus.
+    */
+  def lshTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
+      nPlanes: Int = 8, numTables: Int = 4, seed: Long = 42L,
       embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = withBuckets(df, keyCol, nPlanes, numTables, seed, embCol)
-    val queryIds = df.filter(queryPred).select(col(keyCol))
-    val queryBuckets = buckets.join(broadcast(queryIds), Seq(keyCol))
+    val queryBuckets = buckets.join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol))
       .toDF("query_id", "table_id", "bucket")
     val candidates = buckets.toDF("neighbor_id", "table_id", "bucket")
       .join(queryBuckets, Seq("table_id", "bucket"))
