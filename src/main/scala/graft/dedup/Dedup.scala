@@ -28,16 +28,27 @@ object Dedup {
         count(lit(1)).as("distinct_texts"),
         sum(col("n") - 1).as("duplicate_rows"))
 
-  /** Distinct word n-gram shingles per document, long format. */
-  def shingles(df: DataFrame, keyCol: String, textCol: String = "text",
+  /** Distinct word n-gram shingle ARRAYS per document — one row per doc.
+    * The array form is the scale anchor: signatures and set sizes derive
+    * from it with pure projections (zero shuffle); only code that truly
+    * needs the long format (the candidate re-rank intersection) explodes,
+    * and then only for candidate docs.
+    */
+  def shingleArrays(df: DataFrame, keyCol: String, textCol: String = "text",
       n: Int = 3): DataFrame =
     TextAnalysis.withTokens(df, textCol)
-      .withColumn("_sh",
+      .withColumn("sh",
         expr(s"""CASE WHEN size(tokens) >= $n
           | THEN array_distinct(transform(sequence(1, size(tokens) - ${n - 1}),
           |   i -> concat_ws(' ', slice(tokens, i, $n))))
           | ELSE array() END""".stripMargin))
-      .select(col(keyCol), explode(col("_sh")).as("shingle"))
+      .select(col(keyCol), col("sh"))
+
+  /** Distinct word n-gram shingles per document, long format. */
+  def shingles(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3): DataFrame =
+    shingleArrays(df, keyCol, textCol, n)
+      .select(col(keyCol), explode(col("sh")).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard similarity via shingle equi-join.
     * Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) for
@@ -63,16 +74,25 @@ object Dedup {
   }
 
   /** Exact Jaccard of candidate pairs from a pre-built (cached) shingle
-    * frame — linear in candidate-pair shingles, never corpus×corpus. The
-    * candidate set is unbounded at scale (a 100 TB web corpus yields
-    * billions of banding pairs), so no broadcast hint: AQE picks the join
-    * strategy — broadcast when the candidates are measured small, shuffle
-    * hash join on doc_a otherwise. Pairs with an empty intersection drop
-    * out, which is correct for any minJaccard > 0.
+    * ARRAY frame — linear in candidate-pair shingles, never corpus×corpus.
+    *
+    * Scale shape: set sizes are `size(sh)` (projection, no counting
+    * shuffle); only CANDIDATE docs are exploded to long format (left-semi
+    * restriction first), so the intersection join touches candidate
+    * shingles, not the corpus's. The candidate set is unbounded at scale
+    * (a 100 TB web corpus yields billions of banding pairs), so no
+    * broadcast hint: AQE picks the join strategy — broadcast when the
+    * candidates are measured small, shuffle hash join otherwise. Pairs
+    * with an empty intersection drop out, which is correct for any
+    * minJaccard > 0.
     */
-  private def exactJaccardFromShingles(sh: DataFrame, candidates: DataFrame,
+  private def exactJaccardFromArrays(arr: DataFrame, candidates: DataFrame,
       keyCol: String, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy(keyCol).agg(count(lit(1)).as("sz"))
+    val candDocs = candidates.select(col("doc_a").as(keyCol))
+      .union(candidates.select(col("doc_b").as(keyCol))).distinct()
+    val sh = arr.join(candDocs, Seq(keyCol), "left_semi")
+      .select(col(keyCol), explode(col("sh")).as("shingle"))
+    val sizes = arr.select(col(keyCol), size(col("sh")).cast("long").as("sz"))
     sh.toDF("doc_a", "shingle")
       .join(candidates.select("doc_a", "doc_b"), Seq("doc_a"))
       .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
@@ -97,25 +117,24 @@ object Dedup {
     */
   def exactJaccardForPairs(df: DataFrame, candidates: DataFrame, keyCol: String,
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame =
-    // cached: the shingle frame feeds both intersection sides AND the sizes
-    exactJaccardFromShingles(shingles(df, keyCol, textCol, n).cache(),
+    // cached: the array frame feeds both intersection sides AND the sizes
+    exactJaccardFromArrays(shingleArrays(df, keyCol, textCol, n).cache(),
       candidates, keyCol, minJaccard)
 
-  /** Native banded MinHash candidates over a shingle frame: per table t the
-    * signature is min(xxhash64(shingle, t)) — numTables fused min-aggs in
-    * ONE codegen pass over the exploded shingles (spark.ml's MinHashLSH
-    * computes the same banding through a per-row UDF, which dominates its
-    * runtime). Candidates = key pairs equal in ANY table's signature
-    * (bucket equi-join, never all-pairs); P(miss) = (1−j)^numTables for a
-    * pair at Jaccard j.
+  /** Native banded MinHash candidates from the shingle ARRAY frame: per
+    * table t the signature is `array_min(transform(sh, s -> xxhash64(s, t)))`
+    * — a pure per-row projection, so signatures need NO shuffle at all
+    * (the previous form exploded every shingle and shuffled the corpus
+    * into numTables fused min-aggs; spark.ml's MinHashLSH pays the same
+    * through a per-row UDF). The only signature-side shuffle left is the
+    * candidate bucket equi-join on (table_id, sig) — never all-pairs;
+    * P(miss) = (1−j)^numTables for a pair at Jaccard j.
     */
-  private def minHashCandidatesFromShingles(sh: DataFrame, keyCol: String,
+  private def minHashCandidatesFromArrays(arr: DataFrame, keyCol: String,
       numTables: Int): DataFrame = {
-    val aggs = (0 until numTables).map(t =>
-      min(xxhash64(col("shingle"), lit(t))).as(s"_h$t"))
-    val long = sh.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(keyCol), posexplode(array(
-        (0 until numTables).map(t => col(s"_h$t")): _*)).as(Seq("table_id", "sig")))
+    val long = arr.select(col(keyCol), posexplode(expr(
+      s"transform(sequence(0, ${numTables - 1}), t -> array_min(transform(sh, s -> xxhash64(s, t))))"))
+      .as(Seq("table_id", "sig")))
     long.toDF("doc_a", "table_id", "sig")
       .join(long.toDF("doc_b", "table_id", "sig"), Seq("table_id", "sig"))
       .filter(col("doc_a") < col("doc_b"))
@@ -123,17 +142,18 @@ object Dedup {
   }
 
   /** Scale-safe exact Jaccard near-dup pairs: native banded-MinHash
-    * candidates + exact re-rank, all from ONE cached shingle pass. Same
-    * output as [[jaccardPairs]] at `minJaccard` provided the banding
+    * candidates + exact re-rank, all from ONE cached shingle-array pass.
+    * Same output as [[jaccardPairs]] at `minJaccard` provided the banding
     * catches every pair at that similarity (more tables raise recall).
     * Docs with fewer than n tokens have no shingles and can never pair —
     * consistent with the exact form.
     */
   def jaccardPairsScalable(df: DataFrame, keyCol: String, textCol: String = "text",
       n: Int = 3, minJaccard: Double = 0.5, numHashTables: Int = 4): DataFrame = {
-    val sh = shingles(df, keyCol, textCol, n).cache()
-    exactJaccardFromShingles(sh,
-      minHashCandidatesFromShingles(sh, keyCol, numHashTables), keyCol, minJaccard)
+    val arr = shingleArrays(df, keyCol, textCol, n)
+      .filter(size(col("sh")) > 0).cache()
+    exactJaccardFromArrays(arr,
+      minHashCandidatesFromArrays(arr, keyCol, numHashTables), keyCol, minJaccard)
   }
 
   /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not
