@@ -44,6 +44,32 @@ object SparkEntry {
     QualityRule("priority_format", "o_orderpriority RLIKE '^[1-5]-[A-Z ]+$'")
   )
 
+  /** Planted near-dup ground truth as DIRECTED (query_id, neighbor_id)
+    * pairs, from the scale-safe bucketed+re-rank path (same as q_embdedup).
+    * Cached: the frame is tiny (a handful of rows) but its lineage is the
+    * whole LSH+re-rank pipeline, which is referenced four times per ANN
+    * query (two union branches, the probe-set projection, the semi-join
+    * and the count) and would otherwise recompute each time.
+    */
+  private def plantedDirected(emb: DataFrame): DataFrame = {
+    val planted = Dedup.embeddingNearDupsScalable(emb, "vec_id", 0.5,
+      nPlanes = 4, numTables = 8).cache()
+    planted.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
+      .union(planted.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
+      .cache()
+  }
+
+  /** (n_planted, planted_found, planted_recall) of an approximate top-k
+    * result against the directed planted-pair ground truth. */
+  private def plantedRecall(directed: DataFrame, approx: DataFrame): DataFrame = {
+    val found = approx.select("query_id", "neighbor_id")
+      .join(directed, Seq("query_id", "neighbor_id"), "left_semi")
+    directed.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("planted_found")))
+      .withColumn("planted_recall",
+        round(col("planted_found").cast("double") / col("n_planted"), 6))
+  }
+
   // Shared by q_ann_lsh / q_ann_ivf: the oracle computes the planted pair
   // count EXACTLY (all-pairs is DuckDB-side only, at oracle scale) and
   // asserts the recall bound — planted_found == n_planted, recall 1.0 —
@@ -682,18 +708,9 @@ object SparkEntry {
     ("q_ann_lsh",
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        val planted = Dedup.embeddingNearDupsScalable(emb, "vec_id", 0.5,
-          nPlanes = 4, numTables = 8)
-        val directed = planted.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
-          .union(planted.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
-        val lsh = Similarity.lshTopKFor(emb, "vec_id",
-          directed.select(col("query_id").as("vec_id")), k = 5, nPlanes = 3, numTables = 8)
-        val found = lsh.select("query_id", "neighbor_id")
-          .join(directed, Seq("query_id", "neighbor_id"), "left_semi")
-        directed.agg(count(lit(1)).as("n_planted"))
-          .crossJoin(found.agg(count(lit(1)).as("planted_found")))
-          .withColumn("planted_recall",
-            round(col("planted_found").cast("double") / col("n_planted"), 6))
+        val directed = plantedDirected(emb)
+        plantedRecall(directed, Similarity.lshTopKFor(emb, "vec_id",
+          directed.select(col("query_id").as("vec_id")), k = 5, nPlanes = 3, numTables = 8))
       },
       Some(PlantedRecallOracleSql)),
 
@@ -703,18 +720,9 @@ object SparkEntry {
     ("q_ann_ivf",
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        val planted = Dedup.embeddingNearDupsScalable(emb, "vec_id", 0.5,
-          nPlanes = 4, numTables = 8)
-        val directed = planted.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
-          .union(planted.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
-        val ivf = Similarity.ivfTopKFor(emb, "vec_id",
-          directed.select(col("query_id").as("vec_id")), k = 5, nClusters = 16, nProbe = 8)
-        val found = ivf.select("query_id", "neighbor_id")
-          .join(directed, Seq("query_id", "neighbor_id"), "left_semi")
-        directed.agg(count(lit(1)).as("n_planted"))
-          .crossJoin(found.agg(count(lit(1)).as("planted_found")))
-          .withColumn("planted_recall",
-            round(col("planted_found").cast("double") / col("n_planted"), 6))
+        val directed = plantedDirected(emb)
+        plantedRecall(directed, Similarity.ivfTopKFor(emb, "vec_id",
+          directed.select(col("query_id").as("vec_id")), k = 5, nClusters = 16, nProbe = 8))
       },
       Some(PlantedRecallOracleSql)),
 
