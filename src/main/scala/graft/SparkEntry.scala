@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{Scd2, Skew, SurrogateKeys, Windows}
+import graft.operators.{AsOfJoin, Scd2, Skew, SurrogateKeys, Windows}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -870,6 +870,27 @@ object SparkEntry {
         | min(ts) AS session_start, max(ts) AS session_end,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM n GROUP BY 1, 2""".stripMargin)),
+
+    // ---- backward as-of join (point-in-time attribution) ----
+    // Each purchase gets the latest at-or-before click of the same user —
+    // union+window form (one shuffle on user_id, no range-join explosion).
+    // The right side pre-aggregates to one row per (user_id, ts) so the
+    // matched row is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    // oracle.
+    ("q_asof",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+        AsOfJoin.asOfBackward(purchases, clicks, "user_id", "ts")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts, p.value,
+        | c.ts AS asof_ts, c.click_value AS asof_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
 
     // ---- embedding-cosine near-duplicate pairs ----
     // Scale-safe registered form: hyperplane-LSH sign-bucket candidates +

@@ -35,6 +35,7 @@ object Readers {
     val pq = if (mergeSchema) r.option("mergeSchema", "true") else r
     path.toLowerCase match {
       case p if p.endsWith(".parquet") => pq.parquet(path)
+      case p if p.endsWith(".orc")     => (if (mergeSchema) r.option("mergeSchema", "true") else r).orc(path)
       case p if p.endsWith(".csv")     => r.option("header", "true").option("inferSchema", "true").csv(path)
       case p if p.endsWith(".json")    => r.json(path)
       case _                           => pq.parquet(path) // directories default to parquet

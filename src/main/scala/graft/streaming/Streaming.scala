@@ -45,10 +45,23 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
-  /** I5: drop duplicate events by id within the watermark horizon. */
+  /** I5: drop duplicate events by id within the watermark horizon. Exact
+    * (id, ts) duplicates only — a retried event with a different ingestion
+    * timestamp passes through; see [[dedupedStreamWithinWatermark]].
+    */
   def dedupedStream(events: DataFrame, idCol: String, tsCol: String = "ts",
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
+  /** I5, the at-least-once-ingest form: dedup by id ALONE within the
+    * watermark horizon via the native `dropDuplicatesWithinWatermark` —
+    * catches retried/replayed events whose timestamp differs between
+    * attempts (the common broker-redelivery case), while the watermark
+    * still bounds the dedup state so it never grows with the stream.
+    */
+  def dedupedStreamWithinWatermark(events: DataFrame, idCol: String,
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** Stream-static enrichment join: each micro-batch joins against the
     * (re-read-per-batch) static dimension — the streaming counterpart of

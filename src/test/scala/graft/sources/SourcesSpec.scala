@@ -15,7 +15,8 @@ class SourcesSpec extends SparkSpec {
     df.write.parquet(s"$dir/t.parquet")
     df.write.option("header", "true").csv(s"$dir/t.csv")
     df.write.json(s"$dir/t.json")
-    for (ext <- Seq("parquet", "csv", "json")) {
+    df.write.orc(s"$dir/t.orc")
+    for (ext <- Seq("parquet", "csv", "json", "orc")) {
       val back = Readers.read(spark, s"$dir/t.$ext")
       assert(back.count() === 2, ext)
       assert(back.columns.toSet === Set("id", "name"), ext)

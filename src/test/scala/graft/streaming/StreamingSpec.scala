@@ -46,6 +46,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 4) // 5 rows, one exact duplicate dropped
   }
 
+  test("dropDuplicatesWithinWatermark also drops a retry whose timestamp differs") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in2b").toString
+    Seq(
+      (1L, "2024-01-01 10:05:00", 101L, "click", 1.0),
+      (1L, "2024-01-01 10:06:30", 101L, "click", 1.0), // redelivery, new ts
+      (2L, "2024-01-01 10:15:00", 101L, "click", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.fileStream(spark, dir, schema)
+    // (id, ts) dedup keeps the redelivery; id-within-watermark drops it
+    val exact = Streaming.runToMemory(
+      Streaming.dedupedStream(stream, "event_id"), "dedup_exact_b")
+    assert(exact.count() === 3)
+    val within = Streaming.runToMemory(
+      Streaming.dedupedStreamWithinWatermark(
+        Streaming.fileStream(spark, dir, schema), "event_id"), "dedup_within_b")
+    assert(within.count() === 2)
+    assert(within.select("event_id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in3").toString
     writeEvents(dir)
