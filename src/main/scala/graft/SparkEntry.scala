@@ -590,6 +590,56 @@ object SparkEntry {
         | round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6) AS top_token_share
         |FROM tf GROUP BY 1""".stripMargin)),
 
+    // ---- PII scrub + report ----
+    // The synthetic corpus carries no PII, so the query injects a
+    // deterministic email/phone/IP per doc (same construction on both
+    // sides) — the oracle then checks true-positive counts AND the
+    // scrubbed text hash cross-engine (Java regex vs RE2; the patterns
+    // are deliberately lookaround-free so both engines agree).
+    ("q_pii",
+      (s, d) => {
+        val injected = Tables(s, d).documents.withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call 555-123-4567 ip 10.0.0."),
+            (col("doc_id") % 200).cast("string")))
+        TextAnalysis.piiScrub(injected, "text2")
+          .withColumn("clean_hash", md5(col("text_clean")))
+          .select("doc_id", "n_email", "n_phone", "n_ip", "pii_total", "clean_hash")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call 555-123-4567 ip 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) AS text2
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        | CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |    + len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_hash
+        |FROM t""".stripMargin)),
+
+    // ---- embedding mean-pooling (label centroids) ----
+    // Long format (label, dim): decimal sums -> double at the boundary per
+    // the determinism rules; posexplode + partial-aggregated groupBy — the
+    // shuffle carries one row per (label, dim) group per partition, not
+    // per vector.
+    ("q_pool",
+      (s, d) => Tables(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(27,6)")).as("s"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+          (col("s").cast("double") / col("n")).as("mean_val")),
+      Some("""WITH e AS (SELECT label, unnest(list_transform(range(len(embedding)),
+        |   i -> {'dim': i, 'v': CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(27,6))})) AS u FROM embeddings)
+        |SELECT label, u.dim AS dim, count(*) AS n,
+        | CAST(sum(u.v) AS DOUBLE) / count(*) AS mean_val
+        |FROM e GROUP BY 1, 2""".stripMargin)),
+
     // ---- end-to-end corpus curation funnel ----
     ("q_curate",
       (s, d) => graft.text.CorpusCuration.funnel(Tables(s, d).documents),

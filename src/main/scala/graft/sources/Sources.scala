@@ -143,6 +143,38 @@ object Sinks {
       .withColumn("month", month(col(dateCol)))
       .withColumn("day", dayofmonth(col(dateCol)))
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` each — the standing maintenance job every
+    * streaming/incremental sink needs (thousands of per-trigger files
+    * otherwise turn scan planning and footer reads into the bottleneck
+    * long before data volume does). File count is derived from the CURRENT
+    * on-disk size, so repeated compaction converges instead of thrashing.
+    * Local-filesystem directory swap; on object storage the same
+    * read-repartition-write runs against a versioned table format instead.
+    * Returns the new file count.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(tmp)
+    // swap: remove originals, move compacted files in
+    Files.walk(dir).iterator().asScala.toSeq.reverse
+      .filter(_ != dir).foreach(Files.delete)
+    Files.list(Paths.get(tmp)).iterator().asScala.foreach { p =>
+      Files.move(p, dir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.delete(Paths.get(tmp))
+    nFiles
+  }
+
   /** S8: quarantine sink — failed rows + a machine-readable reason column,
     * written beside the clean output. One pass decides both destinations.
     */

@@ -133,6 +133,40 @@ object TextAnalysis {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** PII patterns for scrubbing/reporting. Deliberately lookaround-free so
+    * the same regex runs identically under Java regex (Spark) and RE2
+    * (DuckDB, the oracle) — cross-engine parity is part of the contract.
+    * Order matters for scrubbing: emails first (their dots would otherwise
+    * partially match the looser patterns' character classes).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ip"    -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  )
+
+  /** PII scrub + report — the redaction pass every shared training corpus
+    * needs: each pattern category is counted on the ORIGINAL text (a span
+    * matching several categories counts in each) and then replaced with a
+    * `[CATEGORY]` tag in pattern order. Pure projection (regexp_replace /
+    * regexp_extract_all chains, codegen'd, no UDF): O(doc length) per row,
+    * no shuffle. Output adds n_email / n_phone / n_ip, pii_total, and
+    * `text_clean`.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat)) =>
+      d.withColumn(s"n_$cat",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val cleaned = PiiPatterns.foldLeft(counted.withColumn("text_clean", col(textCol))) {
+      case (d, (cat, pat)) =>
+        d.withColumn("text_clean",
+          regexp_replace(col("text_clean"), pat, s"[${cat.toUpperCase}]"))
+    }
+    cleaned.withColumn("pii_total",
+      PiiPatterns.map { case (c, _) => col(s"n_$c") }.reduce(_ + _))
+  }
+
   /** Within-document repetition statistics — dedup/quality signals for a
     * training corpus: type-token ratio (distinct/total tokens) and the
     * share of the single most repeated token. One explode + two

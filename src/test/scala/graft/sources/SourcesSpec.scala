@@ -43,6 +43,19 @@ class SourcesSpec extends SparkSpec {
     assert(report.missing.isEmpty && report.typeMismatch.isEmpty)
   }
 
+  test("compaction rewrites many small files into few, preserving the data") {
+    val dir = s"${tmp()}/small.parquet"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(20).write.parquet(dir) // 20 small part files
+    def partFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(partFiles() === 20)
+    val before = spark.read.parquet(dir).collect().toSet
+    val n = Sinks.compactParquet(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(n === 1 && partFiles() === 1)
+    assert(spark.read.parquet(dir).collect().toSet === before)
+  }
+
   test("incremental reader pushes the watermark filter into the parquet scan") {
     val dir = tmp()
     (1 to 100).map(i => (i.toLong, s"r$i")).toDF("wm", "v")

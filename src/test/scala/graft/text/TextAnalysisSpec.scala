@@ -70,4 +70,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) === ((5L, 2L, 0.4, 0.8)))
     assert(m(2L) === ((5L, 5L, 1.0, 0.2)))
   }
+
+  test("piiScrub counts and redacts emails, phones and IPs; clean text keeps the rest") {
+    val docs = Seq(
+      (1L, "mail me at jo.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "server 192.168.0.1 and 10.0.0.7 rebooted"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") === 1L)
+    assert(out(1L).getAs[Long]("n_phone") === 1L)
+    assert(out(1L).getAs[Long]("pii_total") === 2L)
+    assert(out(1L).getAs[String]("text_clean")
+      === "mail me at [EMAIL] or call [PHONE] now")
+    assert(out(2L).getAs[Long]("n_ip") === 2L)
+    assert(out(2L).getAs[String]("text_clean") === "server [IP] and [IP] rebooted")
+    assert(out(3L).getAs[Long]("pii_total") === 0L)
+    assert(out(3L).getAs[String]("text_clean") === "no pii here at all")
+  }
 }
