@@ -590,6 +590,42 @@ object SparkEntry {
         | round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6) AS top_token_share
         |FROM tf GROUP BY 1""".stripMargin)),
 
+    // ---- native session_window sessionization ----
+    // Engine-managed sessions (streaming-ready form). The oracle rebuilds
+    // the same sessions with gap-islands over FULL-precision timestamps
+    // (ts diffs compared as intervals, not truncated epochs — event times
+    // carry microseconds). Boundary convention verified in WindowsSpec:
+    // an event at exactly prev + gap MERGES, so a new session starts only
+    // strictly past the gap (>).
+    ("q_sessionw",
+      (s, d) => Windows.sessionWindowStats(Tables(s, d).events, "user_id", "ts",
+        "value", gap = "30 minutes"),
+      Some("""WITH s AS (SELECT *,
+        |  CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)),
+        |n AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM n GROUP BY user_id, session_seq""".stripMargin)),
+
+    // ---- winnowing fingerprints (partial-overlap dedup keys) ----
+    // Lexicographic-min-of-md5 variant so the oracle reproduces the exact
+    // fingerprint values (a 64-bit rolling hash has no DuckDB counterpart).
+    ("q_winnow",
+      (s, d) => TextAnalysis.winnowFingerprints(Tables(s, d).documents, "doc_id",
+        k = 3, w = 4),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |k AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1), i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |  ELSE [] END AS kh FROM d),
+        |f AS (SELECT doc_id, CASE WHEN len(kh) >= 4
+        |  THEN list_distinct(list_transform(range(1, len(kh) - 2), j -> list_aggregate(kh[j:j+3], 'min')))
+        |  WHEN len(kh) > 0 THEN [list_aggregate(kh, 'min')]
+        |  ELSE [] END AS fp FROM k)
+        |SELECT doc_id, unnest(fp) AS fingerprint FROM f""".stripMargin)),
+
     // ---- PII scrub + report ----
     // The synthetic corpus carries no PII, so the query injects a
     // deterministic email/phone/IP per doc (same construction on both

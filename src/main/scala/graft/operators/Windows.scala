@@ -61,4 +61,23 @@ object Windows {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         sum(col(valueCol).cast("decimal(18,2)")).as("session_value"))
+
+  /** Native `session_window` sessionization — the engine-managed form of
+    * [[sessionize]]: one aggregation, sessions merge while events fall
+    * within the previous event's [ts, ts + gap] horizon INCLUSIVE — an
+    * event at exactly prev + gap still merges (verified against Spark
+    * 4.1; the same `> gap`-starts-new convention as [[sessionize]]). Same
+    * expression works unchanged under Structured Streaming with a
+    * watermark, where the state store expires closed sessions — the
+    * reason to prefer it over the lag/running-sum form for streaming
+    * pipelines. session_end = last event + gap by definition.
+    */
+  def sessionWindowStats(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("session_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("events"), col("session_value"))
 }

@@ -133,6 +133,48 @@ object TextAnalysis {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    * window of `w` hashes over the sequence, and keep each window's
+    * minimum. The winnowing guarantee: any token run of length >=
+    * w + k - 1 shared between two documents contributes at least one
+    * SHARED fingerprint — partial-overlap detection that whole-document
+    * md5 (exact dedup) cannot provide.
+    *
+    * The k-gram "hash" is the md5 hex string and the window minimum is
+    * lexicographic: deliberately engine-portable (the DuckDB oracle
+    * reproduces it bit-for-bit), at the cost of hashing wider than a
+    * 64-bit rolling hash — a production corpus would swap in xxhash64
+    * behind the same shape.
+    *
+    * Shape: each k-gram is hashed ONCE in long format, then the sliding
+    * minimum is a window-frame `min` over (key, position) and the per-doc
+    * dedup a distinct — one shuffle on the key. (An earlier pure-HOF array
+    * form had no shuffle but Catalyst's projection collapse inlined the
+    * k-gram hashing expression into every window element, recomputing the
+    * whole hash array per window: O(n²) md5 calls per doc, ~30× slower at
+    * sf0.1. The long form hashes O(n) and compares O(n·w).)
+    */
+  def winnowFingerprints(df: DataFrame, keyCol: String, textCol: String = "text",
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val kg = withTokens(df, textCol)
+      .withColumn("_n_kg", size(col("tokens")) - (k - 1))
+      .filter(col("_n_kg") > 0)
+      .select(col(keyCol), col("_n_kg"), posexplode(expr(
+        s"""transform(sequence(1, size(tokens) - ${k - 1}),
+           |  i -> md5(concat_ws(' ', slice(tokens, i, $k))))""".stripMargin))
+        .as(Seq("_idx", "_kh")))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(col("_idx"))
+      .rowsBetween(Window.currentRow, w - 1)
+    kg.withColumn("fingerprint", min(col("_kh")).over(frame))
+      // keep only full windows; a doc shorter than w hashes keeps its one
+      // all-covering window at position 0 (the frame clips to the doc end)
+      .filter(col("_idx") <= greatest(col("_n_kg") - w, lit(0)))
+      .select(col(keyCol), col("fingerprint")).distinct()
+  }
+
   /** PII patterns for scrubbing/reporting. Deliberately lookaround-free so
     * the same regex runs identically under Java regex (Spark) and RE2
     * (DuckDB, the oracle) — cross-engine parity is part of the contract.

@@ -48,6 +48,26 @@ class WindowsSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("events") === 1L)
   }
 
+  test("sessionWindowStats: boundary event merges; past the gap starts a new session") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:29:59", 2.0),  // inside the gap -> same session
+      (1L, "2024-01-01 10:59:59", 4.0),  // exactly 30 min later -> still merges
+      (1L, "2024-01-01 11:30:00", 16.0), // 1 us past the gap -> NEW session
+      (2L, "2024-01-01 10:00:00", 8.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Windows.sessionWindowStats(df, "user_id", "ts", "value", "30 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").toString) ->
+        ((r.getAs[Long]("events"), r.getAs[java.math.BigDecimal]("session_value").doubleValue)))
+      .toMap
+    assert(out.size === 3)
+    assert(out((1L, "2024-01-01 10:00:00.0")) === ((3L, 7.0)))
+    assert(out((1L, "2024-01-01 11:30:00.0")) === ((1L, 16.0)))
+    assert(out((2L, "2024-01-01 10:00:00.0")) === ((1L, 8.0)))
+  }
+
   test("embeddingNearDups finds planted high-cosine pair only") {
     import graft.dedup.Dedup
     val rnd = new scala.util.Random(13)

@@ -71,6 +71,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L) === ((5L, 5L, 1.0, 0.2)))
   }
 
+  test("winnowing: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    // k=3, w=4 -> guarantee kicks in at 6 shared consecutive tokens
+    val shared = "p q r s t u" // 6 tokens
+    val docs = Seq(
+      (1L, s"a b c $shared d e f"),
+      (2L, s"x y $shared z w v"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)  // winnowing guarantee
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)   // unrelated docs don't collide
+  }
+
+  test("winnowing: short docs fall back to a single minimum fingerprint") {
+    val docs = Seq(
+      (1L, "a b c d"),   // 2 k-grams < w -> one min fingerprint
+      (2L, "a b"),       // no k-gram -> no fingerprints
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+    assert(fp.count(_._1 == 1L) === 1)
+    assert(!fp.exists(_._1 == 2L))
+    // identical docs -> identical fingerprint (the dedup key property)
+    assert(fp.filter(_._1 == 1L).map(_._2).toSet === fp.filter(_._1 == 3L).map(_._2).toSet)
+  }
+
   test("piiScrub counts and redacts emails, phones and IPs; clean text keeps the rest") {
     val docs = Seq(
       (1L, "mail me at jo.smith+x@corp.example.org or call 555-123-4567 now"),
