@@ -823,6 +823,53 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS total_chunk_bytes
         |FROM documents""".stripMargin)),
 
+    // ---- exact quantile binning (decile features) ----
+    // Boundaries from exact percentile (bit-identical to DuckDB's
+    // quantile_cont), broadcast lazily (A8 pattern — no driver collect);
+    // bin id = number of boundaries strictly below the value.
+    ("q_bins",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        val bounds = orders.agg(expr(
+          "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+        orders.crossJoin(broadcast(bounds))
+          .withColumn("bin", expr("size(filter(bs, b -> b < o_totalprice))").cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      },
+      Some("""WITH b AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders),
+        |x AS (SELECT o_totalprice AS v, CAST(len(list_filter(b.bs, q -> q < o_totalprice)) AS BIGINT) AS bin FROM orders, b)
+        |SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM x GROUP BY 1""".stripMargin)),
+
+    // ---- exact-sums correlation (order-independent second moments) ----
+    // Spark's corr() streams doubles (partition-order dependent); this
+    // derives the statistic from exact decimal sums with a pinned IEEE op
+    // order, mirrored token-for-token in the oracle.
+    ("q_corr",
+      (s, d) => graft.ml.Stats.exactCorrelation(
+        Tables(s, d).lineitem, "l_quantity", "l_extendedprice"),
+      Some("""WITH a AS (SELECT count(*) AS n,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        | sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        | sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        | FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        | CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp,
+        | CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |   ELSE NULL END AS corr
+        |FROM a""".stripMargin)),
+
     // ---- A/B statistics (M10) ----
     ("q_abtest",
       (s, d) => {

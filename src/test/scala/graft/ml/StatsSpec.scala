@@ -1,0 +1,37 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactCorrelation matches the closed form on a crafted frame") {
+    // y = 2x exactly -> corr 1.0; hand-checkable moments
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    val r = Stats.exactCorrelation(df, "x", "y").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("mean_x") === 2.5)
+    assert(r.getAs[Double]("mean_y") === 5.0)
+    assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
+    // cov_samp of (1..4, 2..8 step2): cov = 2 * var(x) = 2 * 5/3
+    assert(math.abs(r.getAs[Double]("cov_samp") - 10.0 / 3.0) < 1e-12)
+  }
+
+  test("constant column yields null corr, not NaN or a crash") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
+    val r = Stats.exactCorrelation(df, "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("corr")))
+    assert(r.getAs[Double]("cov_samp") === 0.0)
+  }
+
+  test("result is bit-identical across partitionings (the reason it exists)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(100) / 4.0, rnd.nextInt(10000) / 100.0))
+    val df = rows.toDF("x", "y")
+    val a = Stats.exactCorrelation(df.repartition(1), "x", "y").head()
+    val b = Stats.exactCorrelation(df.repartition(13), "x", "y").head()
+    assert(a.getAs[Double]("corr") === b.getAs[Double]("corr"))   // bitwise
+    assert(a.getAs[Double]("cov_samp") === b.getAs[Double]("cov_samp"))
+  }
+}
