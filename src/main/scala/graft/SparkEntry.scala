@@ -1004,6 +1004,31 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM n GROUP BY 1, 2""".stripMargin)),
 
+    // ---- cohort retention matrix ----
+    ("q_cohort",
+      (s, d) => graft.gold.Cohorts.cohortRetention(Tables(s, d).events),
+      Some("""WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort_period FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT f.cohort_period, a.p AS activity_period, count(DISTINCT a.user_id) AS users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin)),
+
+    // ---- ordered-step funnel conversion ----
+    // click -> purchase-at-or-after-first-click, per user, then a global
+    // rollup; window stamps each user's first click without a self-join.
+    ("q_funnel",
+      (s, d) => graft.gold.Cohorts.funnel(Tables(s, d).events, "click", "purchase"),
+      Some("""WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |   max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS did_a,
+        |   max(CASE WHEN e.event_type = 'purchase' AND f.fc IS NOT NULL AND e.ts >= f.fc THEN 1 ELSE 0 END) AS conv
+        |  FROM events e JOIN f USING (user_id) GROUP BY 1)
+        |SELECT count(*) AS users, CAST(sum(did_a) AS BIGINT) AS stepa_users,
+        | CAST(sum(conv) AS BIGINT) AS converted_users,
+        | round(CAST(sum(conv) AS DOUBLE) / sum(did_a), 6) AS conversion_rate
+        |FROM p""".stripMargin)),
+
     // ---- backward as-of join (point-in-time attribution) ----
     // Each purchase gets the latest at-or-before click of the same user —
     // union+window form (one shuffle on user_id, no range-join explosion).

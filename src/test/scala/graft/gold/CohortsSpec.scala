@@ -1,0 +1,37 @@
+package graft.gold
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CohortsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Seq(
+    // user 1: joins day 1, active days 1 and 2, clicks then purchases
+    (1L, "2024-01-01 10:00:00", "click", 1.0),
+    (1L, "2024-01-02 10:00:00", "purchase", 5.0),
+    // user 2: joins day 1, never returns, clicks only
+    (2L, "2024-01-01 11:00:00", "click", 1.0),
+    // user 3: joins day 2, purchases BEFORE ever clicking -> not converted
+    (3L, "2024-01-02 09:00:00", "purchase", 9.0),
+    (3L, "2024-01-02 12:00:00", "click", 1.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("cohortRetention buckets users by first-seen period and counts activity") {
+    val m = Cohorts.cohortRetention(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("users")).toMap
+    assert(m(("2024-01-01", "2024-01-01")) === 2L) // users 1 and 2 on day 1
+    assert(m(("2024-01-01", "2024-01-02")) === 1L) // only user 1 retained
+    assert(m(("2024-01-02", "2024-01-02")) === 1L) // user 3's own cohort
+    assert(m.size === 3)
+  }
+
+  test("funnel counts ordered click->purchase conversion only") {
+    val r = Cohorts.funnel(events, "click", "purchase").head()
+    assert(r.getAs[Long]("users") === 3L)
+    assert(r.getAs[Long]("stepa_users") === 3L)       // all three clicked
+    assert(r.getAs[Long]("converted_users") === 1L)   // only user 1 in order
+    assert(math.abs(r.getAs[Double]("conversion_rate") - 0.333333) < 1e-9)
+  }
+}
