@@ -626,6 +626,27 @@ object SparkEntry {
         |  ELSE [] END AS fp FROM k)
         |SELECT doc_id, unnest(fp) AS fingerprint FROM f""".stripMargin)),
 
+    // ---- Unicode NFC normalization (native Catalyst expression) ----
+    // Spark has no normalizer builtin; graft_nfc (codegen'd
+    // java.text.Normalizer) fills the gap, with DuckDB's nfc_normalize as
+    // the oracle. The query injects a decomposed sequence (e + combining
+    // acute U+0301) next to its precomposed form (U+00E9) — byte-different
+    // before normalization, identical after — and hashes the result.
+    ("q_nfc",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d).documents
+          .withColumn("text2", concat(col("text"), lit(" cafe\u0301 caf\u00e9")))
+          .select(col("doc_id"),
+            (expr("graft_nfc(text2)") =!= col("text2")).as("changed"),
+            md5(expr("graft_nfc(text2)")).as("norm_hash"))
+      },
+      Some("""SELECT doc_id,
+        | nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233))
+        |   != (text || ' cafe' || chr(769) || ' caf' || chr(233)) AS changed,
+        | md5(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233))) AS norm_hash
+        |FROM documents""".stripMargin)),
+
     // ---- PII scrub + report ----
     // The synthetic corpus carries no PII, so the query injects a
     // deterministic email/phone/IP per doc (same construction on both

@@ -63,7 +63,7 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for graft's native SQL functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (children: Seq[Expression]) => {
@@ -71,6 +71,14 @@ object GraftFunctions {
         DotProduct(children.head, children(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc expects 1 argument")
+        NfcNormalize(children.head)
+      },
+      "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point — the production path for shipping
@@ -82,10 +90,16 @@ object GraftFunctions {
   * }}}
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+  }
 }
