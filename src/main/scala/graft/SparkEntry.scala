@@ -626,6 +626,26 @@ object SparkEntry {
         |  ELSE [] END AS fp FROM k)
         |SELECT doc_id, unnest(fp) AS fingerprint FROM f""".stripMargin)),
 
+    // ---- PMI collocations (phrase mining) ----
+    ("q_pmi",
+      (s, d) => TextAnalysis.collocations(Tables(s, d).documents, minCount = 5),
+      Some("""WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM d),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |nu AS (SELECT sum(c) AS n FROM uc),
+        |bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |       FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT bg, count(*) AS cxy FROM bg GROUP BY 1),
+        |nb AS (SELECT sum(cxy) AS n FROM bc)
+        |SELECT split_part(bc.bg, ' ', 1) AS w1, split_part(bc.bg, ' ', 2) AS w2,
+        | CAST(bc.cxy AS BIGINT) AS cxy,
+        | round(ln((CAST(bc.cxy AS DOUBLE) / nb.n)
+        |   / ((CAST(x.c AS DOUBLE) / nu.n) * (CAST(y.c AS DOUBLE) / nu.n))), 6) AS pmi
+        |FROM bc, nu, nb
+        |JOIN uc x ON x.w = split_part(bc.bg, ' ', 1)
+        |JOIN uc y ON y.w = split_part(bc.bg, ' ', 2)
+        |WHERE bc.cxy >= 5""".stripMargin)),
+
     // ---- Unicode NFC normalization (native Catalyst expression) ----
     // Spark has no normalizer builtin; graft_nfc (codegen'd
     // java.text.Normalizer) fills the gap, with DuckDB's nfc_normalize as

@@ -42,6 +42,29 @@ object Readers {
     }
   }
 
+  /** Malformed-record isolation for semi-structured reads: PERMISSIVE mode
+    * with an explicit `_corrupt_record` column — the reader-level
+    * counterpart of the quarantine sink (S8). Returns (clean, corrupt):
+    * clean rows parsed to `schema`, corrupt rows with their raw line
+    * preserved for triage — nothing is silently dropped, mirroring the
+    * reference's validate-then-quarantine posture instead of
+    * DROPMALFORMED's silent data loss.
+    */
+  def jsonWithCorrupt(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(path)
+      .cache() // the corrupt-column contract requires referencing raw rows
+    val clean = df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
+    (clean, corrupt)
+  }
+
   /** S2: incremental source — rows strictly beyond the watermark. The filter
     * is declarative, so it pushes down to the scan (verify in explain:
     * PushedFilters: [IsNotNull(wm), GreaterThan(wm, v)]).

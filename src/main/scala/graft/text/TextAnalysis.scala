@@ -209,6 +209,40 @@ object TextAnalysis {
       PiiPatterns.map { case (c, _) => col(s"n_$c") }.reduce(_ + _))
   }
 
+  /** Bigram collocations scored by pointwise mutual information — phrase
+    * mining for a training corpus (PMI >> 0 marks token pairs that
+    * co-occur far above chance: named entities, fixed phrases, tokenizer
+    * merge candidates). PMI = ln( P(xy) / (P(x)·P(y)) ) with bigram and
+    * unigram distributions estimated from exact counts; the double
+    * derivation follows one fixed op order mirrored in the oracle. Two
+    * explodes + two counting aggregations + a broadcast vocabulary join —
+    * the same shape (and broadcast rationale) as [[tfIdf]].
+    */
+  def collocations(df: DataFrame, textCol: String = "text",
+      minCount: Long = 5): DataFrame = {
+    val toks = withTokens(df, textCol)
+    val uni = toks.select(explode(col("tokens")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tokens) - 1), i -> concat_ws(' ', slice(tokens, i, 2)))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cxy"))
+    val nUni = uni.agg(sum(col("c")).as("nu"))
+    val nBi = bi.agg(sum(col("cxy")).as("nb"))
+    bi.filter(col("cxy") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(uni.toDF("w1", "cx")), Seq("w1"))
+      .join(broadcast(uni.toDF("w2", "cy")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(log(
+        (col("cxy").cast("double") / col("nb"))
+          / ((col("cx").cast("double") / col("nu"))
+            * (col("cy").cast("double") / col("nu")))), 6))
+      .select("w1", "w2", "cxy", "pmi")
+  }
+
   /** Within-document repetition statistics — dedup/quality signals for a
     * training corpus: type-token ratio (distinct/total tokens) and the
     * share of the single most repeated token. One explode + two

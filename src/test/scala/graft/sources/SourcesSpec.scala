@@ -43,6 +43,25 @@ class SourcesSpec extends SparkSpec {
     assert(report.missing.isEmpty && report.typeMismatch.isEmpty)
   }
 
+  test("jsonWithCorrupt isolates malformed lines without dropping anything") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": BROKEN
+        |{"id": 2, "name": "also ok"}
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val (clean, corrupt) = Readers.jsonWithCorrupt(spark, s"$dir/in.json", schema)
+    assert(clean.count() === 2)
+    assert(clean.select("id").as[Long].collect().sorted === Array(1L, 2L))
+    val raw = corrupt.select("raw_record").as[String].collect()
+    assert(raw.length === 2)
+    assert(raw.exists(_.contains("BROKEN")) && raw.exists(_.contains("not json")))
+  }
+
   test("compaction rewrites many small files into few, preserving the data") {
     val dir = s"${tmp()}/small.parquet"
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")

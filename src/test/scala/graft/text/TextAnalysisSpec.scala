@@ -98,6 +98,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.filter(_._1 == 1L).map(_._2).toSet === fp.filter(_._1 == 3L).map(_._2).toSet)
   }
 
+  test("collocations: a planted fixed phrase scores higher PMI than a chance pair") {
+    // "new york" always co-occurs; "the cat"/"the dog"/... are chance pairs
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"new york w$i the cat the dog the fox a${i % 2} b${i % 3}"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("pmi")).toMap
+    assert(out.contains(("new", "york")))
+    assert(out(("new", "york")) > out(("the", "cat"))) // fixed phrase beats chance
+  }
+
   test("piiScrub counts and redacts emails, phones and IPs; clean text keeps the rest") {
     val docs = Seq(
       (1L, "mail me at jo.smith+x@corp.example.org or call 555-123-4567 now"),
