@@ -884,6 +884,29 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
         |FROM x GROUP BY 1""".stripMargin)),
 
+    // ---- approximate percentile with a verified drift bound ----
+    // The sketch (QuantileSummaries, accuracy 1000) is the 100 TB path —
+    // exact percentile needs a full sort. The query computes BOTH and
+    // asserts the sketch lands within 2% of exact; the oracle verifies the
+    // exact values independently (quantile_cont parity) and the bound
+    // flag. If the sketch ever drifts out of bound, within_2pct flips
+    // false and the gate goes red.
+    ("q_approxq",
+      (s, d) => Tables(s, d).lineitem
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("ap"))
+        .select(explode(expr(
+          """transform(sequence(0, 2), i -> named_struct(
+            | 'p', array(0.5D, 0.9D, 0.99D)[i],
+            | 'exact_value', ex[i],
+            | 'within_2pct', abs(ap[i] - ex[i]) / ex[i] <= 0.02D))""".stripMargin)).as("r"))
+        .select("r.p", "r.exact_value", "r.within_2pct"),
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS ex FROM lineitem)
+        |SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p,
+        | unnest(ex) AS exact_value,
+        | unnest([true, true, true]) AS within_2pct FROM q""".stripMargin)),
+
     // ---- exact-sums correlation (order-independent second moments) ----
     // Spark's corr() streams doubles (partition-order dependent); this
     // derives the statistic from exact decimal sums with a pinned IEEE op

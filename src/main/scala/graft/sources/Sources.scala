@@ -198,6 +198,31 @@ object Sinks {
     nFiles
   }
 
+  /** Retention expiry: drop hive-layout partitions whose value sorts below
+    * `cutoffExclusive` — the TTL maintenance job (raw-zone retention,
+    * GDPR-driven aging) that operates on partition METADATA only: no data
+    * file is ever read, so expiring a year of a 100 TB table costs
+    * directory listings, not a scan. Values must sort lexicographically
+    * (ISO dates do). Returns the dropped partition values.
+    */
+  def expirePartitions(path: String, partitionCol: String,
+      cutoffExclusive: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val prefix = s"$partitionCol="
+    val doomed = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .filter(_.getFileName.toString.stripPrefix(prefix) < cutoffExclusive)
+      .toSeq
+    doomed.foreach { p =>
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    doomed.map(_.getFileName.toString.stripPrefix(prefix)).sorted
+  }
+
   /** S8: quarantine sink — failed rows + a machine-readable reason column,
     * written beside the clean output. One pass decides both destinations.
     */

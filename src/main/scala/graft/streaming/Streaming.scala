@@ -114,6 +114,56 @@ object Streaming {
       .toDF("user_id", "running_count")
   }
 
+  /** Streaming upsert via foreachBatch: each micro-batch MERGEs into a
+    * keyed parquet target — last-write-wins per key, dedup within the
+    * batch by highest timestamp. foreachBatch is the standard idiom for
+    * sinks Structured Streaming cannot express declaratively (upsert,
+    * multi-table writes, JDBC): the batch is a normal DataFrame, so the
+    * merge is ordinary join logic, and the checkpoint still provides
+    * exactly-once per batch id. On a table format with real MERGE
+    * (Delta/Iceberg) the read-union-rewrite below becomes a single MERGE
+    * INTO; plain parquet needs the rewrite.
+    */
+  def upsertStream(events: DataFrame, keyCol: String, tsCol: String,
+      targetPath: String, checkpoint: String): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, keyCol, tsCol, targetPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the upsert: latest row per key within the batch,
+    * merged over the current target state (batch wins on key collision).
+    * Public so batch jobs can reuse the same merge.
+    */
+  def upsertBatch(batch: DataFrame, keyCol: String, tsCol: String,
+      targetPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val latest = batch
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val current = try spark.read.parquet(targetPath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], latest.schema) }
+    val merged = current.join(latest, Seq(keyCol), "left_anti").unionByName(latest)
+    // rewrite via temp dir: parquet cannot overwrite a path being read
+    val tmp = targetPath.stripSuffix("/") + "._upsert_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val t = java.nio.file.Paths.get(targetPath)
+    if (java.nio.file.Files.exists(t)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(t).iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t)
+  }
+
   /** Batch-incremental runner: AvailableNow processes all pending input then
     * stops; the checkpoint is the file ledger. Re-running continues where the
     * last run stopped — Glue bookmark semantics, engine-managed.

@@ -43,6 +43,17 @@ class SourcesSpec extends SparkSpec {
     assert(report.missing.isEmpty && report.typeMismatch.isEmpty)
   }
 
+  test("expirePartitions drops only partitions below the cutoff, metadata-only") {
+    val dir = s"${tmp()}/retained.parquet"
+    Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3))
+      .toDF("dt", "v").write.partitionBy("dt").parquet(dir)
+    val dropped = Sinks.expirePartitions(dir, "dt", "2024-01-03")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(dir)
+    assert(left.select("dt").as[String].collect().toSeq === Seq("2024-01-03"))
+    assert(Sinks.expirePartitions(dir, "dt", "2024-01-03") === Seq.empty) // idempotent
+  }
+
   test("jsonWithCorrupt isolates malformed lines without dropping anything") {
     val dir = tmp()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 4) // 5 rows, one exact duplicate dropped
   }
 
+  test("foreachBatch upsert: last write wins per key across batches") {
+    val in = java.nio.file.Files.createTempDirectory("ups-in").toString
+    val target = java.nio.file.Files.createTempDirectory("ups-t").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("ups-c").toString
+    def write(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(in)
+    // seed state with batch 1
+    write("b1", Seq((1L, "2024-01-01 10:00:00", "a1"), (2L, "2024-01-01 10:00:00", "b1")))
+    val schema = spark.read.parquet(in).schema
+    Streaming.upsertStream(Streaming.fileStream(spark, in, schema), "id", "ts", target, ckpt)
+    // batch 2: update key 1 (newer), add key 3, and an older duplicate of 1 in-batch
+    write("b2", Seq(
+      (1L, "2024-01-01 11:00:00", "a2"), (1L, "2024-01-01 09:00:00", "a0"),
+      (3L, "2024-01-01 10:30:00", "c1")))
+    Streaming.upsertStream(Streaming.fileStream(spark, in, schema), "id", "ts", target, ckpt)
+    val state = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(state === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
+
   test("dropDuplicatesWithinWatermark also drops a retry whose timestamp differs") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in2b").toString
     Seq(
