@@ -1068,6 +1068,39 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM n GROUP BY 1, 2""".stripMargin)),
 
+    // ---- deterministic class rebalancing ----
+    // Hash-ranked downsampling of documents to <=60 per language; which
+    // rows survive is seed/hash-defined (not SQL-expressible), but the
+    // size contract is — the oracle pins count = least(target, stratum
+    // size) per language.
+    ("q_sample",
+      (s, d) => graft.gold.Sampling.rebalanceByCount(
+          Tables(s, d).documents, "lang", "doc_id", 60)
+        .groupBy("lang").agg(count(lit(1)).as("n")),
+      Some("""SELECT lang, CAST(least(60, count(*)) AS BIGINT) AS n
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- grouped top-k (map-side WindowGroupLimit) ----
+    // Top-3 orders per priority by price: rank-limit windows get the
+    // WindowGroupLimit rewrite, so each map task keeps only its local
+    // top-k before the Exchange — the shuffle carries k rows per group
+    // per partition, not the table. Deterministic tie-break on the key.
+    ("q_topk_grp",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, d).orders
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders)
+        |WHERE rnk <= 3""".stripMargin)),
+
     // ---- cohort retention matrix ----
     ("q_cohort",
       (s, d) => graft.gold.Cohorts.cohortRetention(Tables(s, d).events),
