@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Scale validation for the banded-MinHash dedup path: synthesize a
+  * deterministic corpus with 20 planted near-duplicate pairs, run
+  * `jaccardPairsScalable` at increasing corpus sizes, and report wall
+  * time + planted recall. The claim under test: runtime grows ~linearly
+  * with the corpus (candidates come from banding buckets, never
+  * all-pairs) while recall of true near-dups stays 1.0.
+  *
+  * Usage: runMain graft.DedupScaleBench [n1 n2 ...]   (default 20000 40000)
+  */
+object DedupScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(20000, 40000)
+    val spark = graft.core.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- sizes) {
+      // base docs: 60 hash-drawn tokens from a 1000-word vocabulary;
+      // planted docs n..n+19 copy docs 0..19 with every 15th token
+      // replaced (>= ~0.66 three-gram jaccard vs the original)
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 60),
+          | j -> concat('t', CAST(abs(xxhash64(id, j)) % 1000 AS STRING))))""".stripMargin)
+          .as("text"))
+      val planted = spark.range(20).select((col("id") + n).as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 60),
+          | j -> CASE WHEN j % 15 = 0 THEN concat('x', CAST(j AS STRING))
+          |   ELSE concat('t', CAST(abs(xxhash64(id, j)) % 1000 AS STRING)) END))""".stripMargin)
+          .as("text"))
+      val docs = base.unionByName(planted).cache()
+      docs.count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.jaccardPairsScalable(docs, "doc_id",
+        n = 3, minJaccard = 0.5, numHashTables = 8).cache()
+      val total = pairs.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val plantedFound = pairs.filter(col("doc_b") === col("doc_a") + n).count()
+      println(f"docs=${n + 20} pairs=$total planted_recall=${plantedFound / 20.0}%.2f sec=$dt%.1f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
