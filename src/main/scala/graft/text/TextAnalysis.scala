@@ -230,11 +230,15 @@ object TextAnalysis {
       .groupBy("bg").agg(count(lit(1)).as("cxy"))
     val nUni = uni.agg(sum(col("c")).as("nu"))
     val nBi = bi.agg(sum(col("cxy")).as("nb"))
+    // vocabulary joins carry NO broadcast hint: a web-scale corpus can
+    // push the unigram table past any broadcast threshold — AQE
+    // broadcasts when measured small, shuffles otherwise (the single-row
+    // totals stay hinted)
     bi.filter(col("cxy") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(uni.toDF("w1", "cx")), Seq("w1"))
-      .join(broadcast(uni.toDF("w2", "cy")), Seq("w2"))
+      .join(uni.toDF("w1", "cx"), Seq("w1"))
+      .join(uni.toDF("w2", "cy"), Seq("w2"))
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .withColumn("pmi", round(log(
         (col("cxy").cast("double") / col("nb"))
