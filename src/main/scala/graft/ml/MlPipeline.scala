@@ -152,4 +152,63 @@ object MlPipeline {
       .setParallelism(4)
       .fit(df)
   }
+
+  final case class HalvingTrial(params: Map[String, Double], score: Double,
+      round: Int, trainFraction: Double)
+
+  /** M11, the SEQUENTIAL form: successive halving (Jamieson & Talwalkar,
+    * AISTATS 2016 — the inner loop of Hyperband). Start many seeded
+    * configurations on a small training fraction, keep the top half each
+    * round, and double the budget for the survivors — the adaptive
+    * explore-then-exploit behavior the reference buys from its managed
+    * Bayesian HPO job, without a surrogate model: fully deterministic
+    * (seeded sampling, seeded fraction splits, score ties broken by
+    * config index) and cluster-friendly (each round's survivors train in
+    * parallel; only the ROUNDS are sequential, and there are
+    * log2(trials) of them). Returns every trial's history plus the
+    * winner, so the caller can audit the halving path.
+    */
+  def successiveHalvingLr(df: DataFrame, numericCols: Seq[String], labelCol: String,
+      ranges: Seq[ParamRange], trials: Int = 8, seed: Long = 42L,
+      minFraction: Double = 0.25): (Map[String, Double], Seq[HalvingTrial]) = {
+    require(trials >= 2, "need at least 2 trials to halve")
+    val rnd = new scala.util.Random(seed)
+    var configs: Seq[(Int, Map[String, Double])] = (0 until trials).map { i =>
+      i -> ranges.map(r => r.name -> r.sample(rnd.nextDouble())).toMap
+    }
+    val rounds = (math.log(trials.toDouble) / math.log(2.0)).ceil.toInt
+    val history = scala.collection.mutable.ArrayBuffer.empty[HalvingTrial]
+    val Array(trainFull, test) = df.randomSplit(Array(0.8, 0.2), seed)
+    val evalCount = test.cache().count()
+    require(evalCount > 0, "empty eval split")
+
+    for (round <- 0 until rounds if configs.size > 1) {
+      val frac = math.min(1.0, minFraction * (1 << round))
+      val train = if (frac >= 1.0) trainFull
+        else trainFull.sample(withReplacement = false, frac, seed + round)
+      val scored = configs.map { case (idx, params) =>
+        val fp = featurePipeline(numericCols)
+        val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
+        params.foreach {
+          case ("regParam", v)        => lr.setRegParam(v)
+          case ("elasticNetParam", v) => lr.setElasticNetParam(v)
+          case ("tol", v)             => lr.setTol(v)
+          case ("maxIter", v)         => lr.setMaxIter(math.round(v).toInt)
+          case (other, _) => throw new IllegalArgumentException(s"unknown LR param: $other")
+        }
+        val model = new Pipeline().setStages(fp.getStages :+ lr).fit(train)
+        val f1 = new MulticlassClassificationEvaluator()
+          .setLabelCol(labelCol).setMetricName("f1")
+          .evaluate(model.transform(test))
+        history += HalvingTrial(params, f1, round, frac)
+        (idx, params, f1)
+      }
+      // keep the top half; ties broken by config index for determinism
+      configs = scored.sortBy { case (idx, _, f1) => (-f1, idx) }
+        .take(math.max(1, configs.size / 2))
+        .map { case (idx, params, _) => idx -> params }
+    }
+    test.unpersist()
+    (configs.head._2, history.toSeq)
+  }
 }

@@ -90,4 +90,25 @@ class MlSpec extends SparkSpec {
     val r = MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true)
     assert(math.abs(r.sample(0.0) - 1e-4) < 1e-12 && math.abs(r.sample(1.0) - 1.0) < 1e-12)
   }
+
+  test("successive halving prunes configs each round and grows the budget") {
+    val ranges = Seq(MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true))
+    val (best, history) = MlPipeline.successiveHalvingLr(
+      train, Seq("x", "y"), "label", ranges, trials = 4, seed = 11L)
+    assert(best.contains("regParam"))
+    // round 0 scores all 4, round 1 scores the surviving 2
+    assert(history.count(_.round === 0) === 4)
+    assert(history.count(_.round === 1) === 2)
+    // budget doubles between rounds
+    assert(history.filter(_.round === 0).forall(_.trainFraction === 0.25))
+    assert(history.filter(_.round === 1).forall(_.trainFraction === 0.5))
+    // survivors are exactly the top half of round 0 (ties by config index)
+    val r0Top = history.filter(_.round === 0).sortBy(-_.score).take(2).map(_.params).toSet
+    assert(history.filter(_.round === 1).map(_.params).toSet === r0Top)
+    // deterministic under the same seed
+    val (best2, history2) = MlPipeline.successiveHalvingLr(
+      train, Seq("x", "y"), "label", ranges, trials = 4, seed = 11L)
+    assert(best2 === best)
+    assert(history2.map(_.score) === history.map(_.score))
+  }
 }
