@@ -1068,6 +1068,25 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM n GROUP BY 1, 2""".stripMargin)),
 
+    // ---- calendar-spine gap fill ----
+    // Sparse metric (purchases of 3 users) over the FULL stream's date
+    // range: missing days must surface as explicit zero rows (verified
+    // present at sf0.01).
+    ("q_spine",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        Windows.gapFillDaily(
+          ev.filter(col("event_type") === "purchase" && col("user_id") < 3),
+          ev, "ts", "value")
+      },
+      Some("""WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+        |s AS (SELECT unnest(list_transform(range(0, CAST(hi - lo AS INT) + 1), i -> lo + CAST(i AS INT))) AS d FROM b),
+        |e AS (SELECT CAST(ts AS DATE) AS d, sum(CAST(value AS DECIMAL(18,2))) AS rev, count(*) AS n
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 3 GROUP BY 1)
+        |SELECT s.d, CAST(coalesce(e.rev, 0) AS DOUBLE) AS revenue,
+        | CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+        |FROM s LEFT JOIN e USING (d)""".stripMargin)),
+
     // ---- deterministic class rebalancing ----
     // Hash-ranked downsampling of documents to <=60 per language; which
     // rows survive is seed/hash-defined (not SQL-expressible), but the

@@ -62,6 +62,31 @@ object Windows {
         max(col(tsCol)).as("session_end"),
         sum(col(valueCol).cast("decimal(18,2)")).as("session_value"))
 
+  /** Calendar-spine gap fill: aggregate a timestamped metric per day, then
+    * left-join it onto the full min..max date spine so missing days appear
+    * as explicit zero rows — the prerequisite for every moving-average /
+    * lag computation ([[movingStats]] windows silently skip absent rows
+    * otherwise). The spine bounds come from `boundsDf` (usually the
+    * unfiltered stream, so a filtered metric still spans the full
+    * calendar) as a 1-row aggregate exploded into dates — lazy, broadcast,
+    * no driver collect; the spine is bounded by days-in-range regardless
+    * of corpus size.
+    */
+  def gapFillDaily(metric: DataFrame, boundsDf: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = metric
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("_rev"),
+        count(lit(1)).as("_n"))
+    val spine = boundsDf
+      .agg(to_date(min(col(tsCol))).as("lo"), to_date(max(col(tsCol))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("_rev"), lit(0).cast("decimal(28,2)")).as("revenue"),
+        coalesce(col("_n"), lit(0L)).as("n_events"))
+  }
+
   /** Native `session_window` sessionization — the engine-managed form of
     * [[sessionize]]: one aggregation, sessions merge while events fall
     * within the previous event's [ts, ts + gap] horizon INCLUSIVE — an

@@ -48,6 +48,22 @@ class WindowsSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("events") === 1L)
   }
 
+  test("gapFillDaily surfaces missing days as explicit zero rows over the full spine") {
+    val all = Seq(
+      ("2024-01-01 09:00:00", 1.0), ("2024-01-04 09:00:00", 1.0))
+      .toDF("ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val metric = all.filter(col("value") > 0) // same frame; spine from `all`
+    val out = Windows.gapFillDaily(metric, all, "ts", "value").collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        ((r.getAs[java.math.BigDecimal]("revenue").doubleValue, r.getAs[Long]("n_events"))))
+      .toMap
+    assert(out.size === 4) // full 01-01..01-04 spine
+    assert(out("2024-01-01") === ((1.0, 1L)))
+    assert(out("2024-01-02") === ((0.0, 0L))) // gap day materialized
+    assert(out("2024-01-03") === ((0.0, 0L)))
+    assert(out("2024-01-04") === ((1.0, 1L)))
+  }
+
   test("sessionWindowStats: boundary event merges; past the gap starts a new session") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
