@@ -111,8 +111,10 @@ object Similarity {
       .select(col(keyCol), col("v"), col("norm"))
       .withColumn("features", array_to_vector(col("v")))
     // coarse quantizer: few iterations suffice — cells only route
-    // candidates, exact re-rank fixes any assignment fuzziness
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(8)
+    // candidates, exact re-rank fixes any assignment fuzziness (4 iters
+    // measured recall-equivalent to 8 on the planted-pair gate, at half
+    // the fit cost — the fit dominates this query's wall time)
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(4)
       .setFeaturesCol("features").setPredictionCol("cell").fit(base)
     val assigned = model.transform(base).select(col(keyCol), col("v"), col("norm"), col("cell"))
 
