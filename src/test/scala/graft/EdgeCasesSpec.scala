@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: operators must return empty/identity
+  * results on empty or single-row corpora, not throw — an orchestrated
+  * pipeline hits empty partitions and filtered-to-nothing inputs daily.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc = Seq((1L, "only one document here")).toDF("doc_id", "text")
+
+  test("dedup pipelines return empty on empty and single-doc corpora") {
+    import graft.dedup.Dedup
+    assert(Dedup.jaccardPairsScalable(noDocs, "doc_id").count() === 0)
+    assert(Dedup.jaccardPairsScalable(oneDoc, "doc_id").count() === 0)
+    assert(Dedup.simHashPairs(noDocs, "doc_id").count() === 0)
+    assert(Dedup.exactStats(oneDoc).head().getAs[Long]("duplicate_rows") === 0L)
+  }
+
+  test("winnowing and collocations handle empty and too-short input") {
+    import graft.text.TextAnalysis
+    assert(TextAnalysis.winnowFingerprints(noDocs, "doc_id").count() === 0)
+    assert(TextAnalysis.winnowFingerprints(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id")
+      .count() === 0) // below k tokens -> no k-grams -> no fingerprints
+    assert(TextAnalysis.collocations(noDocs).count() === 0)
+  }
+
+  test("as-of join with an empty right side keeps every left row, all-null matches") {
+    import graft.operators.AsOfJoin
+    val left = Seq(("a", 1L, "x")).toDF("k", "t", "id")
+    val right = Seq.empty[(String, Long, Double)].toDF("k", "t", "v")
+    val out = AsOfJoin.asOfBackward(left, right, "k", "t").collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_ts")))
+  }
+
+  test("ANN query-set variants return empty for an empty query set") {
+    import graft.similarity.Similarity
+    val emb = (0L until 10L).map(i => (i, Seq.fill(8)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val noIds = Seq.empty[Long].toDF("vec_id")
+    assert(Similarity.lshTopKFor(emb, "vec_id", noIds, k = 3).count() === 0)
+    assert(Similarity.ivfTopKFor(emb, "vec_id", noIds, k = 3, nClusters = 2).count() === 0)
+  }
+
+  test("sampling operators are identity-at-fraction-1 and empty-safe") {
+    import graft.gold.Sampling
+    val docs = Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+    assert(Sampling.stratifiedSample(docs, "lang", "id", Map.empty).count() === 2)
+    assert(Sampling.stratifiedSample(noDocs.toDF("id", "lang"), "lang", "id",
+      Map("en" -> 0.5)).count() === 0)
+    assert(Sampling.rebalanceByCount(docs, "lang", "id", 10).count() === 2)
+  }
+
+  test("gap fill over an empty metric still spans the bounds frame with zeros") {
+    import graft.operators.Windows
+    val bounds = Seq(("2024-01-01 09:00:00", 1.0), ("2024-01-03 09:00:00", 1.0))
+      .toDF("ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val emptyMetric = bounds.filter(lit(false))
+    val out = Windows.gapFillDaily(emptyMetric, bounds, "ts", "value")
+    assert(out.count() === 3)
+    assert(out.agg(sum("n_events")).head().getLong(0) === 0L)
+  }
+}
