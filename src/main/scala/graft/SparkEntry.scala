@@ -667,6 +667,31 @@ object SparkEntry {
         | md5(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233))) AS norm_hash
         |FROM documents""".stripMargin)),
 
+    // ---- near-dup clusters (connected components over pair graph) ----
+    // Pairs come from the scale-safe banded path; the oracle rebuilds the
+    // transitive closure with a recursive CTE over the exact pair set.
+    // Output: one row per cluster with its canonical (minimum) doc id.
+    ("q_clusters",
+      (s, d) => {
+        val pairs = Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
+          n = 3, minJaccard = 0.5, numHashTables = 8)
+        Dedup.dedupClusters(pairs)
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT s, d FROM e UNION SELECT r.s, e.d FROM r, e WHERE r.d = e.s),
+        |lab AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM r GROUP BY s)
+        |SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1""".stripMargin)),
+
     // ---- PII scrub + report ----
     // The synthetic corpus carries no PII, so the query injects a
     // deterministic email/phone/IP per doc (same construction on both

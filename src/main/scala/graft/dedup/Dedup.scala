@@ -232,6 +232,52 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Connected components over a near-dup pair graph — the capstone of
+    * corpus dedup: banding finds PAIRS, but keeping one document per
+    * GROUP needs the transitive closure (a~b, b~c ⇒ one cluster {a,b,c}).
+    * Iterative minimum-label propagation: every node repeatedly adopts
+    * the smallest label among itself and its neighbors until no label
+    * changes. Each iteration is one join + one aggregation (all keyed
+    * shuffles, no driver-side graph); iterations are bounded by the
+    * cluster diameter — near-dup clusters are shallow (near-cliques), so
+    * a handful of rounds converge even at corpus scale. The per-round
+    * cache+count cuts lineage growth (the iterative-algorithm
+    * checkpoint-lite idiom).
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs`, with
+    * cluster_id = the minimum member id — the deterministic canonical
+    * representative ("keep the smallest doc_id" policy).
+    *
+    * Lineage is truncated each round with `localCheckpoint` — caching
+    * alone is NOT enough for iterative joins: the logical plan doubles
+    * per iteration and plan construction itself OOMs past ~8 rounds
+    * (observed). A production cluster should prefer reliable
+    * `checkpoint` (localCheckpoint data dies with a lost executor).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.toDF("dst", "nlabel"), Seq("dst"))
+        .groupBy("src").agg(min(col("nlabel")).as("nbr_min"))
+        .toDF("id", "nbr_min")
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, each bit
     * votes +1/−1, sign of the vote sum sets the bit. One explode + one
     * aggregation (64 conditional sums fused in a single pass).

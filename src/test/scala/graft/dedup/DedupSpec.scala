@@ -82,4 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(exact === Set((0L, 30L)))
     assert(scalable === exact)
   }
+
+  test("dedupClusters closes transitive chains and picks the min-id canonical") {
+    import spark.implicits._
+    // chain 1~2~3 (1-3 never paired directly), separate pair 10~11, isolated pair 20~21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,   // transitive closure, canonical = min
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters converges on a long path (diameter > 2)") {
+    import spark.implicits._
+    // path 0-1-2-...-9: worst-case diameter for min propagation
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size === 10)
+    assert(labels.values.toSet === Set(0L)) // one component, canonical 0
+  }
 }
