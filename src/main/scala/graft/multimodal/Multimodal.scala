@@ -109,6 +109,49 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Real image resize via AWT: decode (JDK codecs), scale with bilinear
+    * interpolation to `targetW`×`targetH`, re-encode as PNG. Undecodable
+    * payloads pass through unchanged with `resized = false` — the
+    * pipeline keeps every row, mirroring the decode fallback contract.
+    * mapPartitions keeps pixel work executor-side; output is
+    * (key, media, width, height, resized).
+    */
+  def resizeImages(df: DataFrame, keyCol: String, targetW: Int, targetH: Int,
+      mediaCol: String = "media"): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("media", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("resized", BooleanType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        decodeImage(bytes) match {
+          case Some((_, _, _, img)) =>
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            Row(r.get(keyIdx), buf.toByteArray, targetW, targetH, true)
+          case None =>
+            Row(r.get(keyIdx), bytes, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-channel (R, G, B) pixel histograms with `bins` buckets per channel
     * — (key, r_hist, g_hist, b_hist), null arrays for undecodable payloads.
     * Each channel histogram sums to width×height. mapPartitions for the

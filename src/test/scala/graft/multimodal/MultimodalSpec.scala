@@ -69,6 +69,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L)._1 === "stub/decoded")
   }
 
+  test("resizeImages scales decodable images and passes the rest through") {
+    val rows = Seq((1L, pngBytes(8, 6)), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(rows, "doc_id", targetW = 4, targetH = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val img = out(1L)
+    assert(img.getAs[Boolean]("resized"))
+    assert(img.getAs[Int]("width") === 4 && img.getAs[Int]("height") === 3)
+    // round-trip: the emitted bytes decode as a real 4x3 PNG
+    val Some((fmt, w, h, _)) = Multimodal.decodeImage(img.getAs[Array[Byte]]("media"))
+    assert(fmt === "image/png" && w === 4 && h === 3)
+    // undecodable payload: untouched bytes, resized = false, null dims
+    assert(!out(2L).getAs[Boolean]("resized"))
+    assert(out(2L).getAs[Array[Byte]]("media").toSeq === "not an image".getBytes("UTF-8").toSeq)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")))
+  }
+
   test("channelHistogram: per-channel sums equal pixel count; colors land in the right bins") {
     val rows = Seq((1L, pngBytes()), (2L, "xx".getBytes("UTF-8"))).toDF("doc_id", "media")
     val out = Multimodal.channelHistogram(rows, "doc_id").collect()
