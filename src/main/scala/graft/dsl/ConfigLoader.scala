@@ -46,7 +46,7 @@ object ConfigLoader {
   def deepMerge(defaults: JsonNode, overrides: JsonNode): JsonNode =
     if (defaults.isObject && overrides.isObject) {
       val out = defaults.deepCopy[ObjectNode]()
-      overrides.fields().asScala.foreach { e =>
+      overrides.properties().asScala.foreach { e =>
         val merged =
           if (out.has(e.getKey)) deepMerge(out.get(e.getKey), e.getValue)
           else e.getValue

@@ -68,16 +68,16 @@ object Scd2 {
 
     // 1. current rows with no change (or absent from incoming): keep as-is
     val kept = joined.filter(col(s"cur.$key").isNotNull && !col("_changed"))
-      .select(outCols.map(c => col(s"cur.$c")): _*)
+      .select(outCols.toIndexedSeq.map(c => col(s"cur.$c")): _*)
     // 2. current rows whose attributes changed: close them
     val closed = joined.filter(col("_changed"))
-      .select(outCols.map(c => col(s"cur.$c")): _*)
+      .select(outCols.toIndexedSeq.map(c => col(s"cur.$c")): _*)
       .withColumn("end_date", asOf)
       .withColumn("is_current", lit(false))
     // 3. incoming rows that are new keys or changed versions: append open
     val opened = joined.filter(col(s"inc.$key").isNotNull &&
         (col(s"cur.$key").isNull || col("_changed")))
-      .select(outCols.map(c => col(s"inc.$c")): _*)
+      .select(outCols.toIndexedSeq.map(c => col(s"inc.$c")): _*)
 
     history.unionByName(kept).unionByName(closed).unionByName(opened)
   }

@@ -36,7 +36,7 @@ object SurrogateKeys {
     // are globally consecutive and deterministic. Note repartitionByRange +
     // a second independent job would NOT be: SQL range exchanges re-sample
     // boundaries per action.
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -44,28 +44,28 @@ object QualityReport {
     }
     if (config.nullColumns.nonEmpty) {
       val worst = DataQuality.nullCheck(df, config.nullColumns)
-        .agg(max("null_pct")).head.getDouble(0)
+        .agg(max("null_pct")).head().getDouble(0)
       checks += CheckScore("null_check", 100.0 - worst, worst <= t.maxNullPct)
     }
     if (config.dupKeys.nonEmpty) {
-      val r = DataQuality.duplicateCheck(df, config.dupKeys).head
+      val r = DataQuality.duplicateCheck(df, config.dupKeys).head()
       val total = df.count()
       val pct = if (total == 0) 0.0 else r.getAs[Long]("duplicate_rows").toDouble / total * 100.0
       checks += CheckScore("duplicate_check", 100.0 - pct, pct <= t.maxDupPct)
     }
     if (config.rangeRules.nonEmpty) {
       val worst = DataQuality.rangeCheck(df, config.rangeRules)
-        .agg(max("violation_pct")).head.getDouble(0)
+        .agg(max("violation_pct")).head().getDouble(0)
       checks += CheckScore("range_check", 100.0 - worst, worst <= t.maxOutlierPct)
     }
     config.freshnessCol.foreach { c =>
-      val hours = DataQuality.freshness(df, c, conf).head.getAs[Long]("age_hours")
+      val hours = DataQuality.freshness(df, c, conf).head().getAs[Long]("age_hours")
       val score = math.max(0.0, 100.0 - math.max(0, hours - t.maxAgeHours))
       checks += CheckScore("freshness", score, hours <= t.maxAgeHours)
     }
     if (config.iqrColumns.nonEmpty) {
       val row = DataQuality.iqrOutliers(df, config.iqrColumns)
-        .agg(max(col("outliers").cast("double") / col("total") * 100.0)).head.getDouble(0)
+        .agg(max(col("outliers").cast("double") / col("total") * 100.0)).head().getDouble(0)
       checks += CheckScore("iqr_outliers", 100.0 - row, row <= t.maxOutlierPct)
     }
 
