@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 3-run median by default: single-run per-query numbers on this box
+    // swing up to 4.6× on identical code (JIT/GC/page-cache noise — see
+    // PERF.md), so each query is timed `runs` times and the MEDIAN is
+    // reported; the max-over-queries spread ratio is emitted alongside so
+    // a noisy run is visible in the JSON itself.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,25 +25,44 @@ object Bench {
       val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
       warm.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    // Failed queries are reported in "failed" and excluded from the total —
-    // never folded in as if they ran (round-1 verdict fix).
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Dedup/LSH queries cache intermediates (shingles, TF vectors); left
-      // in place the InMemoryRelations accumulate across the 56-query
-      // session, eating heap and polluting later timings. Clearing is
-      // outside the timer: each query is billed its own cost only.
-      spark.catalog.clearCache()
-      (name, dt, ok)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // run-major order (full suite, then again): back-to-back repeats of
+    // one query would share its page-cache/JIT warmth and understate the
+    // median; interleaving keeps each timing an honest cold-ish sample.
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Dedup/LSH queries cache intermediates (shingles, TF vectors); left
+        // in place the InMemoryRelations accumulate across the session,
+        // eating heap and polluting later timings. Clearing is outside the
+        // timer: each query is billed its own cost only.
+        spark.catalog.clearCache()
+        (name, dt, ok)
+      }
     }
-    val qs = timed.collect { case (k, v, true) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // A query is reported only if it succeeded in EVERY run; failures are
+    // listed in "failed" and excluded from the total — never folded in as
+    // if they ran (round-1 verdict fix).
+    val perQuery = names.map(_._1).map { name =>
+      val obs = samples.map(_.find(_._1 == name).get)
+      (name, median(obs.map(_._2)), obs.forall(_._3),
+        if (obs.map(_._2).min > 0) obs.map(_._2).max / obs.map(_._2).min else 1.0)
+    }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val qs = perQuery.collect { case (k, v, true, _) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
-    val failed = timed.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = timed.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val spreads = perQuery.collect { case (k, _, true, sp) => s"\"$k\":${r3(sp)}" }
+      .mkString("{", ",", "}")
+    val failed = perQuery.collect { case (k, _, false, _) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = perQuery.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

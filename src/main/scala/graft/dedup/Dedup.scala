@@ -248,18 +248,34 @@ object Dedup {
     * cluster_id = the minimum member id — the deterministic canonical
     * representative ("keep the smallest doc_id" policy).
     *
-    * Lineage is truncated each round with `localCheckpoint` — caching
-    * alone is NOT enough for iterative joins: the logical plan doubles
-    * per iteration and plan construction itself OOMs past ~8 rounds
-    * (observed). A production cluster should prefer reliable
-    * `checkpoint` (localCheckpoint data dies with a lost executor).
+    * Lineage is truncated each round — caching alone is NOT enough for
+    * iterative joins: the logical plan doubles per iteration and plan
+    * construction itself OOMs past ~8 rounds (observed). Two modes:
+    *   - `checkpointDir = None` (default, test scale): eager
+    *     `localCheckpoint` — fast, but the truncated state lives on
+    *     executors and dies with a lost one.
+    *   - `checkpointDir = Some(path)` (production): reliable `checkpoint`
+    *     to a fault-tolerant filesystem — a multi-hour clustering job
+    *     survives executor loss and resumes from the last round's state.
+    *
+    * Labels are seeded at min(self, neighbors) in one aggregation over the
+    * edge list, which is exactly what round 1 of plain min-label
+    * propagation would compute — one full join round saved.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    val edges = truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    // seed from the neighborhood minimum: every node in `pairs` appears as
+    // src (edges hold both directions), so one groupBy covers all nodes
+    var labels = truncate(edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .toDF("id", "label"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -267,10 +283,9 @@ object Dedup {
         .join(labels.toDF("dst", "nlabel"), Seq("dst"))
         .groupBy("src").agg(min(col("nlabel")).as("nbr_min"))
         .toDF("id", "nbr_min")
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = truncate(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")))
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1

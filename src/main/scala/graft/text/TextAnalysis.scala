@@ -102,13 +102,16 @@ object TextAnalysis {
       .agg(countDistinct(col(keyCol)).as("df"))
       .withColumn("idf", round(log(lit(corpusSize.toDouble) / col("df")), 6))
 
-  /** TF-IDF long format: join tf with idf (broadcast — the vocabulary is
-    * small relative to the corpus).
+  /** TF-IDF long format: join tf with idf. The vocabulary join is left
+    * un-hinted on purpose — a web-scale corpus's distinct-token relation is
+    * unbounded, so a forced broadcast would materialize it on the driver.
+    * AQE picks broadcast when the vocabulary actually is small (as it is at
+    * test scale) and falls back to a shuffled join when it isn't.
     */
   def tfIdf(df: DataFrame, keyCol: String, textCol: String = "text",
       corpusSize: Long): DataFrame = {
     val tf = termFrequencies(df, keyCol, textCol)
-    tf.join(broadcast(docFrequencies(tf, keyCol, corpusSize)), Seq("token"))
+    tf.join(docFrequencies(tf, keyCol, corpusSize), Seq("token"))
       .withColumn("tf_idf", round(col("tf") * col("idf"), 6))
   }
 
