@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{AsOfJoin, Scd2, Skew, SurrogateKeys, Windows}
+import graft.operators.{AsOfJoin, Bucketing, Scd2, Skew, SurrogateKeys, Windows}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -1337,7 +1337,67 @@ object SparkEntry {
         |SELECT 'range_check',
         | 100.0 - round(CAST(v0 AS DOUBLE) / total * 100.0, 6),
         | round(CAST(v0 AS DOUBLE) / total * 100.0, 6) <= 2.0
-        |FROM t""".stripMargin))
+        |FROM t""".stripMargin)),
+
+    // ---- Q1 schema compliance as a registered query: the ACTUAL schema is
+    //      read from the documents parquet by each engine independently
+    //      (Spark: df.schema; DuckDB: DESCRIBE) and compared against the
+    //      same literal expected-column contract — which deliberately
+    //      drifts from the table ('license' expected but absent, 'source'
+    //      present but undeclared), so missing/extra/score are all
+    //      exercised. Types in the expected struct match the table's, so
+    //      the type-mismatch leg contributes 0 here (it stays covered by
+    //      DataQualitySpec, where cross-engine type-name parity isn't a
+    //      constraint). ----
+    ("q_schema",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val expected = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("license", StringType),
+          StructField("n_chars", LongType)))
+        val rep = DataQuality.schemaCompliance(Tables(s, d).documents.schema, expected)
+        import s.implicits._
+        Seq((rep.missing.sorted.mkString(","), rep.extra.sorted.mkString(","),
+            rep.typeMismatch.size.toLong, rep.score))
+          .toDF("missing_cols", "extra_cols", "type_mismatch_count", "compliant_pct")
+      },
+      Some("""WITH actual AS (SELECT column_name FROM (DESCRIBE documents)),
+        |expected(column_name) AS (
+        |  SELECT * FROM (VALUES ('doc_id'), ('text'), ('lang'), ('license'), ('n_chars'))),
+        |m AS (SELECT coalesce(string_agg(column_name, ',' ORDER BY column_name), '') AS missing_cols,
+        |  count(*) AS n_missing
+        |  FROM expected WHERE column_name NOT IN (SELECT column_name FROM actual)),
+        |e AS (SELECT coalesce(string_agg(column_name, ',' ORDER BY column_name), '') AS extra_cols
+        |  FROM actual WHERE column_name NOT IN (SELECT column_name FROM expected))
+        |SELECT m.missing_cols, e.extra_cols, CAST(0 AS BIGINT) AS type_mismatch_count,
+        |  CAST(((SELECT count(*) FROM expected) - m.n_missing) * 100.0
+        |    / (SELECT count(*) FROM expected) AS DOUBLE) AS compliant_pct
+        |FROM m, e""".stripMargin)),
+
+    // ---- bucketed co-located join (one-time bucketed write, then the
+    //      fact×dim join runs with no shuffle Exchange on either side —
+    //      the no-Exchange property itself is asserted in BucketingSpec;
+    //      this registered query gates the RESULT against the oracle) ----
+    ("q_bucketed",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        Bucketing.writeBucketed(
+          t.orders.select(col("o_custkey").as("c_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+          "graft_b_orders", "c_custkey", 8, Seq("c_custkey"), Some(tmp))
+        Bucketing.writeBucketed(
+          t.customer.select(col("c_custkey"), col("c_mktsegment")),
+          "graft_b_customer", "c_custkey", 8, Seq("c_custkey"), Some(tmp))
+        Bucketing.bucketedJoin(s, "graft_b_orders", "graft_b_customer", "c_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total_price"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum($PriceDecSql) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

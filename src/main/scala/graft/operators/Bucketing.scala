@@ -13,14 +13,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write a frame as a bucketed, sorted catalog table. */
+  /** Write a frame as a bucketed, sorted catalog table. With `path` the
+    * table is external at `path/table` (keeps the default warehouse dir —
+    * the process working directory in local mode — clean).
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+      buckets: Int, sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .format("parquet")
-      .saveAsTable(table)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    path.foreach(p => ws.option("path", s"$p/$table"))
+    ws.format("parquet").saveAsTable(table)
   }
 
   /** Join two same-bucketed tables on the bucket key — plan contains no

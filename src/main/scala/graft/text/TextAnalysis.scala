@@ -144,30 +144,49 @@ object TextAnalysis {
     * SHARED fingerprint — partial-overlap detection that whole-document
     * md5 (exact dedup) cannot provide.
     *
-    * The k-gram "hash" is the md5 hex string and the window minimum is
-    * lexicographic: deliberately engine-portable (the DuckDB oracle
-    * reproduces it bit-for-bit), at the cost of hashing wider than a
-    * 64-bit rolling hash — a production corpus would swap in xxhash64
-    * behind the same shape.
+    * Two hash choices behind `portableHashes`:
+    *   - true (default, the oracle form): the k-gram hash is the md5 hex
+    *     string and the window minimum is lexicographic — deliberately
+    *     engine-portable (the DuckDB oracle reproduces it bit-for-bit).
+    *   - false (production): xxhash64 — a LONG fingerprint, ~4× narrower
+    *     than the 32-char hex string in shuffle/storage and far cheaper to
+    *     compute and compare at corpus scale; the window minimum is
+    *     numeric. Any deterministic hash yields a valid winnowing (the
+    *     shared-run guarantee is per-hash), so the two variants select
+    *     different positions but both satisfy the MOSS contract.
     *
-    * Shape: each k-gram is hashed ONCE in long format, then the sliding
-    * minimum is a window-frame `min` over (key, position) and the per-doc
-    * dedup a distinct — one shuffle on the key. (An earlier pure-HOF array
-    * form had no shuffle but Catalyst's projection collapse inlined the
-    * k-gram hashing expression into every window element, recomputing the
-    * whole hash array per window: O(n²) md5 calls per doc, ~30× slower at
-    * sf0.1. The long form hashes O(n) and compares O(n·w).)
+    * Shape (both variants): each k-gram is hashed ONCE in long format, then
+    * the sliding minimum is a window-frame `min` over (key, position) and
+    * the per-doc dedup a distinct — one shuffle on the key. (An earlier
+    * pure-HOF array form had no shuffle but Catalyst's projection collapse
+    * inlined the k-gram hashing expression into every window element,
+    * recomputing the whole hash array per window: O(n²) md5 calls per doc,
+    * ~30× slower at sf0.1. The long form hashes O(n) and compares O(n·w).)
     */
   def winnowFingerprints(df: DataFrame, keyCol: String, textCol: String = "text",
-      k: Int = 3, w: Int = 4): DataFrame = {
+      k: Int = 3, w: Int = 4, portableHashes: Boolean = true): DataFrame =
+    winnowSelections(df, keyCol, textCol, k, w, portableHashes)
+      .select(col(keyCol), col("fingerprint")).distinct()
+
+  /** Winnowing selections in long format — (keyCol, pos, fingerprint), one
+    * row per window with pos = the window's start index (0-based over the
+    * doc's k-gram sequence), BEFORE the per-doc distinct. Exposed so the
+    * selection step itself is testable against an independent reference
+    * for either hash choice.
+    */
+  def winnowSelections(df: DataFrame, keyCol: String, textCol: String = "text",
+      k: Int = 3, w: Int = 4, portableHashes: Boolean = true): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     import org.apache.spark.sql.expressions.Window
+    val kgramHash =
+      if (portableHashes) s"md5(concat_ws(' ', slice(tokens, i, $k)))"
+      else s"xxhash64(concat_ws(' ', slice(tokens, i, $k)))"
     val kg = withTokens(df, textCol)
       .withColumn("_n_kg", size(col("tokens")) - (k - 1))
       .filter(col("_n_kg") > 0)
       .select(col(keyCol), col("_n_kg"), posexplode(expr(
         s"""transform(sequence(1, size(tokens) - ${k - 1}),
-           |  i -> md5(concat_ws(' ', slice(tokens, i, $k))))""".stripMargin))
+           |  i -> $kgramHash)""".stripMargin))
         .as(Seq("_idx", "_kh")))
     val frame = Window.partitionBy(col(keyCol)).orderBy(col("_idx"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -175,7 +194,7 @@ object TextAnalysis {
       // keep only full windows; a doc shorter than w hashes keeps its one
       // all-covering window at position 0 (the frame clips to the doc end)
       .filter(col("_idx") <= greatest(col("_n_kg") - w, lit(0)))
-      .select(col(keyCol), col("fingerprint")).distinct()
+      .select(col(keyCol), col("_idx").as("pos"), col("fingerprint"))
   }
 
   /** PII patterns for scrubbing/reporting. Deliberately lookaround-free so

@@ -105,4 +105,20 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 10)
     assert(labels.values.toSet === Set(0L)) // one component, canonical 0
   }
+
+  test("dedupClusters reliable-checkpoint path converges on the diameter-9 chain") {
+    import spark.implicits._
+    // production mode: lineage truncation goes through checkpoint() to a
+    // filesystem dir (survives executor loss), not localCheckpoint
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(pairs, checkpointDir = Some(ckpt)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size === 10)
+    assert(labels.values.toSet === Set(0L))
+    // the reliable files actually landed in the requested dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0)
+  }
 }

@@ -85,6 +85,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert((byDoc(1L) & byDoc(3L)).isEmpty)   // unrelated docs don't collide
   }
 
+  test("winnowing: selection positions match an independent reference for both hash choices") {
+    // The window/selection logic is recomputed here in plain Scala (sliding
+    // min over the k-gram hash sequence, full windows only, pos-0 fallback
+    // for short docs); only the scalar hash primitives are shared with the
+    // engine. Asserted for BOTH hash choices: md5 (portable/oracle form)
+    // and xxhash64 (production form).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "a b c d e f g h i j k"),
+      (3L, "a b c d"),      // 2 k-grams < w -> single clipped window at pos 0
+      (4L, "one two three") // exactly 1 k-gram
+    ).toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val toks: Map[Long, Seq[String]] = TextAnalysis.withTokens(docs, "text")
+      .select("doc_id", "tokens").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    def expectedFor[T: Ordering](hash: String => T): Set[(Long, Int, T)] =
+      toks.flatMap { case (id, ts) =>
+        val hs = ts.sliding(k).filter(_.size == k).map(g => hash(g.mkString(" "))).toIndexedSeq
+        if (hs.isEmpty) Seq.empty
+        else (0 to math.max(hs.size - w, 0)).map(p =>
+          (id, p, hs.slice(p, math.min(p + w, hs.size)).min))
+      }.toSet
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def xx64(s: String): Long = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+
+    val gotMd5 = TextAnalysis.winnowSelections(docs, "doc_id", k = k, w = w).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[String]("fingerprint"))).toSet
+    assert(gotMd5 === expectedFor(md5hex))
+
+    val gotXx = TextAnalysis.winnowSelections(docs, "doc_id", k = k, w = w,
+        portableHashes = false).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("fingerprint"))).toSet
+    assert(gotXx === expectedFor(xx64))
+  }
+
+  test("winnowing: the shared-run guarantee holds under the xxhash64 production variant") {
+    val shared = "p q r s t u" // 6 tokens = w + k - 1 for k=3, w=4
+    val docs = Seq(
+      (1L, s"a b c $shared d e f"),
+      (2L, s"x y $shared z w v"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", portableHashes = false).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint"))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+
   test("winnowing: short docs fall back to a single minimum fingerprint") {
     val docs = Seq(
       (1L, "a b c d"),   // 2 k-grams < w -> one min fingerprint
