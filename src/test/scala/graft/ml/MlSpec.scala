@@ -111,4 +111,30 @@ class MlSpec extends SparkSpec {
     assert(best2 === best)
     assert(history2.map(_.score) === history.map(_.score))
   }
+
+  test("bayesian search runs a seeded surrogate loop and returns the argmax trial") {
+    val ranges = Seq(
+      MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true),
+      MlPipeline.ParamRange("elasticNetParam", 0.0, 1.0))
+    def run() = MlPipeline.bayesianSearchLr(train, Seq("x", "y"), "label",
+      ranges, initTrials = 3, iterations = 3, candidatesPerIter = 64, seed = 5L)
+    val (best, history) = run()
+    // init design + one EI-chosen trial per iteration
+    assert(history.size === 6)
+    assert(history.take(3).forall(_.phase === "init"))
+    assert(history.drop(3).forall(_.phase === "bayes"))
+    // every proposed config stays inside its declared (log) range
+    assert(history.forall(t => t.params("regParam") >= 1e-4 && t.params("regParam") <= 1.0))
+    assert(history.forall(t =>
+      t.params("elasticNetParam") >= 0.0 && t.params("elasticNetParam") <= 1.0))
+    // acquisition values are recorded and nonnegative
+    assert(history.drop(3).forall(_.expectedImprovement >= 0.0))
+    // the returned winner IS the best-scoring trial in the history
+    assert(history.map(_.score).max === history.find(_.params == best).get.score)
+    // bit-deterministic under the same seed
+    val (best2, history2) = run()
+    assert(best2 === best)
+    assert(history2.map(_.score) === history.map(_.score))
+    assert(history2.map(_.expectedImprovement) === history.map(_.expectedImprovement))
+  }
 }
