@@ -14,7 +14,7 @@ import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.TextAnalysis
+import graft.text.{CorpusCuration, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
@@ -1397,7 +1397,61 @@ object SparkEntry {
       Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum($PriceDecSql) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- benchmark decontamination: 13-gram collision check between a
+    //      "benchmark" split (doc_id % 10 = 0) and the rest of the corpus;
+    //      grams compared by md5 on both engines ----
+    ("q_contam",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        CorpusCuration.contamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", n = 13)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+        |  i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+        |  FROM d WHERE len(toks) >= 13),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS shared_ngrams
+        |FROM g WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bench)
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- deterministic stratified sampling: exact per-language quotas by
+    //      portable hash order (md5 of the key) — reproducible across
+    //      engines, unlike rand() ----
+    ("q_stratified",
+      (s, d) => CorpusCuration.stratifiedSample(Tables(s, d).documents, "lang", 30)
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 30""".stripMargin)),
+
+    // ---- deterministic weighted mixture sampling: per-language keep-rates
+    //      via a hash threshold (floor(rate*2^32) as hex, 1.0 -> 'g');
+    //      thresholds below are the fixed contract for rates
+    //      en 0.5 / fr 1.0 / es 0.25 / de 0.75 / zh 0.1 ----
+    ("q_mixture",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val kept = CorpusCuration.mixtureSample(docs, "lang",
+          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.25, "de" -> 0.75, "zh" -> 0.1))
+        docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+          .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+          .na.fill(0L, Seq("n_kept"))
+      },
+      Some("""WITH thr(lang, t) AS (SELECT * FROM (VALUES
+        |  ('en', '80000000'), ('fr', 'g'), ('es', '40000000'),
+        |  ('de', 'c0000000'), ('zh', '19999999'))),
+        |tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        |k AS (SELECT d.lang AS lang, count(*) AS n_kept
+        |  FROM documents d JOIN thr ON d.lang = thr.lang
+        |  WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < thr.t
+        |  GROUP BY 1)
+        |SELECT tot.lang, tot.n_total, coalesce(k.n_kept, 0) AS n_kept
+        |FROM tot LEFT JOIN k ON tot.lang = k.lang""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

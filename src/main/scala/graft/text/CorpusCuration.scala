@@ -40,6 +40,80 @@ object CorpusCuration {
       .drop("_rn")
   }
 
+  /** Benchmark decontamination — the n-gram collision check run over a
+    * training corpus before a model sees it (the 13-gram overlap analysis
+    * popularized by the GPT-3 appendix and successors): flag corpus
+    * documents sharing ANY token n-gram with a benchmark/eval set.
+    *
+    * Grams are compared by md5 (engine-portable, and the join shuffles a
+    * fixed 32-char key instead of an n-token string). The benchmark side
+    * is reduced to DISTINCT grams and the join left un-hinted: real
+    * benchmark suites are small enough that AQE broadcasts them, but
+    * nothing forces driver-side materialization if the "benchmark" is
+    * itself corpus-sized. Returns (keyCol, shared_ngrams) for contaminated
+    * corpus documents only.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 13): DataFrame = {
+    require(n > 1, "n-gram size must be > 1")
+    def grams(df: DataFrame) = TextAnalysis.withTokens(df, textCol)
+      .filter(size(col("tokens")) >= n)
+      .select(col(keyCol), explode(expr(
+        s"""transform(sequence(1, size(tokens) - ${n - 1}),
+           |  i -> md5(concat_ws(' ', slice(tokens, i, $n))))""".stripMargin)).as("gh"))
+    grams(corpus)
+      .join(grams(benchmark).select("gh").distinct(), Seq("gh"))
+      .groupBy(keyCol).agg(countDistinct(col("gh")).as("shared_ngrams"))
+  }
+
+  /** Deterministic stratified sampling: exactly `quota` documents per
+    * stratum, chosen by a portable hash order (md5 of the doc key) —
+    * reproducible across runs, partitionings and engines, unlike
+    * rand()-based sampling. The row_number filter compiles to
+    * WindowGroupLimit, so only per-partition top-quota rows reach the
+    * stratum shuffle — the same map-side pruning as q_topk_grp.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, quota: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, "quota must be positive")
+    docs.withColumn("_rk", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(strataCol).orderBy(col("_rk"), col(keyCol))))
+      .filter(col("_rn") <= quota)
+      .drop("_rk", "_rn")
+  }
+
+  /** Deterministic weighted mixture sampling ("data mixture" balancing —
+    * e.g. downsample the dominant language): per-stratum keep-rates applied
+    * as a hash threshold on the doc key. The scale-safe alternative to
+    * rand() sampling: bit-reproducible across retries and partitionings,
+    * pure projection + filter (no shuffle, no join), and any engine can
+    * replay the decision. The first 8 md5 hex chars of (salt ++ key) are
+    * compared against floor(rate·2^32) as zero-padded lowercase hex —
+    * equal-length hex compares lexicographically exactly like the number it
+    * encodes. Documents in strata without a declared rate are dropped.
+    */
+  def mixtureSample(docs: DataFrame, strataCol: String, rates: Map[String, Double],
+      keyCol: String = "doc_id", salt: String = "mix"): DataFrame = {
+    val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (k, r)) => when(col(strataCol) === lit(k), lit(thresholdHex(r))).otherwise(acc)
+    }
+    docs
+      .withColumn("_u", substring(
+        md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 8))
+      .filter(col("_u") < thrCol)
+      .drop("_u")
+  }
+
+  /** floor(rate·2^32) as 8-char lowercase hex; rate 1.0 maps to "g", which
+    * sorts above every hex digit — keep-everything without a 33-bit edge.
+    */
+  private[text] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
   /** Funnel report: how many documents each curation stage removed. */
   def funnel(docs: DataFrame, config: Config = Config()): DataFrame = {
     val s = scored(docs, config)

@@ -30,4 +30,52 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out.contains(1L) && !out.contains(2L)) // exact dup dropped
     assert(!out.contains(3L)) // language
   }
+
+  test("contamination flags exactly the corpus docs sharing an n-gram with the benchmark") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens: one shared 6-gram
+    val bench = Seq((100L, s"lead in $run trailing words here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix tokens $run and a suffix"),              // contains the run
+      (2L, "alpha beta gamma delta epsilon other entirely"), // only a 5-gram prefix
+      (3L, "completely unrelated content with many words")
+    ).toDF("doc_id", "text")
+    val hits = CorpusCuration.contamination(corpus, bench, "doc_id", n = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_ngrams")).toMap
+    assert(hits === Map(1L -> 1L)) // doc 1 only, exactly the one shared 6-gram
+  }
+
+  test("stratified sample takes an exact per-stratum quota, hash-deterministically") {
+    val corpus = (1L to 40L).map(i => (i, if (i <= 25) "en" else "de", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    def run() = CorpusCuration.stratifiedSample(corpus, "lang", 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val a = run()
+    assert(a.count(_._2 == "en") === 10)
+    assert(a.count(_._2 == "de") === 10)
+    assert(run().toSet === a.toSet)        // same hash order every run
+    // a stratum smaller than the quota is kept whole
+    val small = CorpusCuration.stratifiedSample(corpus.filter($"lang" === "de"), "lang", 100)
+    assert(small.count() === 15)
+  }
+
+  test("mixture sample applies per-stratum keep-rates via the hash threshold") {
+    val corpus = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val kept = CorpusCuration.mixtureSample(corpus, "lang",
+      Map("en" -> 1.0, "de" -> 0.5)).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(kept("en") === 200L)                     // rate 1.0 keeps everything
+    assert(kept("de") > 60L && kept("de") < 140L)   // ~half of 200, hash-uniform
+    // deterministic: the same call keeps the same rows
+    val ids = CorpusCuration.mixtureSample(corpus, "lang", Map("de" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusCuration.mixtureSample(corpus, "lang", Map("de" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids2)
+    assert(ids.forall(_ % 2 == 1)) // undeclared strata (en) are dropped
+    // threshold encoding: 1.0 -> 'g' (keep-all), others are 8-char hex
+    assert(CorpusCuration.thresholdHex(1.0) === "g")
+    assert(CorpusCuration.thresholdHex(0.5) === "80000000")
+    assert(CorpusCuration.thresholdHex(0.1) === "19999999")
+  }
 }
