@@ -40,6 +40,22 @@ object DedupScaleBench {
       val plantedFound = pairs.filter(col("doc_b") === col("doc_a") + n).count()
       println(f"docs=${n + 20} pairs=$total planted_recall=${plantedFound / 20.0}%.2f sec=$dt%.1f")
       spark.catalog.clearCache()
+
+      // clusters over a synthetic pair graph scaled with the corpus:
+      // n/100 chains of length 10 (diameter 9 — worst case for min-label
+      // propagation at this component size). Validates that the iterative
+      // join path stays linear in edges with a fixed round count.
+      val chains = n / 100
+      val edges = spark.range(chains * 9).select(
+        ((col("id") / 9).cast("long") * 10 + (col("id") % 9)).as("doc_a"),
+        ((col("id") / 9).cast("long") * 10 + (col("id") % 9) + 1).as("doc_b"))
+      val t1 = System.nanoTime()
+      val labels = Dedup.dedupClusters(edges)
+      val nodes = labels.count()
+      val comps = labels.select("cluster_id").distinct().count()
+      val dtc = (System.nanoTime() - t1) / 1e9
+      println(f"cluster_nodes=$nodes components=$comps (expect ${chains}) sec=$dtc%.1f")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
