@@ -39,8 +39,10 @@ object CustomerAnalytics {
         max(col("order_date")).as("last_order_date"),
         countDistinct(col("order_date")).as("active_days")
       )
+      // un-rounded: money-average round-ties diverge across engines (see
+      // SalesSummary.daily note)
       .withColumn("avg_order_value",
-        round(col("total_spent").cast("double") / col("total_orders"), 6))
+        col("total_spent").cast("double") / col("total_orders"))
       .withColumn("recency_days", datediff(asOf, col("last_order_date")))
       .withColumn("tenure_days", datediff(col("last_order_date"), col("first_order_date")))
   }

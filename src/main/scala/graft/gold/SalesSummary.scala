@@ -48,8 +48,13 @@ object SalesSummary {
               col("daily_revenue").cast("double") * col("daily_revenue").cast("double") / col("order_count"))
               / (col("order_count") - 1), lit(0.0))), 2))
           .otherwise(lit(null).cast("double")))
+      // NO round on money averages: cents ÷ a 2^k count terminates at 7-8
+      // decimals but is binary-INEXACT, so Spark (rounds the shortest decimal
+      // repr, HALF_UP) and an exact-binary engine disagree on the tie — seen
+      // live at sf0.1. The raw IEEE division of identical exact inputs is
+      // bit-equal in every engine.
       .withColumn("avg_order_value",
-        round(col("daily_revenue").cast("double") / col("order_count"), 6))
+        col("daily_revenue").cast("double") / col("order_count"))
       .drop("_sumsq")
 
   /** A2: monthly two-key summary with countDistinct active days. */
@@ -68,8 +73,8 @@ object SalesSummary {
       )
       .withColumn("month_year",
         concat(col("order_year"), lit("-"), lpad(col("order_month"), 2, "0")))
-      .withColumn("avg_daily_revenue",
-        round(col("monthly_revenue").cast("double") / col("active_days"), 6))
+      .withColumn("avg_daily_revenue", // un-rounded: see daily's tie note
+        col("monthly_revenue").cast("double") / col("active_days"))
 
   /** A11: two-level re-aggregation — customers → value bucket → segment
     * rollup with % shares. The % share uses a broadcast-friendly window over
@@ -141,8 +146,8 @@ object SalesSummary {
     totals
       .crossJoin(broadcast(best))
       .crossJoin(broadcast(bestMonth))
-      .withColumn("avg_revenue_per_customer",
-        round(col("total_revenue").cast("double") / col("unique_customers"), 6))
+      .withColumn("avg_revenue_per_customer", // un-rounded: see daily's tie note
+        col("total_revenue").cast("double") / col("unique_customers"))
   }
 
   /** A12/U1: daily + monthly summaries conformed to one schema and unioned
