@@ -1470,7 +1470,69 @@ object SparkEntry {
         |  WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < thr.t
         |  GROUP BY 1)
         |SELECT tot.lang, tot.n_total, coalesce(k.n_kept, 0) AS n_kept
-        |FROM tot LEFT JOIN k ON tot.lang = k.lang""".stripMargin))
+        |FROM tot LEFT JOIN k ON tot.lang = k.lang""".stripMargin)),
+
+    // ---- sequence packing (concat-then-chunk): the corpus token stream in
+    //      doc_id order, +1 separator per doc, cut into 128-token training
+    //      sequences; docs straddle boundaries. The cumulative offsets come
+    //      from the two-pass distributed prefix sum (no global window) ----
+    ("q_pack",
+      (s, d) => {
+        val w = TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        CorpusCuration.packSequences(w, capacity = 128L, weightCol = "n_tokens")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) + 1 AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM d),
+        |x AS (SELECT doc_id, e - w AS s, e FROM c),
+        |q AS (SELECT doc_id, s, e,
+        |    unnest(range(s // 128, ((e - 1) // 128) + 1)) AS seq_id FROM x)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128)) AS BIGINT) AS n_tokens
+        |FROM q GROUP BY 1""".stripMargin)),
+
+    // ---- deterministic shuffle-and-shard (training epoch ordering): shard
+    //      from the first two md5 hex digits of the salted key (256 unbiased
+    //      buckets mod 8), position by hash order within shard ----
+    ("q_shard",
+      (s, d) => CorpusCuration.shuffleShards(Tables(s, d).documents, nShards = 8)
+        .select("doc_id", "shard", "pos"),
+      Some("""WITH h AS (SELECT doc_id,
+        |    md5('epoch0' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |b AS (SELECT doc_id, hh,
+        |    CAST((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+        |      + instr('0123456789abcdef', substr(hh, 2, 1)) - 1 AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin)),
+
+    // ---- SemDeDup: cluster-scoped semantic dedup — within each embedding
+    //      cluster (the label column stands in for the KMeans assignment),
+    //      drop vectors with a smaller-keyed cluster mate at cosine >= 0.85;
+    //      reported as per-cluster total/kept counts ----
+    ("q_semdedup",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val dropped = Dedup.semDedupDropped(emb, tau = 0.85)
+        emb.groupBy("label").agg(count(lit(1)).as("n_total"))
+          .join(Dedup.semDedup(emb, tau = 0.85).groupBy("label")
+            .agg(count(lit(1)).as("n_kept")), Seq("label"), "left")
+          .na.fill(0L, Seq("n_kept"))
+          .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS nm FROM e),
+        |p AS (SELECT DISTINCT b.vec_id AS dropped
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) / (a.nm * b.nm) >= 0.85)
+        |SELECT label, count(*) AS n_total,
+        |  CAST(count(*) FILTER (WHERE vec_id NOT IN (SELECT dropped FROM p)) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE vec_id IN (SELECT dropped FROM p)) AS BIGINT) AS n_dropped
+        |FROM e GROUP BY 1""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

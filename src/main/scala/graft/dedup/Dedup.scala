@@ -232,6 +232,41 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023): within
+    * each cluster of a coarse partitioning of embedding space, drop every
+    * vector that has a more-senior (smaller-key) cluster mate at cosine ≥
+    * `tau`; cross-cluster near-dups are deliberately out of scope (that is
+    * the technique's scaling contract). The exact within-cluster compare
+    * is quadratic ONLY in cluster size, so the partitioning bounds the
+    * blowup: n² becomes k·(n/k)² — the reason this runs at corpus scale
+    * where a global all-pairs scan cannot.
+    *
+    * `clusterCol` is the precomputed cluster assignment (in production a
+    * KMeans fit — [[graft.similarity.Similarity.ivfTopK]]'s coarse
+    * quantizer produces exactly this; the tests use the data's label
+    * column). Keep-first-by-key makes the output deterministic and
+    * engine-reproducible, unlike centroid-distance tie-breaking.
+    *
+    * Scale shape: one shuffle on `clusterCol` for the self-join; each
+    * cluster's pairs stay in one task. Returns the distinct dropped keys.
+    */
+  def semDedupDropped(df: DataFrame, tau: Double, keyCol: String = "vec_id",
+      clusterCol: String = "label", embCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val base = Similarity.withNorm(df, embCol)
+      .select(col(keyCol), col(clusterCol).as("_c"), col("v"), col("norm"))
+    base.toDF("ka", "_c", "va", "na")
+      .join(base.toDF("kb", "_c", "vb", "nb"), Seq("_c"))
+      .filter(col("ka") < col("kb"))
+      .filter(expr("graft_dot(va, vb) / (na * nb)") >= tau)
+      .select(col("kb").as(keyCol)).distinct()
+  }
+
+  /** The surviving corpus after [[semDedupDropped]]: one anti-join. */
+  def semDedup(df: DataFrame, tau: Double, keyCol: String = "vec_id",
+      clusterCol: String = "label", embCol: String = "embedding"): DataFrame =
+    df.join(semDedupDropped(df, tau, keyCol, clusterCol, embCol), Seq(keyCol), "left_anti")
+
   /** Connected components over a near-dup pair graph — the capstone of
     * corpus dedup: banding finds PAIRS, but keeping one document per
     * GROUP needs the transitive closure (a~b, b~c ⇒ one cluster {a,b,c}).

@@ -114,6 +114,101 @@ object CorpusCuration {
     if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
+  /** Global token offsets for concat-then-chunk packing: each document,
+    * taken in `orderCol` order, occupies the half-open token span
+    * [start, end) of the concatenated corpus stream, where its width is
+    * `weightCol + sepTokens` (the separator/EOS a tokenizer appends after
+    * each document).
+    *
+    * The running sum is NOT a global `sum().over(Window.orderBy(...))` —
+    * an unpartitioned window serializes the whole corpus through one task.
+    * Instead: a distributed range-sort, a per-partition subtotal pass
+    * (numPartitions values collected — bounded by cluster size, not data),
+    * and a second pass adding each partition's driver-computed prefix
+    * offset. Both passes run over the SAME materialized sort lineage (one
+    * shuffle instance, map outputs reused), so spans are globally
+    * consecutive and deterministic — the same mechanism as
+    * [[graft.operators.SurrogateKeys.scalableKeys]].
+    */
+  def tokenSpans(docs: DataFrame, weightCol: String, orderCol: String = "doc_id",
+      sepTokens: Int = 1): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(sepTokens >= 0, "sepTokens must be non-negative")
+    val sorted = docs
+      .select(col(orderCol).cast("long"),
+        (col(weightCol).cast("long") + lit(sepTokens.toLong)).as("_w"))
+      .orderBy(col(orderCol))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val perPart = rdd.mapPartitionsWithIndex(
+        (i, it) => Iterator.single((i, it.foldLeft(0L)(_ + _._2))),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (k, w) => val st = acc; acc += w; Row(k, st, st + w) }
+    }
+    docs.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField(orderCol, LongType, nullable = false),
+      StructField("start", LongType, nullable = false),
+      StructField("end", LongType, nullable = false))))
+  }
+
+  /** Sequence packing for LLM training (concat-then-chunk): the corpus
+    * token stream from [[tokenSpans]] is cut into fixed `capacity`-token
+    * training sequences; documents straddle sequence boundaries (the
+    * standard GPT-style packing — no padding, no document loss). Returns
+    * one row per sequence: (seq_id, n_docs touching it, n_tokens filled —
+    * `capacity` everywhere except possibly the last sequence).
+    *
+    * Scale shape: one range-sort for the spans, then a pure
+    * Project+Generate (each doc explodes into the 1..⌈w/capacity⌉+1
+    * sequences it touches) and one aggregation on seq_id.
+    */
+  def packSequences(docs: DataFrame, capacity: Long, weightCol: String,
+      orderCol: String = "doc_id", sepTokens: Int = 1): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    tokenSpans(docs, weightCol, orderCol, sepTokens)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(CAST(floor(start / $capacity) AS BIGINT), CAST(floor((`end` - 1) / $capacity) AS BIGINT))")))
+      .withColumn("_toks",
+        least(col("end"), (col("seq_id") + 1) * capacity)
+          - greatest(col("start"), col("seq_id") * capacity))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("n_tokens"))
+  }
+
+  /** Deterministic corpus shuffle-and-shard for reproducible training
+    * epochs: each document is assigned a shard by a salted portable hash
+    * (change the salt to get an independent epoch ordering) and a position
+    * within its shard by hash order. Bit-reproducible across runs,
+    * partitionings and engines — unlike `repartition(n)` + `rand()`, whose
+    * assignment changes with the physical partitioning.
+    *
+    * The shard index is the first two md5 hex digits (256 unbiased
+    * buckets) mod `nShards`; `nShards` must divide 256 so every shard
+    * gets an equal slice of hash space. Scale shape: the hash + shard is a
+    * pure projection; the position is a window partitioned by shard —
+    * parallel across shards, and each shard's sort is exactly the write
+    * order a training job wants its shard files in.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int, keyCol: String = "doc_id",
+      salt: String = "epoch0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0 && 256 % nShards == 0,
+      s"nShards must divide 256 for unbiased hex-bucket assignment: $nShards")
+    docs
+      .withColumn("_h", md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")))
+      .withColumn("shard", expr(
+        """CAST((instr('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16
+          | + instr('0123456789abcdef', substr(_h, 2, 1)) - 1 AS BIGINT)""".stripMargin)
+        % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col(keyCol))).cast("long"))
+      .drop("_h")
+  }
+
   /** Funnel report: how many documents each curation stage removed. */
   def funnel(docs: DataFrame, config: Config = Config()): DataFrame = {
     val s = scored(docs, config)

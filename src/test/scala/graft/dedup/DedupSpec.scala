@@ -83,6 +83,34 @@ class DedupSpec extends SparkSpec {
     assert(scalable === exact)
   }
 
+  test("semDedup drops within-cluster near-dups only, keeping the smallest key") {
+    // cluster 1: vec 2 duplicates vec 1; vec 3 is orthogonal.
+    // cluster 2: vec 4 duplicates vec 1 but sits in another cluster -> kept
+    // (cluster-scoped by design — cross-cluster dups are out of contract).
+    val emb = Seq(
+      (1L, 1, Array(1f, 0f, 0f)),
+      (2L, 1, Array(1f, 0f, 0f)),
+      (3L, 1, Array(0f, 1f, 0f)),
+      (4L, 2, Array(1f, 0f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val kept = Dedup.semDedup(emb, tau = 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("semDedup drop rule is any-senior-mate, not surviving-mate (greedy keep-first)") {
+    // a=0°, b=45°, c=90°: cos(a,b) and cos(b,c) ≈ 0.707 >= 0.7, cos(a,c) = 0.
+    // c is dropped because of b even though b itself is dropped — the greedy
+    // keep-first contract (matches the oracle's EXISTS semantics).
+    val s2 = math.sqrt(0.5).toFloat
+    val emb = Seq(
+      (1L, 1, Array(1f, 0f)),
+      (2L, 1, Array(s2, s2)),
+      (3L, 1, Array(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val kept = Dedup.semDedup(emb, tau = 0.7).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("dedupClusters closes transitive chains and picks the min-id canonical") {
     import spark.implicits._
     // chain 1~2~3 (1-3 never paired directly), separate pair 10~11, isolated pair 20~21

@@ -78,4 +78,54 @@ class CorpusCurationSpec extends SparkSpec {
     assert(CorpusCuration.thresholdHex(0.5) === "80000000")
     assert(CorpusCuration.thresholdHex(0.1) === "19999999")
   }
+
+  test("packSequences cuts the concatenated stream with boundary straddles") {
+    // widths+sep: doc1 [0,4) doc2 [4,14) doc3 [14,20) doc4 [20,21); cap 10
+    val w = Seq((1L, 3L), (2L, 9L), (3L, 5L), (4L, 0L)).toDF("doc_id", "n_tokens")
+    val out = CorpusCuration.packSequences(w, capacity = 10L, weightCol = "n_tokens")
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // doc2 straddles seqs 0/1, so it counts toward both
+    assert(out === Map(0L -> (2L, 10L), 1L -> (2L, 10L), 2L -> (1L, 1L)))
+  }
+
+  test("token spans are consecutive and partitioning-independent") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 500L).map(i => (i, rnd.nextInt(90).toLong + 10L))
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      CorpusCuration.tokenSpans(df, "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = spans(docs.toDF("doc_id", "n_tokens"))
+    val b = spans(docs.toDF("doc_id", "n_tokens").repartition(7))
+    assert(a.toSeq === b.toSeq) // same spans whatever the input partitioning
+    assert(a.head._2 === 0L)
+    a.sliding(2).foreach { case Array(p, n) => assert(n._2 === p._3); case _ => }
+    // every sequence except the last is filled to exactly the capacity
+    val seqs = CorpusCuration.packSequences(
+        docs.toDF("doc_id", "n_tokens"), capacity = 128L, weightCol = "n_tokens")
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getAs[Long]("n_tokens"))
+      .sortBy(_._1)
+    assert(seqs.dropRight(1).forall(_._2 === 128L))
+    assert(seqs.map(_._2).sum === a.map(s => s._3 - s._2).sum)
+  }
+
+  test("shuffleShards assigns every doc once, deterministically, with dense positions") {
+    val corpus = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      CorpusCuration.shuffleShards(df, nShards = 8, salt = salt).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val a = run(corpus, "epoch0")
+    assert(a.length === 200 && a.map(_._1).distinct.length === 200)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are 1..n within each shard (write order for shard files)
+    a.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // physical partitioning does not change the assignment; the salt does
+    assert(run(corpus.repartition(5), "epoch0").toSet === a.toSet)
+    assert(run(corpus, "epoch1").toSet !== a.toSet)
+    intercept[IllegalArgumentException] {
+      CorpusCuration.shuffleShards(corpus, nShards = 7)
+    }
+  }
 }
