@@ -848,7 +848,12 @@ object SparkEntry {
         // flips many signature bits: sf0.001 has a jaccard-0.89 pair of
         // ~10-token docs at hamming 9 (sharing 2 bands) that a 7-cut drops.
         val cand = Dedup.simHashPairs(docs, "doc_id", bands = 8, maxHamming = 15)
-        Dedup.exactJaccardForPairs(docs, cand, "doc_id", n = 3, minJaccard = 0.5)
+        // acceptPairsByJaccard, not exactJaccardForPairs: the wide hamming
+        // cut emits ~2.4M candidates on the low-entropy sf0.1 corpus, and
+        // the explode-based re-rank fans each doc's shingles across all its
+        // pairs (23s); the pair-local array_intersect form stays one row
+        // per candidate (the 0.5-acceptance itself is unchanged).
+        Dedup.acceptPairsByJaccard(docs, cand, "doc_id", n = 3, minJaccard = 0.5)
           .select(col("doc_a"), col("doc_b"), lit(true).as("simhash_close"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

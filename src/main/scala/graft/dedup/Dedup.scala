@@ -107,6 +107,41 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Jaccard ACCEPTANCE filter over a large candidate pair set — the
+    * high-fan-out sibling of [[exactJaccardForPairs]]. That form explodes
+    * candidate docs' shingles and re-joins on the shingle, which fans each
+    * doc's shingles across ALL its candidate pairs: fine for the few
+    * thousand pairs MinHash banding emits, ruinous for a loose generator
+    * (a wide SimHash hamming cut on a low-entropy corpus emits millions).
+    * Here the pair list stays one-row-per-pair: two key-joins attach each
+    * side's shingle array hashed to 64-bit (narrow rows — longs, not
+    * n-token strings), and the intersection size is a per-row
+    * `array_intersect` projection. No shuffle grows with candidate count ×
+    * shingle count.
+    *
+    * Sizes come from the ORIGINAL distinct-shingle arrays (exact); the
+    * intersection is on xxhash64 values, so a cross-doc hash collision
+    * could in principle inflate `inter` — P ≈ |a|·|b|/2⁶⁴ per pair,
+    * negligible even across millions of candidates, and only observable
+    * if it flips a pair exactly at `minJaccard`. Use this as a pair
+    * accept/reject gate; use [[exactJaccardForPairs]] when the inter/size
+    * values themselves are the output.
+    */
+  def acceptPairsByJaccard(df: DataFrame, candidates: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val arr = shingleArrays(df, keyCol, textCol, n)
+      .select(col(keyCol), expr("transform(sh, s -> xxhash64(s))").as("hs"),
+        size(col("sh")).cast("long").as("sz"))
+    candidates.select("doc_a", "doc_b")
+      .join(arr.toDF("doc_a", "hs_a", "size_a"), Seq("doc_a"))
+      .join(arr.toDF("doc_b", "hs_b", "size_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard restricted to a given candidate pair set.
     *
     * Note: pairs whose shingle sets do not intersect (and docs with fewer

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -81,6 +82,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(exact === Set((0L, 30L)))
     assert(scalable === exact)
+  }
+
+  test("acceptPairsByJaccard accepts exactly the pairs exactJaccardForPairs keeps") {
+    val rnd = new scala.util.Random(11)
+    // 4-word vocabulary: plenty of genuine mid-jaccard pairs, straddling 0.3
+    val words = Vector("key", "agg", "row", "scan")
+    val docs = (1L to 60L).map { i =>
+      i -> Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    // all ordered pairs as candidates — the loosest possible generator
+    val ids = docs.select(col("doc_id"))
+    val cand = ids.toDF("doc_a").crossJoin(ids.toDF("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = pairs(Dedup.exactJaccardForPairs(docs, cand, "doc_id", minJaccard = 0.3))
+    val fast = pairs(Dedup.acceptPairsByJaccard(docs, cand, "doc_id", minJaccard = 0.3))
+    assert(exact.nonEmpty && fast === exact)
   }
 
   test("semDedup drops within-cluster near-dups only, keeping the smallest key") {
