@@ -1537,7 +1537,55 @@ object SparkEntry {
         |SELECT label, count(*) AS n_total,
         |  CAST(count(*) FILTER (WHERE vec_id NOT IN (SELECT dropped FROM p)) AS BIGINT) AS n_kept,
         |  CAST(count(*) FILTER (WHERE vec_id IN (SELECT dropped FROM p)) AS BIGINT) AS n_dropped
-        |FROM e GROUP BY 1""".stripMargin))
+        |FROM e GROUP BY 1""".stripMargin)),
+
+    // ---- DSIR importance resampling: target = doc_id%10==0 docs, source =
+    //      the rest; hashed-unigram (4096 md5 buckets) add-one log-ratios
+    //      in integer micros, per-doc integer sums, deterministic
+    //      Gumbel-top-50 (salted-hash noise) ----
+    ("q_dsir",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val target = docs.filter(col("doc_id") % 10 === 0)
+        val source = docs.filter(col("doc_id") % 10 =!= 0)
+        val ratios = graft.text.ImportanceSampling.logRatioMicros(target, source)
+        val w = graft.text.ImportanceSampling.importanceWeightsMicros(source, ratios)
+        graft.text.ImportanceSampling.gumbelTopK(w, k = 50, salt = "dsir0")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        |tcnt AS (SELECT bucket, count(*) AS tc FROM b WHERE doc_id % 10 = 0 GROUP BY 1),
+        |scnt AS (SELECT bucket, count(*) AS sc FROM b WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM b WHERE doc_id % 10 = 0) AS tt,
+        |               (SELECT count(*) FROM b WHERE doc_id % 10 <> 0) AS st),
+        |r AS (SELECT coalesce(tcnt.bucket, scnt.bucket) AS bucket,
+        |        CAST(floor(ln(((coalesce(tc, 0) + 1.0) / (tt + CAST(4096 AS DOUBLE)))
+        |          / ((coalesce(sc, 0) + 1.0) / (st + CAST(4096 AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS lr_micros
+        |      FROM tcnt FULL JOIN scnt ON tcnt.bucket = scnt.bucket CROSS JOIN tot),
+        |w AS (SELECT doc_id, CAST(sum(lr_micros) AS BIGINT) AS logw_micros
+        |      FROM b JOIN r USING (bucket) WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |g AS (SELECT doc_id, logw_micros, logw_micros
+        |        + CAST(floor(-ln(-ln((('0x' || substr(md5('dsir0' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 0.5) / 65536.0))
+        |            * 1e6 + 0.5) AS BIGINT) AS score_micros
+        |      FROM w)
+        |SELECT doc_id, logw_micros, score_micros FROM g
+        |ORDER BY score_micros DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ---- unigram-LM NLL quality signal (perplexity filter): per-token
+    //      cost from the corpus's own hashed-unigram distribution, exact
+    //      integer micros per doc, one double mean at the boundary ----
+    ("q_unigram_ppl",
+      (s, d) => graft.text.ImportanceSampling.unigramNll(Tables(s, d).documents),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        |cnt AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt FROM b),
+        |per AS (SELECT doc_id,
+        |    CAST(floor(-ln(cb / CAST(tt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM b JOIN cnt USING (bucket) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_micros) AS BIGINT) AS nll_total_micros,
+        |  CAST(CAST(sum(nll_micros) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
+        |FROM per GROUP BY 1""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

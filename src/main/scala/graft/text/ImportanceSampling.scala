@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR, Xie et al. 2023) —
+  * select corpus documents whose hashed-n-gram distribution looks like a
+  * target domain — plus the unigram-LM negative-log-likelihood quality
+  * signal (the CCNet-style "perplexity filter", here with the corpus's own
+  * unigram distribution as the LM).
+  *
+  * Engine-portability design: every per-document score is a SUM OF 64-BIT
+  * INTEGERS ("micros" — log-ratios rounded to 1e-6 at the per-BUCKET level),
+  * so document scores are exact and partition-order independent, and any
+  * engine replays them bit-for-bit. The only floating-point steps are
+  * per-bucket (one ln over correctly-rounded double divisions, then
+  * `floor(x*1e6 + 0.5)` — floor, not round(): Spark's round() on doubles
+  * goes through shortest-repr BigDecimal and can tie-break differently from
+  * an exact-binary engine). A 1-ulp ln() discrepancy across libm
+  * implementations flips a floor only inside a ~1e-10-wide boundary zone
+  * per bucket — negligible, and confined to one bucket's ±1 micro.
+  *
+  * Scale shape: bucket distributions are one explode + one bounded-key
+  * groupBy (≤ `nBuckets` rows — the point of feature hashing); per-doc
+  * weights are one join against that bounded table (AQE broadcasts it) +
+  * one integer-sum groupBy; resampling is a global top-k
+  * (TakeOrderedAndProject — map-side partial top-k, no full sort).
+  */
+object ImportanceSampling {
+
+  /** One row per token: (keyCol, bucket). The bucket is the first 3 hex
+    * chars of md5(token) — 4096 hashed unigram features, portable to any
+    * engine with md5. (DSIR hashes n-grams; unigrams are the n=1 instance —
+    * callers wanting bigrams can pre-join tokens into a text column.)
+    */
+  def tokenBuckets(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("tok"))
+      .select(col(keyCol), substring(md5(col("tok").cast("binary")), 1, 3).as("bucket"))
+
+  /** Per-bucket importance log-ratio in micros:
+    * floor(ln(p̂_b / q̂_b)·1e6 + 0.5) with add-one smoothing over `nBuckets`
+    * possible buckets (p̂ = target, q̂ = source). Buckets unseen on one side
+    * get the smoothed floor probability — the full outer join keeps them.
+    * Output is ≤ nBuckets rows: (bucket, lr_micros).
+    */
+  def logRatioMicros(target: DataFrame, source: DataFrame,
+      keyCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096): DataFrame = {
+    val t = tokenBuckets(target, keyCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val s = tokenBuckets(source, keyCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("sc"))
+    // 1-row totals, lazily broadcast (the A8 no-collect scalar pattern)
+    val tt = t.agg(sum(col("tc")).as("tt"))
+    val st = s.agg(sum(col("sc")).as("st"))
+    t.join(s, Seq("bucket"), "full")
+      .na.fill(0L, Seq("tc", "sc"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(st))
+      .withColumn("lr_micros", expr(
+        s"""CAST(floor(ln(((tc + 1.0) / (tt + CAST($nBuckets AS DOUBLE)))
+           |  / ((sc + 1.0) / (st + CAST($nBuckets AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select("bucket", "lr_micros")
+  }
+
+  /** Per-document importance weight: Σ over the doc's TOKENS of the
+    * token-bucket's lr_micros (the c_b weighting is implicit in the token
+    * multiplicity). Pure integer sum — exact, order-independent. Documents
+    * must come from the population whose buckets `ratios` covers (scoring
+    * the source corpus against target/source ratios always does).
+    */
+  def importanceWeightsMicros(docs: DataFrame, ratios: DataFrame,
+      keyCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenBuckets(docs, keyCol, textCol)
+      .join(ratios, Seq("bucket"))
+      .groupBy(keyCol).agg(sum(col("lr_micros")).as("logw_micros"))
+
+  /** Deterministic Gumbel-top-k resampling: score = logw_micros + Gumbel
+    * noise derived from a salted md5 of the key (first 4 hex digits →
+    * u ∈ (0,1) at 1/65536 granularity → −ln(−ln(u)) in micros). Exactly
+    * the importance-resample DSIR prescribes, but hash-seeded so the
+    * sample is reproducible across runs, partitionings, and engines —
+    * change the salt for an independent draw. orderBy+limit compiles to
+    * TakeOrderedAndProject (map-side partial top-k; only k rows per
+    * partition reach the driver-side merge).
+    */
+  def gumbelTopK(weighted: DataFrame, k: Int, salt: String,
+      keyCol: String = "doc_id", weightCol: String = "logw_micros"): DataFrame = {
+    require(k > 0, "k must be positive")
+    weighted
+      .withColumn("_u",
+        (expr(s"CAST(conv(substr(md5(CAST(concat('$salt', CAST($keyCol AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+          + lit(0.5)) / lit(65536.0))
+      .withColumn("score_micros",
+        col(weightCol) + expr("CAST(floor(-ln(-ln(_u)) * 1e6 + 0.5) AS BIGINT)"))
+      .orderBy(col("score_micros").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol), col("score_micros"))
+  }
+
+  /** Unigram-LM negative log-likelihood per document — the classic
+    * LM-perplexity quality signal (CCNet and successors), with the corpus's
+    * own hashed-unigram distribution as the model: rare-token-heavy
+    * (high-NLL) documents are gibberish candidates, low-NLL ones are
+    * boilerplate candidates. Per-token cost floor(−ln(c_b/T)·1e6 + 0.5) is
+    * integer micros (same portability contract as [[logRatioMicros]]);
+    * `mean_nll` is the only double column, derived from the exact integer
+    * sum by two correctly-rounded divisions.
+    */
+  def unigramNll(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val b = tokenBuckets(docs, keyCol, textCol)
+    val cnt = b.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val tot = cnt.agg(sum(col("cb")).as("tt"))
+    b.join(cnt, Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_micros", expr(
+        "CAST(floor(-ln(cb / CAST(tt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micros")).as("nll_total_micros"))
+      .withColumn("mean_nll",
+        col("nll_total_micros").cast("double") / col("n_tokens") / lit(1e6))
+  }
+}
