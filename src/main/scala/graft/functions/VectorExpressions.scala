@@ -78,6 +78,13 @@ object GraftFunctions {
         NfcNormalize(children.head)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bf_contains",
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bf_contains expects 2 arguments")
+        BloomMightContain(children.head, children(1))
+      },
+      "built-in")
   }
 }
 
@@ -101,5 +108,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bf_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomMightContain].getName, "graft_bf_contains"),
+      (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
   }
 }
