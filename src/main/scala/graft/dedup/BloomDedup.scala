@@ -46,8 +46,13 @@ object BloomDedup {
     */
   def buildFilter(history: DataFrame, textCol: String = "text",
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
-    val bf = history.select(fingerprint(col(textCol)).as("fp"))
-      .stat.bloomFilter("fp", expectedItems, fpp)
+    val fps = history.select(fingerprint(col(textCol)).as("fp"))
+    // stat.bloomFilter NPEs on an empty frame (its aggregate yields null
+    // bytes); an empty history is a legitimate first-batch state -> an
+    // empty filter (everything probes new).
+    val bf =
+      if (fps.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else fps.stat.bloomFilter("fp", expectedItems, fpp)
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

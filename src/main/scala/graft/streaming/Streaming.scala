@@ -179,6 +179,25 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming corpus ingestion — the batch curation pipeline run as a
+    * stream, demonstrating the unified batch/stream contract: quality
+    * scoring, language and length gates are pure projections
+    * ([[graft.text.CorpusCuration.scored]]), so the SAME code runs on a
+    * file stream of crawled documents unchanged; only exact dedup changes
+    * form — the batch window-per-fingerprint becomes
+    * `dropDuplicatesWithinWatermark` on the fingerprint, whose state is
+    * BOUNDED by the watermark horizon (an unbounded-state dropDuplicates
+    * would OOM a long-running ingestion job). Within a horizon the first
+    * arrival wins — the streaming analogue of batch keep-first.
+    */
+  def curatedDocumentStream(docs: DataFrame,
+      config: graft.text.CorpusCuration.Config = graft.text.CorpusCuration.Config(),
+      tsCol: String = "ingest_ts", watermark: String = "1 hour"): DataFrame =
+    graft.text.CorpusCuration.scored(docs, config)
+      .filter(col("lang_ok") && col("quality_ok") && col("length_ok"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+
   /** Test/debug sink: run a streaming frame to completion into an in-memory
     * table and return its contents as a batch frame.
     */

@@ -55,6 +55,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Sampling.rebalanceByCount(docs, "lang", "id", 10).count() === 2)
   }
 
+  test("packing, sharding, DSIR, and semdedup are empty- and tiny-input safe") {
+    import graft.text.{CorpusCuration, ImportanceSampling}
+    import graft.dedup.Dedup
+    val noW = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(CorpusCuration.packSequences(noW, capacity = 128L, weightCol = "n_tokens")
+      .count() === 0)
+    // one doc larger than the capacity straddles ceil(w/cap) sequences
+    val big = Seq((1L, 299L)).toDF("doc_id", "n_tokens")
+    assert(CorpusCuration.packSequences(big, capacity = 100L, weightCol = "n_tokens")
+      .count() === 3)
+    assert(CorpusCuration.shuffleShards(noDocs, nShards = 4).count() === 0)
+    assert(CorpusCuration.shuffleShards(oneDoc, nShards = 4).count() === 1)
+    assert(ImportanceSampling.unigramNll(noDocs).count() === 0)
+    assert(ImportanceSampling.gumbelTopK(
+      Seq((1L, 5L)).toDF("doc_id", "logw_micros"), k = 10, salt = "s").count() === 1)
+    val noVec = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(Dedup.semDedup(noVec, tau = 0.9).count() === 0)
+    val oneVec = Seq((1L, 1, Array(1f, 0f))).toDF("vec_id", "label", "embedding")
+    assert(Dedup.semDedup(oneVec, tau = 0.9).count() === 1)
+  }
+
+  test("bloom dedup against an empty history keeps the whole batch") {
+    import graft.dedup.BloomDedup
+    val f = BloomDedup.buildFilter(noDocs, expectedItems = 100)
+    assert(BloomDedup.newDocuments(oneDoc, noDocs, f).count() === 1)
+    assert(BloomDedup.newDocuments(noDocs, noDocs, f).count() === 0)
+  }
+
   test("gap fill over an empty metric still spans the bounds frame with zeros") {
     import graft.operators.Windows
     val bounds = Seq(("2024-01-01 09:00:00", 1.0), ("2024-01-03 09:00:00", 1.0))

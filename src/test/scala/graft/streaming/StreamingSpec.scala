@@ -18,6 +18,29 @@ class StreamingSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .write.mode("overwrite").parquet(dir)
 
+  test("streaming corpus curation matches batch curation on the same documents") {
+    import graft.text.CorpusCuration
+    val good = "the quick brown fox jumps over the lazy dog and then runs off to the woods again with friends "
+    val docs = Seq(
+      (1L, "en", good * 2, "2024-01-01 10:00:00"),
+      (2L, "en", good * 2, "2024-01-01 10:01:00"),  // exact dup of 1
+      (3L, "de", good * 2, "2024-01-01 10:02:00"),  // wrong language
+      (4L, "en", "too short text here", "2024-01-01 10:03:00"),
+      (5L, "en", (good + "extra tokens in this one ") * 2, "2024-01-01 10:04:00")
+    ).toDF("doc_id", "lang", "text", "ingest_ts")
+      .withColumn("ingest_ts", col("ingest_ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val out = Streaming.runToMemory(
+      Streaming.curatedDocumentStream(stream), "curated_stream")
+    val streamFps = out.select("fp").collect().map(_.getString(0)).toSet
+    val batchFps = CorpusCuration.curate(docs.drop("ingest_ts"))
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamFps === batchFps)      // same surviving content either way
+    assert(out.count() === batchFps.size) // dups collapsed in-stream too
+  }
+
   test("file stream + watermarked window aggregation over AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
     writeEvents(dir)
