@@ -179,6 +179,29 @@ object CorpusCuration {
       .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("n_tokens"))
   }
 
+  /** The per-document packing map [[packSequences]] summarizes: one row
+    * per (document × sequence it touches) with the token slice each side
+    * contributes — exactly what a training-data writer needs to emit
+    * packed sequences: `doc_offset` is where to start reading inside the
+    * document's own token stream (0 unless the doc straddled INTO this
+    * sequence), `seq_offset` is where the slice lands inside the
+    * `capacity`-token sequence, `slice_len` is how many tokens to copy.
+    * Pure Project+Generate over [[tokenSpans]] — no aggregation at all.
+    */
+  def packAssignments(docs: DataFrame, capacity: Long, weightCol: String,
+      orderCol: String = "doc_id", sepTokens: Int = 1): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    tokenSpans(docs, weightCol, orderCol, sepTokens)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(CAST(floor(start / $capacity) AS BIGINT), CAST(floor((`end` - 1) / $capacity) AS BIGINT))")))
+      .withColumn("_from", greatest(col("start"), col("seq_id") * capacity))
+      .withColumn("_to", least(col("end"), (col("seq_id") + 1) * capacity))
+      .select(col(orderCol), col("seq_id"),
+        (col("_from") - col("start")).as("doc_offset"),
+        (col("_from") - col("seq_id") * capacity).as("seq_offset"),
+        (col("_to") - col("_from")).as("slice_len"))
+  }
+
   /** Deterministic corpus shuffle-and-shard for reproducible training
     * epochs: each document is assigned a shard by a salted portable hash
     * (change the salt to get an independent epoch ordering) and a position

@@ -89,6 +89,31 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out === Map(0L -> (2L, 10L), 1L -> (2L, 10L), 2L -> (1L, 1L)))
   }
 
+  test("packAssignments slices reconstruct every sequence exactly") {
+    // same fixture as the straddle test: doc2 spans seqs 0 and 1
+    val w = Seq((1L, 3L), (2L, 9L), (3L, 5L), (4L, 0L)).toDF("doc_id", "n_tokens")
+    val rows = CorpusCuration.packAssignments(w, capacity = 10L, weightCol = "n_tokens")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_offset"), r.getAs[Long]("seq_offset"), r.getAs[Long]("slice_len")))
+    // doc2 contributes [0,6) of itself at seq0 offset 4, then [6,10) at seq1 offset 0
+    assert(rows.toSet.contains((2L, 0L, 0L, 4L, 6L)))
+    assert(rows.toSet.contains((2L, 1L, 6L, 0L, 4L)))
+    // each sequence's slices tile it: offsets sorted, contiguous, gap-free
+    rows.groupBy(_._2).foreach { case (_, slices) =>
+      val sorted = slices.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(n._4 === p._4 + p._5); case _ => }
+    }
+    // per-doc slices cover the doc's own stream in order
+    rows.groupBy(_._1).foreach { case (_, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(n._3 === p._3 + p._5); case _ => }
+    }
+  }
+
   test("token spans are consecutive and partitioning-independent") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 500L).map(i => (i, rnd.nextInt(90).toLong + 10L))
