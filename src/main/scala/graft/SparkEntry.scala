@@ -1539,6 +1539,39 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE vec_id IN (SELECT dropped FROM p)) AS BIGINT) AS n_dropped
         |FROM e GROUP BY 1""".stripMargin)),
 
+    // ---- metric drift detection: trailing-7-day z-score of daily revenue
+    //      vs the PRIOR window (current day excluded); mean/var/z derived
+    //      from exact decimal window sums in one fixed IEEE sequence ----
+    ("q_drift",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderdate").cast("date").as("order_day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("rev"))
+        quality.Drift.zScores(daily, "order_day", "rev",
+            trailing = 7, minPoints = 3, threshold = 3.0)
+          .select(col("order_day"),
+            col("rev").cast("string").cast("double").as("daily_revenue"),
+            col("trailing_mean"), col("z_score"), col("is_anomaly"))
+      },
+      Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT order_day, rev,
+        |    count(rev) OVER win AS n,
+        |    CAST(CAST(sum(rev) OVER win AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(rev * rev) OVER win AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM d WINDOW win AS (ORDER BY order_day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT order_day, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revd,
+        |    CASE WHEN n >= 3 THEN s / n END AS trailing_mean,
+        |    CASE WHEN n >= 3 AND greatest((s2 - s * s / n) / (n - 1), 0.0) > 0
+        |      THEN (CAST(CAST(rev AS VARCHAR) AS DOUBLE) - s / n)
+        |        / sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0))
+        |    END AS z_score
+        |  FROM w)
+        |SELECT order_day, revd AS daily_revenue, trailing_mean, z_score,
+        |  coalesce(abs(z_score) > 3.0, false) AS is_anomaly FROM z""".stripMargin)),
+
     // ---- DSIR importance resampling: target = doc_id%10==0 docs, source =
     //      the rest; hashed-unigram (4096 md5 buckets) add-one log-ratios
     //      in integer micros, per-doc integer sums, deterministic

@@ -1,0 +1,42 @@
+package graft.quality
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a planted spike is flagged against its trailing baseline") {
+    // steady ~100 with mild wiggle, one 10x spike at day 20
+    val series = (1 to 30).map { d =>
+      (d, if (d == 20) 1000.0 else 100.0 + (d % 3))
+    }.toDF("day", "value")
+    val out = Drift.zScores(series, "day", "value", trailing = 7, minPoints = 3)
+      .collect().map(r => r.getAs[Int]("day") ->
+        (r.getAs[Boolean]("is_anomaly"), Option(r.get(r.fieldIndex("z_score"))))).toMap
+    assert(out(20)._1)                         // the spike is anomalous
+    assert((1 to 30).filter(_ != 20).forall(!out(_)._1)) // nothing else is
+    // warm-up rows (fewer than minPoints trailing) carry null z, not false alarms
+    assert(out(1)._2.isEmpty && out(2)._2.isEmpty && out(3)._2.isEmpty)
+  }
+
+  test("a flat baseline yields null z and no flag (zero variance guarded)") {
+    val series = (1 to 10).map(d => (d, 50.0)).toDF("day", "value")
+    val out = Drift.zScores(series, "day", "value")
+      .collect()
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z_score"))))
+  }
+
+  test("partitioned monitoring scores each entity against its own history") {
+    // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
+    // spike for a and a dip for b — both must flag within their own series
+    val series = ((1 to 20).map(d => ("a", d, if (d == 15) 1000.0 else 100.0 + d % 2)) ++
+      (1 to 20).map(d => ("b", d, if (d == 15) 1000.0 else 10000.0 + d % 2)))
+      .toDF("seg", "day", "value")
+    val out = Drift.zScores(series, "day", "value", partitionCols = Seq("seg"))
+      .filter(col("is_anomaly")).collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Int]("day"))).toSet
+    assert(out === Set(("a", 15), ("b", 15)))
+  }
+}
