@@ -1572,6 +1572,31 @@ object SparkEntry {
         |SELECT order_day, revd AS daily_revenue, trailing_mean, z_score,
         |  coalesce(abs(z_score) > 3.0, false) AS is_anomaly FROM z""".stripMargin)),
 
+    // ---- population stability index: order-value distribution drift,
+    //      pre-1997 reference vs 1997+ current; reference-decile bins,
+    //      add-one-smoothed (p-q)ln(p/q) per bin in integer micros ----
+    ("q_psi",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        quality.Drift.psi(
+          orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date")),
+          "o_totalprice")
+      },
+      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM ref),
+        |rb AS (SELECT CAST(len(list_filter(b.bs, q -> q < v)) AS BIGINT) AS bin, count(*) AS rc FROM ref, b GROUP BY 1),
+        |cb AS (SELECT CAST(len(list_filter(b.bs, q -> q < v)) AS BIGINT) AS bin, count(*) AS cc FROM cur, b GROUP BY 1),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+        |tot AS (SELECT (SELECT count(*) FROM ref) AS rt, (SELECT count(*) FROM cur) AS ct)
+        |SELECT bin, coalesce(rc, 0) AS ref_cnt, coalesce(cc, 0) AS cur_cnt,
+        |  CAST(floor(((coalesce(rc, 0) + 1.0) / (rt + CAST(10 AS DOUBLE))
+        |    - (coalesce(cc, 0) + 1.0) / (ct + CAST(10 AS DOUBLE)))
+        |    * ln(((coalesce(rc, 0) + 1.0) / (rt + CAST(10 AS DOUBLE)))
+        |      / ((coalesce(cc, 0) + 1.0) / (ct + CAST(10 AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+        |FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin) CROSS JOIN tot""".stripMargin)),
+
     // ---- DSIR importance resampling: target = doc_id%10==0 docs, source =
     //      the rest; hashed-unigram (4096 md5 buckets) add-one log-ratios
     //      in integer micros, per-doc integer sums, deterministic

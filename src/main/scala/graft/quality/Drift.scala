@@ -63,4 +63,44 @@ object Drift {
       .withColumn("is_anomaly", coalesce(abs(col("z_score")) > threshold, lit(false)))
       .drop("_n", "_s", "_s2", "_var")
   }
+
+  /** Population Stability Index — DISTRIBUTION-level drift between a
+    * reference batch and a current batch (the standard ML feature- and
+    * score-monitoring metric; rule of thumb: < 0.1 stable, > 0.25 shifted).
+    * Bins are the reference batch's exact quantiles (the q_bins recipe —
+    * `percentile` is bit-identical to quantile_cont; boundaries broadcast
+    * lazily, bin id = boundaries strictly below the value), counts are
+    * exact, and each bin's add-one-smoothed contribution
+    * (p−q)·ln(p/q) lands as INTEGER micros, so the per-bin rows — and the
+    * PSI their sum forms — are engine- and partition-order independent
+    * (the [[graft.text.ImportanceSampling]] portability contract).
+    *
+    * Returns one row per bin: (bin, ref_cnt, cur_cnt, contrib_micros);
+    * PSI = Σ contrib_micros / 1e6. Empty bins survive via the bin spine —
+    * a vanished bin is exactly the signal PSI exists to catch.
+    */
+  def psi(reference: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(",")
+    val bounds = reference.agg(expr(s"percentile($valueCol, array($qs))").as("bs"))
+    def binCounts(df: DataFrame, cntName: String) =
+      df.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(s"size(filter(bs, b -> b < $valueCol))").cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as(cntName))
+    val spine = reference.sparkSession.range(nBins).select(col("id").as("bin"))
+    val rt = reference.agg(count(lit(1)).as("rt"))
+    val ct = current.agg(count(lit(1)).as("ct"))
+    spine
+      .join(binCounts(reference, "ref_cnt"), Seq("bin"), "left")
+      .join(binCounts(current, "cur_cnt"), Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .withColumn("contrib_micros", expr(
+        s"""CAST(floor(((ref_cnt + 1.0) / (rt + CAST($nBins AS DOUBLE))
+           |  - (cur_cnt + 1.0) / (ct + CAST($nBins AS DOUBLE)))
+           |  * ln(((ref_cnt + 1.0) / (rt + CAST($nBins AS DOUBLE)))
+           |    / ((cur_cnt + 1.0) / (ct + CAST($nBins AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select("bin", "ref_cnt", "cur_cnt", "contrib_micros")
+  }
 }

@@ -28,6 +28,32 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("z_score"))))
   }
 
+  test("PSI is ~0 for identical distributions and large under a planted shift") {
+    val rnd = new scala.util.Random(5)
+    val ref = (1 to 2000).map(_ => rnd.nextDouble() * 100).toDF("v")
+    def psiOf(cur: org.apache.spark.sql.DataFrame) =
+      Drift.psi(ref, cur, "v").agg(org.apache.spark.sql.functions.sum("contrib_micros"))
+        .collect().head.getLong(0) / 1e6
+    // same-distribution sample: stable (rule of thumb < 0.1)
+    val same = (1 to 2000).map(_ => rnd.nextDouble() * 100).toDF("v")
+    assert(psiOf(same) < 0.1)
+    // shifted +50: mass leaves the low deciles entirely (> 0.25 = shifted)
+    val shifted = (1 to 2000).map(_ => rnd.nextDouble() * 100 + 50).toDF("v")
+    assert(psiOf(shifted) > 0.25)
+  }
+
+  test("PSI keeps empty bins on the spine — a vanished bin is the signal") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (51 to 100).map(_.toDouble).toDF("v") // bottom half vanished
+    val rows = Drift.psi(ref, cur, "v").collect()
+      .map(r => r.getAs[Long]("bin") -> (r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt")))
+      .toMap
+    assert(rows.size === 10)
+    assert((0L to 3L).forall(b => rows(b)._2 === 0L)) // present with zero count
+    assert(rows.values.map(_._1).sum === 100L)
+    assert(rows.values.map(_._2).sum === 50L)
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
