@@ -1572,6 +1572,36 @@ object SparkEntry {
         |SELECT order_day, revd AS daily_revenue, trailing_mean, z_score,
         |  coalesce(abs(z_score) > 3.0, false) AS is_anomaly FROM z""".stripMargin)),
 
+    // ---- winsorization: clip order values at exact [p1, p99]; bounds
+    //      from one lazily-broadcast percentile (quantile_cont parity) ----
+    ("q_winsor",
+      (s, d) => MlFeatures.winsorize(Tables(s, d).orders, "o_totalprice")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_totalprice_w"), col("clipped")),
+      Some("""WITH b AS (SELECT quantile_cont(o_totalprice, [0.01, 0.99]) AS wb FROM orders)
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  least(greatest(CAST(o_totalprice AS DOUBLE), b.wb[1]), b.wb[2]) AS o_totalprice_w,
+        |  CAST(o_totalprice AS DOUBLE)
+        |    != least(greatest(CAST(o_totalprice AS DOUBLE), b.wb[1]), b.wb[2]) AS clipped
+        |FROM orders, b""".stripMargin)),
+
+    // ---- smoothed target encoding: per-priority fulfilled-rate shrunk
+    //      toward the global prior (m = 20), exact counts in, one fixed
+    //      double sequence out ----
+    ("q_target_enc",
+      (s, d) => MlFeatures.targetEncode(
+        Tables(s, d).orders
+          .withColumn("t", (col("o_orderstatus") === "F").cast("int")),
+        "o_orderpriority", "t"),
+      Some("""WITH g AS (SELECT count(*) AS tn,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tf FROM orders),
+        |c AS (SELECT o_orderpriority, count(*) AS n_cat,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n_cat, n_pos,
+        |  (n_pos + 20.0 * (CAST(tf AS DOUBLE) / tn)) / (n_cat + 20.0) AS encoded
+        |FROM c, g""".stripMargin)),
+
     // ---- population stability index: order-value distribution drift,
     //      pre-1997 reference vs 1997+ current; reference-decile bins,
     //      add-one-smoothed (p-q)ln(p/q) per bin in integer micros ----

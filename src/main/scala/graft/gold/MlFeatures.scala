@@ -90,6 +90,46 @@ object MlFeatures {
     * silver_to_gold_ml_features.py:378-384's state_encoded. Murmur3-based
     * (Spark's hash), stable across Spark runs; pmod keeps it non-negative.
     */
+  /** Winsorization — clip a numeric feature at its own [lo, hi] exact
+    * percentiles (outlier taming before scaling/regression; the robust
+    * alternative to dropping IQR outliers). Bounds come from one exact
+    * `percentile` aggregate broadcast lazily (the A8/q_bins recipe —
+    * bit-identical to quantile_cont), the clip is a pure projection.
+    * Adds `<col>_w` plus a `clipped` flag.
+    */
+  def winsorize(df: DataFrame, column: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo/$hi")
+    val bounds = df.agg(expr(s"percentile($column, array($lo, $hi))").as("_wb"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${column}_w",
+        least(greatest(col(column).cast("double"), expr("_wb[0]")), expr("_wb[1]")))
+      .withColumn("clipped", col(column).cast("double") =!= col(s"${column}_w"))
+      .drop("_wb")
+  }
+
+  /** Smoothed target encoding — replace a categorical with the shrunk
+    * per-category target mean: (Σ_cat target + m·prior)/(n_cat + m), prior
+    * = the global target mean (empirical-Bayes shrinkage: rare categories
+    * pull toward the prior instead of memorizing noise — the leakage-aware
+    * alternative to raw mean encoding). One aggregation on the category +
+    * a lazily-broadcast global; all inputs to the doubles are exact
+    * integer counts, the division order is fixed — engine-reproducible.
+    */
+  def targetEncode(df: DataFrame, categoryCol: String, targetCol: String,
+      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0, "smoothing must be non-negative")
+    val global = df.agg(count(lit(1)).as("_tn"),
+      sum(col(targetCol).cast("long")).as("_tf"))
+    df.groupBy(categoryCol)
+      .agg(count(lit(1)).as("n_cat"), sum(col(targetCol).cast("long")).as("n_pos"))
+      .crossJoin(broadcast(global))
+      .withColumn("encoded",
+        (col("n_pos") + lit(smoothing) * (col("_tf").cast("double") / col("_tn")))
+          / (col("n_cat") + lit(smoothing)))
+      .select(categoryCol, "n_cat", "n_pos", "encoded")
+  }
+
   def hashEncode(df: DataFrame, column: String, buckets: Int = 100): DataFrame =
     df.withColumn(s"${column}_encoded", pmod(hash(col(column)), lit(buckets)))
 

@@ -80,4 +80,33 @@ class GoldSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s === Map("train" -> 700L, "validation" -> 200L, "test" -> 100L))
   }
+
+  test("winsorize clips exactly the tail mass and leaves the body untouched") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val out = MlFeatures.winsorize(df, "x", lo = 0.05, hi = 0.95).collect()
+    val clipped = out.filter(_.getAs[Boolean]("clipped"))
+    // exact percentiles of 1..1000 at 0.05/0.95 are 50.95 / 950.05:
+    // values 1..50 and 951..1000 clip — 100 rows
+    assert(clipped.length === 100)
+    val w = out.map(r => r.getAs[Double]("x") -> r.getAs[Double]("x_w")).toMap
+    assert(w(1.0) === 50.95 && w(1000.0) === 950.05)
+    assert(w(500.0) === 500.0)
+  }
+
+  test("target encoding shrinks rare categories toward the global prior") {
+    // category "big": 500 rows at 80% positive; "tiny": 2 rows, both positive
+    val df = ((1 to 500).map(i => ("big", if (i <= 400) 1 else 0)) ++
+      Seq(("tiny", 1), ("tiny", 1))).toDF("cat", "t")
+    val enc = MlFeatures.targetEncode(df, "cat", "t", smoothing = 20.0)
+      .collect().map(r => r.getAs[String]("cat") -> r.getAs[Double]("encoded")).toMap
+    val prior = 402.0 / 502.0
+    // big: plenty of evidence, stays near its raw 0.8
+    assert(math.abs(enc("big") - 0.8) < 0.01)
+    // tiny: raw rate 1.0 but only 2 rows — shrinks most of the way to prior
+    assert(enc("tiny") < prior + 0.05 && enc("tiny") > prior)
+    // zero smoothing = raw category means
+    val raw = MlFeatures.targetEncode(df, "cat", "t", smoothing = 0.0)
+      .collect().map(r => r.getAs[String]("cat") -> r.getAs[Double]("encoded")).toMap
+    assert(raw("big") === 0.8 && raw("tiny") === 1.0)
+  }
 }
