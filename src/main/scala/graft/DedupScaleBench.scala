@@ -56,6 +56,41 @@ object DedupScaleBench {
       val dtc = (System.nanoTime() - t1) / 1e9
       println(f"cluster_nodes=$nodes components=$comps (expect ${chains}) sec=$dtc%.1f")
       spark.catalog.clearCache()
+
+      // bloom incremental dedup: a batch of n/4 docs (10% re-crawls of the
+      // history) deduped against the n-doc history two ways. The claim:
+      // the two-phase path (bounded filter artifact + exact verify of the
+      // flagged slice only) returns the identical row set while the exact
+      // join side touches ~dups + fpp·batch rows instead of the whole
+      // batch; the filter build is a one-time cost that amortizes over
+      // every subsequent batch.
+      val batchN = n / 4
+      val batch = spark.range(batchN).select((col("id") + 1000000L).as("doc_id"),
+        expr(s"""CASE WHEN id % 10 = 0
+          | THEN concat_ws(' ', transform(sequence(1, 60),
+          |   j -> concat('t', CAST(abs(xxhash64(CAST(id / 10 AS BIGINT), j)) % 1000 AS STRING))))
+          | ELSE concat_ws(' ', transform(sequence(1, 60),
+          |   j -> concat('n', CAST(abs(xxhash64(id + 7777, j)) % 1000 AS STRING)))) END""".stripMargin)
+          .as("text")).cache()
+      batch.count()
+      val tf0 = System.nanoTime()
+      val filt = graft.dedup.BloomDedup.buildFilter(base, expectedItems = n.toLong, fpp = 0.01)
+      val dtFilter = (System.nanoTime() - tf0) / 1e9
+      val tb0 = System.nanoTime()
+      val kept2p = graft.dedup.BloomDedup.newDocuments(batch, base, filt).count()
+      val dt2p = (System.nanoTime() - tb0) / 1e9
+      val tp0 = System.nanoTime()
+      val keptPlain = batch
+        .withColumn("_fp", graft.dedup.BloomDedup.fingerprint(col("text")))
+        .join(base.select(graft.dedup.BloomDedup.fingerprint(col("text")).as("_fp")).distinct(),
+          Seq("_fp"), "left_anti").count()
+      val dtPlain = (System.nanoTime() - tp0) / 1e9
+      val flagged = graft.dedup.BloomDedup.probe(batch, filt)
+        .filter(col("maybe_dup")).count()
+      println(f"bloom: batch=$batchN flagged=$flagged kept=$kept2p (plain=$keptPlain, equal=${kept2p == keptPlain}) " +
+        f"filter_build=$dtFilter%.1fs two_phase=$dt2p%.1fs plain_join=$dtPlain%.1fs " +
+        f"filter_kb=${filt.length / 1024}")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
