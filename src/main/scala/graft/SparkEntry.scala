@@ -1602,6 +1602,25 @@ object SparkEntry {
         |  (n_pos + 20.0 * (CAST(tf AS DOUBLE) / tn)) / (n_cat + 20.0) AS encoded
         |FROM c, g""".stripMargin)),
 
+    // ---- purged time-series CV folds: 5 equal time blocks over the
+    //      order-date span, train ends 30 days before each test block
+    //      (embargo) — integer day-index boundaries, no future leakage ----
+    ("q_tssplit",
+      (s, d) => MlFeatures.timeSeriesSplits(Tables(s, d).orders,
+        "o_orderdate", k = 5, embargoDays = 30),
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |    date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) + 1 AS span
+        |  FROM orders),
+        |dd AS (SELECT date_diff('day', b.d0, CAST(o_orderdate AS DATE)) AS day FROM orders, b),
+        |f AS (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS fold),
+        |j AS (SELECT fold, day,
+        |    CASE WHEN day >= (fold * span) // 5 AND day < ((fold + 1) * span) // 5 THEN 'test'
+        |         WHEN day < (fold * span) // 5 - 30 THEN 'train' END AS split
+        |  FROM dd CROSS JOIN f CROSS JOIN b)
+        |SELECT fold, split, count(*) AS n,
+        |  CAST(min(day) AS BIGINT) AS first_day, CAST(max(day) AS BIGINT) AS last_day
+        |FROM j WHERE split IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
     // ---- population stability index: order-value distribution drift,
     //      pre-1997 reference vs 1997+ current; reference-decile bins,
     //      add-one-smoothed (p-q)ln(p/q) per bin in integer micros ----

@@ -130,6 +130,38 @@ object MlFeatures {
       .select(categoryCol, "n_cat", "n_pos", "encoded")
   }
 
+  /** Purged time-series cross-validation folds — the leakage-safe split
+    * for temporal data: fold i tests on the i-th of `k` equal time blocks
+    * and trains ONLY on rows ending `embargoDays` BEFORE the block starts
+    * (the embargo absorbs label look-ahead/serial correlation; rows after
+    * the test block are never trained on — no future leakage). All
+    * boundary math is integer day-indices from the data's own min/max
+    * (one lazily-broadcast 1-row aggregate), so folds are deterministic
+    * and engine-reproducible. Returns one row per (fold, split) with the
+    * day-offset boundaries and row count.
+    */
+  def timeSeriesSplits(df: DataFrame, tsCol: String, k: Int = 5,
+      embargoDays: Int = 0): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(embargoDays >= 0, "embargo must be non-negative")
+    val bounds = df.agg(min(col(tsCol).cast("date")).as("_d0"),
+      (datediff(max(col(tsCol).cast("date")), min(col(tsCol).cast("date"))) + 1).as("_span"))
+    val folds = df.sparkSession.range(k).select(col("id").as("fold"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_day", datediff(col(tsCol).cast("date"), col("_d0")))
+      .crossJoin(folds)
+      .withColumn("_lo", (col("fold") * col("_span") / k).cast("long"))
+      .withColumn("_hi", ((col("fold") + 1) * col("_span") / k).cast("long"))
+      .withColumn("split",
+        when(col("_day") >= col("_lo") && col("_day") < col("_hi"), "test")
+          .when(col("_day") < col("_lo") - embargoDays, "train"))
+      .filter(col("split").isNotNull)
+      .groupBy("fold", "split")
+      .agg(count(lit(1)).as("n"),
+        min(col("_day")).cast("long").as("first_day"),
+        max(col("_day")).cast("long").as("last_day"))
+  }
+
   def hashEncode(df: DataFrame, column: String, buckets: Int = 100): DataFrame =
     df.withColumn(s"${column}_encoded", pmod(hash(col(column)), lit(buckets)))
 

@@ -81,6 +81,26 @@ class GoldSpec extends SparkSpec {
     assert(s === Map("train" -> 700L, "validation" -> 200L, "test" -> 100L))
   }
 
+  test("purged time-series folds embargo the train window before each test block") {
+    // one row per day for 100 days -> 5 blocks of 20 days, embargo 10
+    val days = (0 until 100).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)))
+      .toDF("ts")
+    val out = MlFeatures.timeSeriesSplits(days, "ts", k = 5, embargoDays = 10)
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[String]("split")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("first_day"), r.getAs[Long]("last_day"))).toMap
+    // every fold tests on its exact 20-day block
+    (0L to 4L).foreach { f =>
+      assert(out((f, "test")) === (20L, f * 20, f * 20 + 19))
+    }
+    // fold 0 has nothing to train on; later folds train up to blockStart-11
+    assert(!out.contains((0L, "train")))
+    (1L to 4L).foreach { f =>
+      val (n, first, last) = out((f, "train"))
+      assert(first === 0L && last === f * 20 - 11 && n === f * 20 - 10)
+    }
+  }
+
   test("winsorize clips exactly the tail mass and leaves the body untouched") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val out = MlFeatures.winsorize(df, "x", lo = 0.05, hi = 0.95).collect()
