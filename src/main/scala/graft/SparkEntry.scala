@@ -1602,6 +1602,26 @@ object SparkEntry {
         |  (n_pos + 20.0 * (CAST(tf AS DOUBLE) / tn)) / (n_cat + 20.0) AS encoded
         |FROM c, g""".stripMargin)),
 
+    // ---- int8 embedding quantization: per-vector affine codes must be
+    //      bit-identical across engines (floor(+0.5) codes, no round());
+    //      gated on (qmin, qscale, code checksum, code extremes) ----
+    ("q_quant",
+      (s, d) => Similarity.quantizeInt8(Tables(s, d).embeddings)
+        .select(col("vec_id"), col("qmin"), col("qscale"),
+          expr("CAST(aggregate(q, 0L, (acc, c) -> acc + c) AS BIGINT)").as("qsum"),
+          expr("CAST(array_min(q) AS BIGINT)").as("qlo"),
+          expr("CAST(array_max(q) AS BIGINT)").as("qhi")),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS qmin,
+        |    CASE WHEN list_max(v) = list_min(v) THEN 1.0 ELSE (list_max(v) - list_min(v)) / 255.0 END AS qscale
+        |  FROM e),
+        |q AS (SELECT vec_id, qmin, qscale,
+        |    list_transform(v, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT)) AS qq FROM m)
+        |SELECT vec_id, qmin, qscale,
+        |  CAST(list_sum(qq) AS BIGINT) AS qsum,
+        |  CAST(list_min(qq) AS BIGINT) AS qlo, CAST(list_max(qq) AS BIGINT) AS qhi
+        |FROM q""".stripMargin)),
+
     // ---- purged time-series CV folds: 5 equal time blocks over the
     //      order-date span, train ends 30 days before each test block
     //      (embargo) — integer day-index boundaries, no future leakage ----

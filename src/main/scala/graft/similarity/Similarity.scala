@@ -201,4 +201,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Scalar int8 quantization of an embedding column — the standard 4×
+    * storage cut for corpus-scale vector data: per-vector affine codes
+    * `q = floor((x − qmin)/qscale + 0.5)` in 0..255 with the (qmin,
+    * qscale) pair kept alongside; dequantized error is bounded by
+    * qscale/2 per component. A pure projection (no shuffle), and the
+    * floor(+0.5) form — not round() — makes the codes bit-reproducible
+    * in any engine, so a quantized corpus written by one system can be
+    * verified or dequantized by another. Flat vectors (max = min) encode
+    * as all-zero codes with qscale 1.
+    */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("_v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("qmin", expr("array_min(_v)"))
+      .withColumn("qscale", expr(
+        "CASE WHEN array_max(_v) = qmin THEN 1.0D ELSE (array_max(_v) - qmin) / 255.0D END"))
+      .withColumn("q", expr(
+        "transform(_v, x -> CAST(floor((x - qmin) / qscale + 0.5D) AS INT))"))
+      .drop("_v")
+
+  /** Inverse of [[quantizeInt8]]: x' = qmin + q·qscale (float column). */
+  def dequantizeInt8(df: DataFrame, outCol: String = "embedding_dq"): DataFrame =
+    df.withColumn(outCol, expr(
+      "transform(q, c -> CAST(qmin + c * qscale AS FLOAT))"))
 }

@@ -64,6 +64,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(half.getAs[Double]("recall") - 0.666667) < 1e-9)
   }
 
+  test("int8 quantization codes stay in range and round-trip within qscale/2") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (1L to 50L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat))) :+
+      (99L, Array.fill(32)(2.5f)) // flat vector edge
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.dequantizeInt8(Similarity.quantizeInt8(df)).collect()
+    for (r <- out) {
+      val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val dq = r.getAs[scala.collection.Seq[Float]]("embedding_dq")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      val scale = r.getAs[Double]("qscale")
+      assert(q.forall(c => c >= 0 && c <= 255))
+      // per-component error bounded by half a code step (+ float cast slack)
+      orig.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}")
+      }
+    }
+    // flat vector: all-zero codes, exact round-trip
+    val flat = out.find(_.getLong(0) == 99L).get
+    assert(flat.getAs[scala.collection.Seq[Int]]("q").forall(_ === 0))
+    assert(flat.getAs[scala.collection.Seq[Float]]("embedding_dq").forall(_ === 2.5f))
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
