@@ -90,8 +90,8 @@ object ImportanceSampling {
     require(k > 0, "k must be positive")
     weighted
       .withColumn("_u",
-        (expr(s"CAST(conv(substr(md5(CAST(concat('$salt', CAST($keyCol AS STRING)) AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
-          + lit(0.5)) / lit(65536.0))
+        (conv(substring(md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")),
+          1, 4), 16, 10).cast("long") + lit(0.5)) / lit(65536.0))
       .withColumn("score_micros",
         col(weightCol) + expr("CAST(floor(-ln(-ln(_u)) * 1e6 + 0.5) AS BIGINT)"))
       .orderBy(col("score_micros").desc, col(keyCol))
