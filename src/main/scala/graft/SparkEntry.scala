@@ -1602,6 +1602,25 @@ object SparkEntry {
         |  (n_pos + 20.0 * (CAST(tf AS DOUBLE) / tn)) / (n_cat + 20.0) AS encoded
         |FROM c, g""".stripMargin)),
 
+    // ---- length-bucketed inference batching: docs grouped by
+    //      power-of-two token-length ceilings with padding accounting;
+    //      bucket = length(bin(w-1)) integer logic, no double log2 ----
+    ("q_lenbucket",
+      (s, d) => {
+        val w = TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        CorpusCuration.lengthBuckets(w, "n_tokens")
+      },
+      Some("""WITH w AS (SELECT least(greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 1), 8192) AS w
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN w <= 1 THEN 1
+        |    ELSE CAST(power(2, length(bin(w - 1))) AS BIGINT) END AS bucket_ceil, w FROM w)
+        |SELECT bucket_ceil, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_tokens,
+        |  bucket_ceil * count(*) AS n_padded,
+        |  CAST(bucket_ceil * count(*) - CAST(sum(w) AS BIGINT) AS DOUBLE)
+        |    / (bucket_ceil * count(*)) AS waste_ratio
+        |FROM b GROUP BY 1""".stripMargin)),
+
     // ---- int8 embedding quantization: per-vector affine codes must be
     //      bit-identical across engines (floor(+0.5) codes, no round());
     //      gated on (qmin, qscale, code checksum, code extremes) ----

@@ -202,6 +202,33 @@ object CorpusCuration {
         (col("_to") - col("_from")).as("slice_len"))
   }
 
+  /** Length-bucketed batch grouping for inference/embedding serving:
+    * documents padded to their bucket's ceiling rather than the global
+    * max, so grouping by power-of-two token-length buckets bounds padding
+    * waste at <50% (vs unbounded for one global batch) while keeping the
+    * bucket count logarithmic. Returns per-bucket rows with the padding
+    * accounting a batch scheduler needs: doc count, real tokens, padded
+    * slots at the bucket ceiling, and the waste ratio. Pure projection +
+    * one bounded-key aggregation.
+    */
+  def lengthBuckets(docs: DataFrame, weightCol: String,
+      maxCeil: Long = 8192): DataFrame = {
+    require(maxCeil >= 2, "maxCeil must be >= 2")
+    docs
+      .withColumn("_w", least(greatest(col(weightCol).cast("long"), lit(1L)), lit(maxCeil)))
+      // smallest power of two >= w WITHOUT log2/ceil on doubles: a 1-ulp
+      // log2 error at an exact power of two would flip the bucket, and
+      // engines disagree in exactly that ulp. length(bin(w-1)) is
+      // ceil(log2(w)) in pure integer/string ops, identical everywhere.
+      .withColumn("bucket_ceil", expr(
+        "CASE WHEN _w <= 1 THEN 1 ELSE CAST(power(2, length(bin(_w - 1))) AS BIGINT) END"))
+      .groupBy("bucket_ceil")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_tokens"))
+      .withColumn("n_padded", col("bucket_ceil") * col("n_docs"))
+      .withColumn("waste_ratio",
+        (col("n_padded") - col("n_tokens")).cast("double") / col("n_padded"))
+  }
+
   /** Deterministic corpus shuffle-and-shard for reproducible training
     * epochs: each document is assigned a shard by a salted portable hash
     * (change the salt to get an independent epoch ordering) and a position

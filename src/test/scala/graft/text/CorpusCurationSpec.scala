@@ -134,6 +134,25 @@ class CorpusCurationSpec extends SparkSpec {
     assert(seqs.map(_._2).sum === a.map(s => s._3 - s._2).sum)
   }
 
+  test("length buckets put exact powers of two in their own bucket, waste < 50%") {
+    val w = Seq(1L, 2L, 3L, 4L, 5L, 64L, 65L, 127L, 128L, 129L, 9999L)
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+    val out = CorpusCuration.lengthBuckets(w, "n_tokens", maxCeil = 8192)
+      .collect().map(r => r.getAs[Long]("bucket_ceil") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("waste_ratio"))).toMap
+    // boundary exactness: 2^k belongs to bucket 2^k, 2^k+1 to 2^(k+1)
+    assert(out(1L)._1 === 1L)      // w=1
+    assert(out(2L)._1 === 1L)      // w=2
+    assert(out(4L)._1 === 2L)      // w=3,4
+    assert(out(8L)._1 === 1L)      // w=5
+    assert(out(64L)._1 === 1L)     // w=64 NOT in 128
+    assert(out(128L)._1 === 3L)    // w=65, 127, 128
+    assert(out(256L)._1 === 1L)    // w=129
+    assert(out.forall(_._2._2 < 0.5)) // padding waste bounded by bucket design
+    // oversized docs clamp to maxCeil's bucket
+    assert(out(8192L)._1 === 1L)   // w=9999 clamped
+  }
+
   test("shuffleShards assigns every doc once, deterministically, with dense positions") {
     val corpus = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame, salt: String) =
