@@ -62,7 +62,27 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = perQuery.collect { case (k, _, false, _) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = perQuery.collect { case (_, v, true, _) => v }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""")
+    val slowest5 = perQuery.collect { case (k, v, true, _) => (k, v) }
+      .sortBy(-_._2).take(5).map { case (k, v) => s"\"$k\":${r3(v)}" }
+      .mkString("{", ",", "}")
+    // The full per-query line is large enough that a bounded head/tail
+    // capture of stdout can truncate it mid-JSON (round-7: the artifact
+    // lost its totals). A compact headline is printed BEFORE AND AFTER
+    // the full line — whichever end of the output survives capture still
+    // carries the totals — and the full JSON is also written whole to
+    // BENCH_local.json. The headline deliberately does not contain the
+    // string "metric", so a grep for the full line stays unambiguous.
+    val headline =
+      s"""{"bench_headline":true,"total":${r3(total)},"n_queries":${perQuery.count(_._3)},"failed":$failed,"runs":$runs,"slowest5":$slowest5,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"spread_max_over_min":$spreads,"sf":"$sfDir"}"""
+    println(headline)
+    println(full)
+    println(headline)
+    try {
+      val pw = new java.io.PrintWriter("BENCH_local.json")
+      try pw.println(full) finally pw.close()
+    } catch { case _: Throwable => () } // stdout already carries everything
     spark.stop()
   }
 }

@@ -65,8 +65,14 @@ object BloomDedup {
   def probe(batch: DataFrame, filterBytes: Array[Byte],
       textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
+    // The filter bytes enter the plan as a BinaryType Literal
+    // (lit(Array[Byte]) via call_function) — NOT as an X'..' SQL hex
+    // string, which doubles the size (2 chars/byte) and hits JVM
+    // string/parser limits long before the ~1.2 GB filters the class doc
+    // promises are broadcastable.
     batch.withColumn("_fp", fingerprint(col(textCol)))
-      .withColumn("maybe_dup", expr(s"graft_bf_contains(${literalHex(filterBytes)}, _fp)"))
+      .withColumn("maybe_dup",
+        call_function("graft_bf_contains", lit(filterBytes), col("_fp")))
   }
 
   /** Both phases: rows of `batch` whose normalized text does not appear in
@@ -84,10 +90,4 @@ object BloomDedup {
         Seq("_fp"), "left_anti")
     definitelyNew.unionByName(verified).drop("_fp", "maybe_dup")
   }
-
-  /** Binary literal as SQL hex (X'..') so the filter rides the plan as a
-    * foldable constant for [[graft.functions.BloomMightContain]].
-    */
-  private def literalHex(bytes: Array[Byte]): String =
-    "X'" + bytes.map("%02x".format(_)).mkString + "'"
 }

@@ -119,6 +119,16 @@ object MlFeatures {
   def targetEncode(df: DataFrame, categoryCol: String, targetCol: String,
       smoothing: Double = 20.0): DataFrame = {
     require(smoothing >= 0, "smoothing must be non-negative")
+    // The sums below cast the target to LONG for exact integer
+    // accumulation — a continuous target would be silently truncated to
+    // a wrong encoding, so refuse it up front.
+    val dt = df.schema(targetCol).dataType
+    require(Seq(org.apache.spark.sql.types.BooleanType,
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(dt),
+      s"targetEncode needs a boolean/integral target column (exact long sums); " +
+        s"'$targetCol' is $dt — bin or cast a continuous target explicitly first")
     val global = df.agg(count(lit(1)).as("_tn"),
       sum(col(targetCol).cast("long")).as("_tf"))
     df.groupBy(categoryCol)

@@ -90,9 +90,9 @@ object Incremental {
     * batch high-water marks are computed and stored before the returned
     * lazy union is ever materialized. If the caller's downstream action
     * fails, the store has already advanced past unprocessed data
-    * (at-most-once). Callers needing at-least-once semantics should
-    * snapshot the store before calling and restore it on failure, or
-    * materialize the result before trusting the committed marks.
+    * (at-most-once). Callers needing the reference's at-least-once
+    * semantics use [[runBatchedAtLeastOnce]], which materializes each
+    * batch through a write callback BEFORE committing that batch's mark.
     *
     * Cost discipline: exactly TWO Spark jobs regardless of batch count —
     * one for the percentile boundaries, one grouped aggregate for every
@@ -104,6 +104,48 @@ object Incremental {
     */
   def runBatched(df: DataFrame, table: String, wmCol: String, batches: Int,
       store: WatermarkStore)(process: DataFrame => DataFrame): DataFrame = {
+    val (parts, maxes) = planBatches(df, wmCol, batches)
+    // commit in batch order: last committed mark == global max, and an
+    // empty batch commits nothing — same sequence a per-batch loop produced
+    maxes.foreach { case (_, m) => store.put(table, wmCol, m) }
+    parts.map(process).reduce(_ unionByName _)
+  }
+
+  /** At-least-once variant — the reference's commit-after-write semantics
+    * (the extractor uploads to the sink FIRST and only then advances the
+    * DynamoDB mark — reference/lambda/snowflake_extractor/
+    * lambda_function.py:367-371). Each batch is materialized through the
+    * caller's `write` action and its high-water mark committed only after
+    * `write` returns; a batch that throws stops the run with the store
+    * still at the LAST SUCCESSFUL batch's mark, so the rerun re-reads the
+    * failed batch and everything after it — rows can be reprocessed, never
+    * silently skipped (the inverse trade-off of [[runBatched]]'s
+    * plan-time commit, which is documented at-most-once).
+    *
+    * Cost: the same two planning jobs as [[runBatched]] (percentile
+    * boundaries + one grouped aggregate for every batch's mark) plus the
+    * caller's one write action per batch — which an at-least-once caller
+    * must pay anyway; only the commit ORDER differs. Returns the number of
+    * batches committed.
+    */
+  def runBatchedAtLeastOnce(df: DataFrame, table: String, wmCol: String,
+      batches: Int, store: WatermarkStore)(write: DataFrame => Unit): Int = {
+    val (parts, maxes) = planBatches(df, wmCol, batches)
+    val markByBatch = maxes.toMap
+    parts.zipWithIndex.foreach { case (part, i) =>
+      write(part)
+      markByBatch.get(i).foreach(m => store.put(table, wmCol, m))
+    }
+    parts.size
+  }
+
+  /** Shared planning: the range-predicate batches plus each batch's
+    * high-water mark, computed in exactly two Spark jobs regardless of
+    * batch count (one percentile aggregate, one grouped max — a per-batch
+    * `max` action would instead scan the source once per batch).
+    */
+  private def planBatches(df: DataFrame, wmCol: String,
+      batches: Int): (Seq[DataFrame], Seq[(Int, String)]) = {
     val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
     val parts = batchesFromBounds(df, wmCol, bounds)
     // batch id = number of bounds strictly below the value — identical
@@ -116,9 +158,7 @@ object Incremental {
       .collect()
       .flatMap(r => Option(r.getString(1)).map(m => r.getInt(0) -> m))
       .sortBy(_._1)
-    // commit in batch order: last committed mark == global max, and an
-    // empty batch commits nothing — same sequence a per-batch loop produced
-    maxes.foreach { case (_, m) => store.put(table, wmCol, m) }
-    parts.map(process).reduce(_ unionByName _)
+      .toSeq
+    (parts, maxes)
   }
 }

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * Image decode is REAL for the formats the JDK ships codecs for
   * (`javax.imageio`: PNG, BMP, GIF, JPEG, WBMP) — [[decode]] parses the
   * container and returns true width/height; [[channelHistogram]] extracts
-  * per-channel pixel histograms. Audio/video codecs are not available in
-  * this environment, so non-image payloads fall back to the clearly-marked
-  * deterministic [[decodeStub]]; everything Spark-side — schema, batching,
-  * partition-local iteration, output shape — is identical for both paths.
+  * per-channel pixel histograms. Audio decode is REAL for RIFF/WAVE PCM
+  * ([[decodeWav]]: hand-parsed header + sample stats, pure JVM, no codec
+  * dependency). Video codecs are not available in this environment, so
+  * remaining payloads fall back to the clearly-marked deterministic
+  * [[syntheticFeatures]]; everything Spark-side — schema, batching,
+  * partition-local iteration, output shape — is identical for all paths.
   *
   * Scale design: per-row byte work happens inside mapPartitions (no driver
   * collect, no shuffle); metadata stays columnar so filters on media_type /
@@ -48,14 +50,77 @@ object Multimodal {
         expr(s"substring(media, chunk_idx * $chunkSize + 1, $chunkSize)"))
       .select(col(keyCol), col("chunk_idx"), col("chunk"))
 
-  /** STUB decode for formats without an in-sandbox codec (audio/video):
-    * a deterministic fake deriving "dimensions" from the payload length so
-    * the downstream plumbing (schema, joins, filters) is exercised honestly.
+  /** SYNTHETIC features for formats without an in-sandbox codec (video,
+    * compressed audio): a deterministic fake deriving "dimensions" from the
+    * payload length so the downstream plumbing (schema, joins, filters) is
+    * exercised honestly. The name says what it is — these are NOT decoded
+    * media properties; real codecs slot in here.
     */
-  def decodeStub(bytes: Array[Byte]): Row = {
-    // ??? <- real audio/video codec goes here; deterministic fake below.
+  def syntheticFeatures(bytes: Array[Byte]): Row = {
     val n = bytes.length
-    Row("stub/decoded", n % 640, n % 480, n.toLong)
+    Row("synthetic/undecoded", n % 640, n % 480, n.toLong)
+  }
+
+  /** Parsed RIFF/WAVE PCM payload: header fields plus sample statistics
+    * (peak |amplitude| and RMS, both normalized to [0, 1]). */
+  final case class WavMeta(nChannels: Int, sampleRateHz: Int,
+      bitsPerSample: Int, nFrames: Long, durationMs: Long,
+      peakAbs: Double, rms: Double)
+
+  /** REAL audio decode for RIFF/WAVE PCM (8/16-bit) — a hand-rolled
+    * header walk plus one pass over the sample data, pure JVM with no
+    * codec dependency. Returns None for anything that is not a
+    * well-formed PCM WAV (including float/ADPCM/extensible encodings),
+    * so callers fall through to [[syntheticFeatures]] honestly.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // walk the chunk list: (id, size LE, payload, pad-to-even)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, length)
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = u32(off + 4).toInt
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for {
+      (audioFormat, channels, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if audioFormat == 1 && (bits == 8 || bits == 16) &&
+        channels > 0 && rate > 0
+    } yield {
+      val bytesPerSample = bits / 8
+      val nSamples = dLen / bytesPerSample
+      val nFrames = nSamples / channels
+      var i = 0
+      var peak = 0.0
+      var sumSq = 0.0
+      while (i < nSamples) {
+        // 8-bit WAV is UNSIGNED biased at 128; 16-bit is signed LE.
+        val s =
+          if (bits == 8) ((bytes(dOff + i) & 0xff) - 128) / 128.0
+          else {
+            val o = dOff + i * 2
+            ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0
+          }
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s * s
+        i += 1
+      }
+      WavMeta(channels, rate, bits, nFrames,
+        if (rate > 0) nFrames * 1000L / rate else 0L,
+        peak, if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0)
+    }
   }
 
   /** Real image decode via `javax.imageio` (JDK-shipped codecs: PNG, BMP,
@@ -82,13 +147,52 @@ object Multimodal {
     finally iis.close()
   }
 
-  /** Decode with [[MediaMetaSchema]] shape: real `javax.imageio` parse for
-    * recognized image formats, [[decodeStub]] fallback otherwise — same
-    * signature, so downstream schema/joins are identical either way.
+  /** Decode with [[MediaMetaSchema]] shape: real `javax.imageio` parse
+    * for recognized image formats, real [[decodeWav]] parse for PCM WAV
+    * (width/height are image-specific and come back null for audio),
+    * [[syntheticFeatures]] fallback otherwise — same signature, so
+    * downstream schema/joins are identical for every path.
     */
   def decode(bytes: Array[Byte]): Row = decodeImage(bytes) match {
     case Some((mt, w, h, _)) => Row(mt, w, h, bytes.length.toLong)
-    case None                => decodeStub(bytes)
+    case None => decodeWav(bytes) match {
+      case Some(_) => Row("audio/wav", null, null, bytes.length.toLong)
+      case None    => syntheticFeatures(bytes)
+    }
+  }
+
+  /** DataFrame-level audio feature extraction: one row per decodable PCM
+    * WAV payload with header + sample stats (undecodable rows keep the
+    * key with nulls, mirroring [[channelHistogram]]'s contract). RMS/peak
+    * land as micros (exact longs) so the output is engine- and
+    * partition-order independent. mapPartitions: byte work stays
+    * executor-side, no shuffle.
+    */
+  def audioFeatures(df: DataFrame, keyCol: String, mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("n_channels", IntegerType),
+      StructField("sample_rate_hz", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak_micros", LongType),
+      StructField("rms_micros", LongType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        decodeWav(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(m) => Row(r.get(keyIdx), m.nChannels, m.sampleRateHz,
+            m.bitsPerSample, m.nFrames, m.durationMs,
+            math.floor(m.peakAbs * 1e6 + 0.5).toLong,
+            math.floor(m.rms * 1e6 + 0.5).toLong)
+          case None => Row(r.get(keyIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** DataFrame-level decode: (key, media_type, width, height, n_bytes) via

@@ -38,7 +38,17 @@ object Drift {
     val base = if (partitionCols.isEmpty) Window.orderBy(orderCol)
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
     val w = base.rowsBetween(-trailing, -1)
-    val x = col(valueCol).cast("decimal(18,2)")
+    // Non-ANSI decimal overflow yields NULL, which downstream reads as
+    // "not enough data" — an anomaly monitor silently failing OPEN. Guard
+    // both overflow points explicitly so out-of-range magnitude raises
+    // instead of disabling detection: a value beyond decimal(18,2)
+    // (>16 integer digits), and a trailing sum of squares beyond
+    // decimal(38,4). Rescale the series (e.g. to millions) if hit.
+    val xRaw = col(valueCol).cast("decimal(18,2)")
+    val x = when(col(valueCol).isNotNull.and(xRaw.isNull),
+      raise_error(concat(
+        lit(s"Drift.zScores: '$valueCol' overflows decimal(18,2): "),
+        col(valueCol).cast("string")))).otherwise(xRaw)
     // Decimal→double goes THROUGH A STRING: Spark's direct cast takes the
     // compact path when the unscaled value fits a long — (double)unscaled /
     // 10^scale, TWO roundings — and a 7-period sum of squares passes 2^53
@@ -50,7 +60,11 @@ object Drift {
     series
       .withColumn("_n", count(x).over(w))
       .withColumn("_s", sum(x).over(w))
-      .withColumn("_s2", sum(x * x).over(w))
+      .withColumn("_s2",
+        when(col("_n") > 0 && sum(x * x).over(w).isNull,
+          raise_error(lit("Drift.zScores: trailing sum of squares overflows " +
+            s"decimal(38,4) — rescale '$valueCol' before monitoring")))
+          .otherwise(sum(x * x).over(w)))
       .withColumn("trailing_mean",
         when(col("_n") >= minPoints, dbl(col("_s")) / col("_n")))
       .withColumn("_var",

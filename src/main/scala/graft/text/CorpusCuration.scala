@@ -170,6 +170,12 @@ object CorpusCuration {
       orderCol: String = "doc_id", sepTokens: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     tokenSpans(docs, weightCol, orderCol, sepTokens)
+      // zero-width spans (weight 0 with sepTokens = 0) contribute no
+      // tokens; unfiltered, one whose start falls exactly on a capacity
+      // boundary makes the sequence() below DESCEND (start > stop) and
+      // emit phantom seq_ids, and any other zero-width doc inflates
+      // n_docs with a 0-token row.
+      .filter(col("end") > col("start"))
       .withColumn("seq_id", explode(expr(
         s"sequence(CAST(floor(start / $capacity) AS BIGINT), CAST(floor((`end` - 1) / $capacity) AS BIGINT))")))
       .withColumn("_toks",
@@ -192,6 +198,8 @@ object CorpusCuration {
       orderCol: String = "doc_id", sepTokens: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     tokenSpans(docs, weightCol, orderCol, sepTokens)
+      // see packSequences: zero-width spans would emit phantom/empty slices
+      .filter(col("end") > col("start"))
       .withColumn("seq_id", explode(expr(
         s"sequence(CAST(floor(start / $capacity) AS BIGINT), CAST(floor((`end` - 1) / $capacity) AS BIGINT))")))
       .withColumn("_from", greatest(col("start"), col("seq_id") * capacity))

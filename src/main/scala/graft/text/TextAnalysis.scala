@@ -94,21 +94,42 @@ object TextAnalysis {
       .groupBy(keyCol, "token")
       .agg(count(lit(1)).as("tf"))
 
-  /** Corpus document frequencies + idf = ln(N / df). N is passed by the
-    * caller (count once, don't embed an action here).
+  /** Corpus document frequencies + idf = ln(N / df). N comes in as a lazy
+    * 1-row aggregate broadcast into the plan (the A8 scalar idiom), NOT a
+    * driver-side `count()` action — so TF-IDF is one composed job with no
+    * extra pass over the corpus.
     */
-  def docFrequencies(tf: DataFrame, keyCol: String, corpusSize: Long): DataFrame =
+  def docFrequencies(tf: DataFrame, keyCol: String, corpusN: DataFrame): DataFrame =
     tf.groupBy("token")
       .agg(countDistinct(col(keyCol)).as("df"))
-      .withColumn("idf", round(log(lit(corpusSize.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("idf", round(log(col("_corpus_n") / col("df")), 6))
+      .drop("_corpus_n")
+
+  /** [[docFrequencies]] with a caller-known corpus size (e.g. from table
+    * statistics — avoids even the lazy count subtree). */
+  def docFrequencies(tf: DataFrame, keyCol: String, corpusSize: Long): DataFrame =
+    docFrequencies(tf, keyCol,
+      tf.sparkSession.range(1).select(lit(corpusSize.toDouble).as("_corpus_n")))
 
   /** TF-IDF long format: join tf with idf. The vocabulary join is left
     * un-hinted on purpose — a web-scale corpus's distinct-token relation is
     * unbounded, so a forced broadcast would materialize it on the driver.
     * AQE picks broadcast when the vocabulary actually is small (as it is at
     * test scale) and falls back to a shuffled join when it isn't.
+    *
+    * The idf denominator N is folded into the plan as a broadcast 1-row
+    * count of `df` — callers no longer pay a separate `count()` job.
     */
-  def tfIdf(df: DataFrame, keyCol: String, textCol: String = "text",
+  def tfIdf(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame = {
+    val tf = termFrequencies(df, keyCol, textCol)
+    val n = df.agg(count(lit(1)).cast("double").as("_corpus_n"))
+    tf.join(docFrequencies(tf, keyCol, n), Seq("token"))
+      .withColumn("tf_idf", round(col("tf") * col("idf"), 6))
+  }
+
+  /** [[tfIdf]] with a caller-known corpus size. */
+  def tfIdf(df: DataFrame, keyCol: String, textCol: String,
       corpusSize: Long): DataFrame = {
     val tf = termFrequencies(df, keyCol, textCol)
     tf.join(docFrequencies(tf, keyCol, corpusSize), Seq("token"))

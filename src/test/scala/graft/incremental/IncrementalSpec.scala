@@ -41,6 +41,39 @@ class IncrementalSpec extends SparkSpec {
     assert(store.get("t", "wm").map(_.toDouble).contains(100.0))
   }
 
+  test("runBatchedAtLeastOnce commits AFTER each write; a failed batch " +
+      "leaves the store at the last successful batch's mark") {
+    val dir = java.nio.file.Files.createTempDirectory("wmspec4").toString
+    val store = new WatermarkStore(dir)
+    val df = (1 to 100).map(_.toDouble).toDF("wm")
+    // Batch 3 (of 4) fails mid-write: its rows were partially "uploaded"
+    // but its mark must NOT be committed — the reference's at-least-once
+    // contract (commit after upload succeeds, so a rerun re-reads the
+    // failed batch instead of skipping it).
+    val written = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val boom = intercept[RuntimeException] {
+      Incremental.runBatchedAtLeastOnce(df, "t", "wm", 4, store) { b =>
+        if (written.size == 2) throw new RuntimeException("sink down")
+        written += b.count()
+      }
+    }
+    assert(boom.getMessage === "sink down")
+    // two successful batches of 25 rows each...
+    assert(written.toSeq === Seq(25L, 25L))
+    // ...and the store sits at batch 2's max (50.0), not the global max:
+    // the failed batch and everything after it will be re-read on rerun.
+    assert(store.get("t", "wm").map(_.toDouble).contains(50.0))
+
+    // rerun with a healthy sink from the committed mark: only rows past
+    // the mark flow, nothing was lost.
+    val remaining = df.filter(col("wm") > store.get("t", "wm").get.toDouble)
+    val n = Incremental.runBatchedAtLeastOnce(remaining, "t", "wm", 2, store) {
+      b => written += b.count()
+    }
+    assert(n === 2 && written.drop(2).sum === 50L)
+    assert(store.get("t", "wm").map(_.toDouble).contains(100.0))
+  }
+
   test("runBatched setup job count is independent of the batch count") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -33,9 +33,62 @@ class MultimodalSpec extends SparkSpec {
     assert(h(2L).sum === 600L)
   }
 
-  test("decodeStub is deterministic on identical payloads") {
+  test("syntheticFeatures is deterministic on identical payloads") {
     val b = "hello".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(b) === Multimodal.decodeStub(b.clone()))
+    assert(Multimodal.syntheticFeatures(b) === Multimodal.syntheticFeatures(b.clone()))
+  }
+
+  /** An in-memory 16-bit PCM mono WAV: a full-scale-ish square wave —
+    * every sample is ±amp, so peak == amp/32768 and rms == peak exactly.
+    */
+  private def wavBytes(rate: Int = 8000, nFrames: Int = 4000,
+      amp: Int = 16384, channels: Int = 1): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until nFrames * channels)
+      bb.putShort(if ((i / 8) % 2 == 0) amp.toShort else (-amp).toShort)
+    bb.array()
+  }
+
+  test("decodeWav parses a generated PCM WAV end-to-end: header + stats") {
+    val m = Multimodal.decodeWav(wavBytes()).get
+    assert(m.nChannels === 1 && m.sampleRateHz === 8000 && m.bitsPerSample === 16)
+    assert(m.nFrames === 4000L && m.durationMs === 500L) // 4000 / 8000 Hz
+    // square wave at ±16384: peak = rms = 0.5 exactly
+    assert(m.peakAbs === 0.5 && m.rms === 0.5)
+    // stereo: frames = samples / channels (the generator writes
+    // nFrames × channels samples, so the frame count is unchanged)
+    val st = Multimodal.decodeWav(wavBytes(channels = 2)).get
+    assert(st.nChannels === 2 && st.nFrames === 4000L && st.durationMs === 500L)
+    // non-WAV and truncated payloads refuse rather than guess
+    assert(Multimodal.decodeWav("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(wavBytes().take(60)).isEmpty)
+  }
+
+  test("decode routes WAV to the real audio parser, not the synthetic fake") {
+    val r = Multimodal.decode(wavBytes())
+    assert(r.getString(0) === "audio/wav")
+    assert(r.isNullAt(1) && r.isNullAt(2)) // width/height are image-only
+  }
+
+  test("audioFeatures extracts per-row WAV stats executor-side; non-audio rows keep nulls") {
+    val rows = Seq((1L, wavBytes()), (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.audioFeatures(rows, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Int]("sample_rate_hz") === 8000)
+    assert(a.getAs[Long]("duration_ms") === 500L)
+    assert(a.getAs[Long]("peak_micros") === 500000L)
+    assert(a.getAs[Long]("rms_micros") === 500000L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("sample_rate_hz")))
   }
 
   /** An in-memory PNG: 7×5, left half pure red, right half pure blue. */
@@ -54,19 +107,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(1) === 7 && r.getInt(2) === 5)
   }
 
-  test("decode falls back to the deterministic stub for non-image bytes") {
+  test("decode falls back to the deterministic synthetic features for non-media bytes") {
     val b = "not an image".getBytes("UTF-8")
-    assert(Multimodal.decode(b) === Multimodal.decodeStub(b))
+    assert(Multimodal.decode(b) === Multimodal.syntheticFeatures(b))
   }
 
-  test("decodeMedia decodes PNG rows and stubs the rest, executor-side") {
+  test("decodeMedia decodes PNG rows and marks the rest synthetic, executor-side") {
     val rows = Seq((1L, pngBytes()), (2L, "plain text".getBytes("UTF-8")))
       .toDF("doc_id", "media")
     val out = Multimodal.decodeMedia(rows, "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("media_type"), r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
     assert(out(1L) === (("image/png", 7, 5)))
-    assert(out(2L)._1 === "stub/decoded")
+    assert(out(2L)._1 === "synthetic/undecoded")
   }
 
   test("resizeImages scales decodable images and passes the rest through") {
