@@ -1736,6 +1736,56 @@ object SparkEntry {
         |      / ((coalesce(cc, 0) + 1.0) / (ct + CAST(10 AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
         |FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin) CROSS JOIN tot""".stripMargin)),
 
+    // ---- two-sample Kolmogorov–Smirnov: order-value distribution drift,
+    //      pre-1997 reference vs 1997+ current — no binning, exact ECDFs
+    //      over distinct values; D as integer micros ----
+    ("q_ks",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        quality.Drift.ksStatistic(
+          orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date")),
+          "o_totalprice")
+      },
+      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+        |u AS (SELECT v, 1 AS r, 0 AS c FROM ref UNION ALL SELECT v, 0, 1 FROM cur),
+        |g AS (SELECT v, CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc FROM u GROUP BY v),
+        |w AS (SELECT
+        |  CAST(sum(nr) OVER (ORDER BY v) AS DOUBLE) / CAST(sum(nr) OVER () AS DOUBLE) AS fr,
+        |  CAST(sum(nc) OVER (ORDER BY v) AS DOUBLE) / CAST(sum(nc) OVER () AS DOUBLE) AS fc
+        | FROM g)
+        |SELECT CAST(floor(max(abs(fr - fc)) * 1e6 + 0.5) AS BIGINT) AS ks_micros,
+        | (SELECT count(*) FROM ref) AS n_ref, (SELECT count(*) FROM cur) AS n_cur
+        |FROM w""".stripMargin)),
+
+    // ---- two-sample chi-square: order-priority mix drift over the same
+    //      pre-/post-1997 split — per-category (o−e)²/e contributions in
+    //      integer micros against the pooled expectation ----
+    ("q_chisq",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        quality.Drift.chiSquare(
+          orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date")),
+          "o_orderpriority")
+      },
+      Some("""WITH ref AS (SELECT o_orderpriority AS cat FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |cur AS (SELECT o_orderpriority AS cat FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+        |u AS (SELECT cat, 1 AS r, 0 AS c FROM ref UNION ALL SELECT cat, 0, 1 FROM cur),
+        |g AS (SELECT cat, CAST(sum(r) AS BIGINT) AS ref_cnt, CAST(sum(c) AS BIGINT) AS cur_cnt FROM u GROUP BY cat),
+        |t AS (SELECT g.*, CAST(sum(ref_cnt) OVER () AS BIGINT) AS n_ref,
+        |  CAST(sum(cur_cnt) OVER () AS BIGINT) AS n_cur FROM g),
+        |e AS (SELECT *, n_ref + n_cur AS grand, ref_cnt + cur_cnt AS row_tot FROM t),
+        |x AS (SELECT cat, ref_cnt, cur_cnt,
+        |  CAST(row_tot AS DOUBLE) * CAST(n_ref AS DOUBLE) / CAST(grand AS DOUBLE) AS e_ref,
+        |  CAST(row_tot AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(grand AS DOUBLE) AS e_cur
+        | FROM e)
+        |SELECT cat, ref_cnt, cur_cnt,
+        |  CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
+        |    + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+        |FROM x""".stripMargin)),
+
     // ---- DSIR importance resampling: target = doc_id%10==0 docs, source =
     //      the rest; hashed-unigram (4096 md5 buckets) add-one log-ratios
     //      in integer micros, per-doc integer sums, deterministic

@@ -117,4 +117,78 @@ object Drift {
            |    / ((cur_cnt + 1.0) / (ct + CAST($nBins AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
       .select("bin", "ref_cnt", "cur_cnt", "contrib_micros")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — nonparametric NUMERIC
+    * distribution drift: D = max over x of |F_ref(x) − F_cur(x)| on the
+    * empirical CDFs. Complements [[zScores]] (level shifts on a series)
+    * and [[psi]] (binned density shift): KS needs no binning choice and
+    * reacts to ANY shape change, the standard pre-/post-deploy
+    * distribution check. Returns one row:
+    * (ks_micros, n_ref, n_cur) with D as exact integer micros.
+    *
+    * Scale shape: one distributed groupBy on the metric value (the heavy
+    * pass — counts per distinct value), then ordered cumulative sums over
+    * the DISTINCT-value relation only. That ordered window serializes
+    * distinct values through one task — correct when the metric's
+    * distinct domain is bounded (prices, scores, latencies at fixed
+    * precision); for an unbounded continuous domain, quantize first (the
+    * [[psi]] binning) and run KS on the quantized values: same contract.
+    *
+    * Determinism: every double derives from exact long counts in one
+    * fixed op sequence (cum/total per value, |diff|, max — max is
+    * order-independent), then integer micros — engine- and
+    * partition-order independent.
+    */
+  def ksStatistic(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val u = reference.select(col(valueCol).as("v"))
+        .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
+      .unionByName(current.select(col(valueCol).as("v"))
+        .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
+    val wOrd = Window.orderBy("v")
+    val wAll = Window.partitionBy()
+    u.groupBy("v").agg(sum("_r").as("nr"), sum("_c").as("nc"))
+      .withColumn("fr",
+        sum("nr").over(wOrd).cast("double") / sum("nr").over(wAll).cast("double"))
+      .withColumn("fc",
+        sum("nc").over(wOrd).cast("double") / sum("nc").over(wAll).cast("double"))
+      .agg(
+        expr("CAST(floor(max(abs(fr - fc)) * 1e6 + 0.5) AS BIGINT)").as("ks_micros"),
+        sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+  }
+
+  /** Two-sample chi-square drift on a CATEGORICAL column — the
+    * contingency-table test [[psi]]'s binned form approximates: for each
+    * category, observed ref/cur counts vs the expected counts under the
+    * pooled distribution, contribution (o−e)²/e summed over both samples.
+    * Returns one row per category:
+    * (cat, ref_cnt, cur_cnt, contrib_micros); χ² = Σ contrib_micros/1e6
+    * with df = categories − 1. A vanished or newborn category contributes
+    * through its zero side — exactly the drift signal.
+    *
+    * Scale shape: one groupBy on the category (bounded key set), one
+    * broadcast-size window for the totals. Doubles derive from exact long
+    * counts in a fixed sequence → engine-reproducible integer micros.
+    */
+  def chiSquare(reference: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    val u = reference.select(col(catCol).as("cat"))
+        .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
+      .unionByName(current.select(col(catCol).as("cat"))
+        .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
+    val wAll = Window.partitionBy()
+    u.groupBy("cat").agg(sum("_r").as("ref_cnt"), sum("_c").as("cur_cnt"))
+      .withColumn("n_ref", sum("ref_cnt").over(wAll))
+      .withColumn("n_cur", sum("cur_cnt").over(wAll))
+      .withColumn("grand", col("n_ref") + col("n_cur"))
+      .withColumn("row_tot", col("ref_cnt") + col("cur_cnt"))
+      .withColumn("e_ref",
+        col("row_tot").cast("double") * col("n_ref").cast("double") / col("grand").cast("double"))
+      .withColumn("e_cur",
+        col("row_tot").cast("double") * col("n_cur").cast("double") / col("grand").cast("double"))
+      .withColumn("contrib_micros", expr(
+        """CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
+          |  + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select("cat", "ref_cnt", "cur_cnt", "contrib_micros")
+  }
 }

@@ -54,6 +54,42 @@ class DriftSpec extends SparkSpec {
     assert(rows.values.map(_._2).sum === 50L)
   }
 
+  test("KS statistic: 0 for identical samples, exact D for a known shift, " +
+      "repartition-independent") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    def ks(cur: org.apache.spark.sql.DataFrame): Long =
+      Drift.ksStatistic(ref, cur, "v").head.getAs[Long]("ks_micros")
+    // identical samples: D = 0 exactly
+    assert(ks((1 to 100).map(_.toDouble).toDF("v")) === 0L)
+    // cur = ref + 50 (uniform shift by half the range): D = 0.5 exactly —
+    // F_ref(100) = 1.0 while F_cur(100) = 0.5
+    assert(ks((51 to 150).map(_.toDouble).toDF("v")) === 500000L)
+    // disjoint supports: D = 1
+    assert(ks((1001 to 1100).map(_.toDouble).toDF("v")) === 1000000L)
+    // deterministic under repartitioning (exact counts + order-free max)
+    val cur = (51 to 150).map(_.toDouble).toDF("v")
+    assert(Drift.ksStatistic(ref.repartition(7), cur.repartition(3), "v")
+      .head.getAs[Long]("ks_micros") === 500000L)
+  }
+
+  test("chi-square: zero for identical proportions; a vanished category " +
+      "contributes through its zero side") {
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("cat")
+    // same proportions at twice the size: every expected == observed → 0
+    val sameMix = (Seq.fill(120)("a") ++ Seq.fill(80)("b")).toDF("cat")
+    val zero = Drift.chiSquare(ref, sameMix, "cat").collect()
+    assert(zero.length === 2 && zero.forall(_.getAs[Long]("contrib_micros") === 0L))
+    // category "b" vanished: both categories light up, b's cur side is 0
+    val dropped = Seq.fill(100)("a").toDF("cat")
+    val out = Drift.chiSquare(ref, dropped, "cat").collect()
+      .map(r => r.getAs[String]("cat") ->
+        (r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt"), r.getAs[Long]("contrib_micros"))).toMap
+    assert(out("b")._1 === 40L && out("b")._2 === 0L && out("b")._3 > 0L)
+    // hand-check the 2x2 chi-square: totals 100/100, rows a=160 b=40 →
+    // e_a = 80, e_b = 20; chi2 = 2·(20²/80) + 2·(20²/20) = 10 + 40 = 50
+    assert(out.values.map(_._3).sum === 50000000L)
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
