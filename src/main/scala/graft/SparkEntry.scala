@@ -1786,6 +1786,95 @@ object SparkEntry {
         |    + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
         |FROM x""".stripMargin)),
 
+    // ---- two-sample Mann–Whitney U: rank-based order-value location
+    //      test over the same pre-/post-1997 split — u2 = 2U exact
+    //      BIGINT (tie midranks stay integer when doubled), tie-corrected
+    //      normal z in micros from one shared formula text ----
+    ("q_mwu",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        quality.Drift.mannWhitneyU(
+          orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date")),
+          "o_totalprice")
+      },
+      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+        |u AS (SELECT v, 1 AS r, 0 AS c FROM ref UNION ALL SELECT v, 0, 1 FROM cur),
+        |g AS (SELECT v, CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc FROM u GROUP BY v),
+        |w AS (SELECT nr, nc, CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) AS cumc FROM g),
+        |t AS (SELECT CAST(sum(nr * (2 * cumc - nc)) AS BIGINT) AS u2,
+        |             CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur,
+        |             CAST(sum((nr + nc) * (nr + nc) * (nr + nc) - (nr + nc)) AS BIGINT) AS _tie FROM w),
+        |z AS (SELECT u2, n_ref, n_cur,
+        |  CASE WHEN n_ref + n_cur < 2 THEN 0.0
+        |    ELSE 2.0 * sqrt((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0)
+        |      * ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) + 1.0)
+        |        - CAST(_tie AS DOUBLE) / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+        |          * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) - 1.0)))) END AS _den
+        | FROM t)
+        |SELECT u2, n_ref, n_cur,
+        |  CASE WHEN n_ref = 0 OR n_cur = 0 OR _den = 0.0 THEN NULL
+        |    ELSE CAST(floor((CAST(u2 AS DOUBLE)
+        |      - CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / _den * 1e6 + 0.5) AS BIGINT) END AS z_micros
+        |FROM z""".stripMargin)),
+
+    // ---- Jensen–Shannon vocabulary divergence: hashed-unigram (4096
+    //      md5 buckets) token distributions, en vs non-en corpus slices;
+    //      per-bucket JSD contribution in integer micros — no smoothing
+    //      needed, a one-sided bucket contributes (p/2)·ln 2 via m ----
+    ("q_jsd",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        quality.Drift.jsDivergence(
+          graft.text.ImportanceSampling.tokenBuckets(docs.filter(col("lang") === "en")),
+          graft.text.ImportanceSampling.tokenBuckets(docs.filter(col("lang") =!= "en")),
+          "bucket")
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT lang, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ref_cnt FROM b WHERE lang = 'en' GROUP BY 1),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cur_cnt FROM b WHERE lang <> 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS rt,
+        |               (SELECT count(*) FROM b WHERE lang <> 'en') AS ct),
+        |j AS (SELECT coalesce(r.bucket, c.bucket) AS cat, coalesce(ref_cnt, 0) AS ref_cnt,
+        |        coalesce(cur_cnt, 0) AS cur_cnt FROM r FULL JOIN c ON r.bucket = c.bucket)
+        |SELECT cat, ref_cnt, cur_cnt,
+        |  CAST(floor((
+        |  CASE WHEN ref_cnt > 0 THEN 0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE))
+        |    * ln((CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE))
+        |      / (0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE)
+        |               + CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)))) ELSE 0.0 END
+        |+ CASE WHEN cur_cnt > 0 THEN 0.5 * (CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE))
+        |    * ln((CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE))
+        |      / (0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE)
+        |               + CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)))) ELSE 0.0 END
+        |) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+        |FROM j CROSS JOIN tot""".stripMargin)),
+
+    // ---- bucketed point-in-interval range join: month-start census of
+    //      open fulfillment windows [o_orderdate, +1..30d] — intervals
+    //      explode into 32-day buckets, points map to one bucket, hash
+    //      equi-join + residual BETWEEN; no BroadcastNestedLoop ----
+    ("q_rangejoin",
+      (s, d) => {
+        val iv = Tables(s, d).orders.select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("lo"),
+          expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 30 + 1 AS INT))").as("hi"))
+        val pts = s.range(1).select(explode(expr(
+          "sequence(DATE'1995-01-01', DATE'1997-06-01', interval 1 month)")).as("d_pt"))
+        graft.operators.RangeJoin.pointInInterval(pts, iv, "d_pt", "lo", "hi",
+            c => datediff(c, lit("1970-01-01").cast("date")), bucketWidth = 32L)
+          .groupBy("d_pt").agg(count(lit(1)).as("n_open"))
+      },
+      Some("""WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate + CAST(o_orderkey % 30 + 1 AS INTEGER) * INTERVAL 1 DAY AS DATE) AS hi FROM orders),
+        |pts AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1997-06-01', INTERVAL 1 MONTH)) AS DATE) AS d_pt)
+        |SELECT d_pt, CAST(count(*) AS BIGINT) AS n_open
+        |FROM pts JOIN iv ON lo <= d_pt AND d_pt <= hi
+        |GROUP BY 1""".stripMargin)),
+
     // ---- DSIR importance resampling: target = doc_id%10==0 docs, source =
     //      the rest; hashed-unigram (4096 md5 buckets) add-one log-ratios
     //      in integer micros, per-doc integer sums, deterministic

@@ -127,34 +127,132 @@ object Drift {
     * (ks_micros, n_ref, n_cur) with D as exact integer micros.
     *
     * Scale shape: one distributed groupBy on the metric value (the heavy
-    * pass — counts per distinct value), then ordered cumulative sums over
-    * the DISTINCT-value relation only. That ordered window serializes
-    * distinct values through one task — correct when the metric's
-    * distinct domain is bounded (prices, scores, latencies at fixed
-    * precision); for an unbounded continuous domain, quantize first (the
-    * [[psi]] binning) and run KS on the quantized values: same contract.
+    * pass — counts per distinct value), then the cumulative counts the
+    * ECDFs need via a distributed range-sort and the two-pass prefix sum
+    * of [[graft.text.CorpusCuration.tokenSpans]] — NOT a global
+    * `sum().over(Window.orderBy(v))`, which would serialize every
+    * distinct value through one task. Pass 1 collects numPartitions
+    * (Σref, Σcur) subtotals (bounded by cluster size, not data); pass 2
+    * re-reads the SAME sort lineage (shuffle map outputs reused) with
+    * each partition's driver-computed offset and keeps only a
+    * per-partition running max of |F_ref − F_cur|. Unbounded distinct
+    * domains are therefore fine.
     *
     * Determinism: every double derives from exact long counts in one
     * fixed op sequence (cum/total per value, |diff|, max — max is
     * order-independent), then integer micros — engine- and
-    * partition-order independent.
+    * partition-order independent. Range-partition boundaries may move
+    * between runs, but the per-value cumulative counts are global
+    * (offset-corrected), so the row-level doubles — and their max — do
+    * not.
     */
-  def ksStatistic(reference: DataFrame, current: DataFrame,
-      valueCol: String): DataFrame = {
+  /** Shared machinery for the rank/ECDF statistics: per DISTINCT value of
+    * `valueCol` (globally value-ordered), the pair counts (nr, nc) and the
+    * INCLUSIVE cumulative counts (cumR, cumC), plus the two grand totals.
+    * One distributed groupBy (the heavy pass), one distributed range-sort,
+    * then the two-pass prefix sum of
+    * [[graft.text.CorpusCuration.tokenSpans]] — NOT a global
+    * `sum().over(Window.orderBy(v))`, which would serialize every distinct
+    * value through one task. Pass 1 collects numPartitions (Σref, Σcur)
+    * subtotals (bounded by cluster size, not data); pass 2 re-reads the
+    * SAME sort lineage (shuffle map outputs reused) with each partition's
+    * driver-computed offset. Unbounded distinct domains are therefore
+    * fine. Range-partition boundaries may move between runs, but the
+    * offset-corrected cumulative counts are global, so downstream
+    * statistics do not.
+    */
+  private def cumCountsByValue(reference: DataFrame, current: DataFrame,
+      valueCol: String): (org.apache.spark.rdd.RDD[(Long, Long, Long, Long)], Long, Long) = {
     val u = reference.select(col(valueCol).as("v"))
         .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
       .unionByName(current.select(col(valueCol).as("v"))
         .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
-    val wOrd = Window.orderBy("v")
-    val wAll = Window.partitionBy()
-    u.groupBy("v").agg(sum("_r").as("nr"), sum("_c").as("nc"))
-      .withColumn("fr",
-        sum("nr").over(wOrd).cast("double") / sum("nr").over(wAll).cast("double"))
-      .withColumn("fc",
-        sum("nc").over(wOrd).cast("double") / sum("nc").over(wAll).cast("double"))
+    val rdd = u.groupBy("v").agg(sum("_r").as("nr"), sum("_c").as("nc"))
+      .orderBy("v")
+      .rdd.map(r => (r.getLong(1), r.getLong(2)))
+    val perPart = rdd.mapPartitionsWithIndex(
+        (i, it) => Iterator.single((i, it.foldLeft((0L, 0L)) {
+          case ((ar, ac), (nr, nc)) => (ar + nr, ac + nc) })),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offR = perPart.scanLeft(0L)(_ + _._1)
+    val offC = perPart.scanLeft(0L)(_ + _._2)
+    val cum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var (cumR, cumC) = (offR(i), offC(i))
+      it.map { case (nr, nc) => cumR += nr; cumC += nc; (nr, nc, cumR, cumC) }
+    }
+    (cum, offR.last, offC.last)
+  }
+
+  def ksStatistic(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val (cum, nRef, nCur) = cumCountsByValue(reference, current, valueCol)
+    val partMax = cum.mapPartitionsWithIndex { (i, it) =>
+      var best = 0.0
+      it.foreach { case (_, _, cumR, cumC) =>
+        val d = math.abs(cumR.toDouble / nRef - cumC.toDouble / nCur)
+        if (!(d <= best)) best = d // NaN-propagating max, as SQL greatest is not
+      }
+      Iterator.single(Row(i, best))
+    }
+    reference.sparkSession.createDataFrame(partMax, StructType(Seq(
+        StructField("_part", IntegerType, nullable = false),
+        StructField("_max", DoubleType, nullable = false))))
       .agg(
-        expr("CAST(floor(max(abs(fr - fc)) * 1e6 + 0.5) AS BIGINT)").as("ks_micros"),
-        sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+        expr("CAST(floor(max(_max) * 1e6 + 0.5) AS BIGINT)").as("ks_micros"),
+        lit(nRef).as("n_ref"), lit(nCur).as("n_cur"))
+  }
+
+  /** Two-sample Mann–Whitney U — the rank-based location test: more
+    * sensitive than [[ksStatistic]] to a median shift, robust to outliers
+    * a mean-based test ([[graft.ml.AbTesting]]'s Welch t) chases. Returns
+    * one row: (u2, n_ref, n_cur, z_micros) where `u2 = 2·U` of the
+    * REFERENCE sample — doubled so the tie-midrank ½ stays integer:
+    * U = Σ_values nr·(#cur below + ½·#cur tied) ⇒
+    * u2 = Σ nr·(2·cumC_after − nc), an EXACT BIGINT (valid while
+    * n_ref·n_cur < 2⁶², i.e. ~2·10⁹ rows per side — beyond that use KS).
+    * `z_micros` is the tie-corrected normal approximation
+    * z = (U − n_ref·n_cur/2) / σ,
+    * σ² = (n_ref·n_cur/12)·((N+1) − Σ(t³−t)/(N(N−1))); z is NULL when σ
+    * is 0 (every value tied) or a sample is empty.
+    *
+    * Scale/determinism: same [[cumCountsByValue]] machinery as KS — the
+    * integer u2 and tie sums are partition-order independent, and z is one
+    * fixed double sequence from exact longs, written identically in the
+    * engine and the oracle.
+    */
+  def mannWhitneyU(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val (cum, nRef, nCur) = cumCountsByValue(reference, current, valueCol)
+    val (u2, tie) = cum.mapPartitions { it =>
+      var (u, t) = (0L, 0L)
+      it.foreach { case (nr, nc, _, cumC) =>
+        u += nr * (2L * cumC - nc)
+        val g = nr + nc
+        t += g * g * g - g
+      }
+      Iterator.single((u, t))
+    }.collect().foldLeft((0L, 0L)) { case ((au, at), (u, t)) => (au + u, at + t) }
+    reference.sparkSession.range(1).select(
+        lit(u2).as("u2"), lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        lit(tie).as("_tie"))
+      // identical formula text in the DuckDB oracle — one fixed IEEE
+      // sequence from exact longs on both engines; σ = 0 (every value
+      // tied, or an empty sample) is guarded by CASE before the division
+      // because ANSI mode raises on divide-by-zero rather than IEEE-NaN
+      .withColumn("_den", expr(
+        """CASE WHEN n_ref + n_cur < 2 THEN 0.0
+          |  ELSE 2.0 * sqrt((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0)
+          |    * ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) + 1.0)
+          |      - CAST(_tie AS DOUBLE) / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+          |        * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) - 1.0)))) END""".stripMargin))
+      .withColumn("z_micros", expr(
+        """CASE WHEN n_ref = 0 OR n_cur = 0 OR _den = 0.0 THEN NULL
+          |  ELSE CAST(floor((CAST(u2 AS DOUBLE)
+          |    - CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / _den * 1e6 + 0.5) AS BIGINT) END""".stripMargin))
+      .select("u2", "n_ref", "n_cur", "z_micros")
   }
 
   /** Two-sample chi-square drift on a CATEGORICAL column — the
@@ -189,6 +287,49 @@ object Drift {
       .withColumn("contrib_micros", expr(
         """CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
           |  + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select("cat", "ref_cnt", "cur_cnt", "contrib_micros")
+  }
+
+  /** Jensen–Shannon divergence on a CATEGORICAL column — the bounded
+    * (≤ ln 2), symmetric divergence between the two category
+    * distributions: JSD = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2. Unlike
+    * [[chiSquare]] (a significance test that scales with N) this is a
+    * MAGNITUDE: how different the mixes are, comparable across tables and
+    * over time — and unlike KL it needs no smoothing, since a category
+    * absent on one side contributes the finite (p/2)·ln 2 through `m`.
+    * Returns one row per category:
+    * (cat, ref_cnt, cur_cnt, contrib_micros); JSD = Σ contrib_micros/1e6.
+    * The natural categorical feed for corpus work is hashed token buckets
+    * ([[graft.text.ImportanceSampling.tokenBuckets]]) — vocabulary drift
+    * between corpus slices.
+    *
+    * Scale shape: one groupBy on the category, totals as lazily-broadcast
+    * 1-row aggregates (the A8 no-collect idiom) — no window, no driver
+    * work. Doubles derive from exact long counts in one fixed sequence
+    * (mirrored textually in the oracle) → engine-reproducible micros.
+    */
+  def jsDivergence(reference: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    val r = reference.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("ref_cnt"))
+    val c = current.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("cur_cnt"))
+    val rt = r.agg(sum("ref_cnt").as("rt"))
+    val ct = c.agg(sum("cur_cnt").as("ct"))
+    r.join(c, Seq("cat"), "full")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .withColumn("contrib_micros", expr(
+        """CAST(floor((
+          |  CASE WHEN ref_cnt > 0 THEN 0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE))
+          |    * ln((CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE))
+          |      / (0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE)
+          |               + CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)))) ELSE 0.0 END
+          |+ CASE WHEN cur_cnt > 0 THEN 0.5 * (CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE))
+          |    * ln((CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE))
+          |      / (0.5 * (CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE)
+          |               + CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)))) ELSE 0.0 END
+          |) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
       .select("cat", "ref_cnt", "cur_cnt", "contrib_micros")
   }
 }

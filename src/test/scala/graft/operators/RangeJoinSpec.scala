@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def units = (c: org.apache.spark.sql.Column) => c.cast("long")
+
+  test("matches the brute-force BETWEEN join exactly, including inclusive " +
+      "endpoints and bucket-straddling intervals") {
+    val pts = (0L to 100L).toDF("p")
+    // spans 0..9 units, lo at every 7th position — many straddle the
+    // width-10 bucket boundary
+    val iv = (0L until 40L).map(i => (i, i * 7 % 95, i * 7 % 95 + i % 10))
+      .toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", units, bucketWidth = 10L)
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // endpoints are inclusive: a width-0 interval matches its single point
+    val single = RangeJoin.pointInInterval(
+      Seq(5L).toDF("p"), Seq((1L, 5L, 5L)).toDF("iv_id", "lo", "hi"),
+      "p", "lo", "hi", units, bucketWidth = 10L)
+    assert(single.count() === 1L)
+  }
+
+  test("each (point, interval) pair is emitted exactly once — no dedup " +
+      "pass, so bucket copies must never double-match") {
+    // interval straddles 3 buckets; points inside it in each bucket
+    val iv = Seq((1L, 8L, 25L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq(9L, 15L, 22L).toDF("p")
+    val out = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", units, bucketWidth = 10L)
+      .groupBy("p").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(9L -> 1L, 15L -> 1L, 22L -> 1L))
+  }
+
+  test("an interval exploding past maxCopies raises instead of silently " +
+      "ballooning") {
+    val iv = Seq((1L, 0L, 1000L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq(5L).toDF("p")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", units,
+        bucketWidth = 10L, maxCopies = 4).count()
+    }
+    assert(e.getMessage.contains("RangeJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("RangeJoin")))
+  }
+
+  test("the plan is a hash equi-join on the bucket, not a nested loop") {
+    val pts = (0L to 50L).toDF("p")
+    val iv = (0L until 10L).map(i => (i, i * 5, i * 5 + 3)).toDF("iv_id", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", units, bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}

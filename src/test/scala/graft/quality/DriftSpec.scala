@@ -90,6 +90,52 @@ class DriftSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 50000000L)
   }
 
+  test("Mann-Whitney U: hand-checked tie case, extremes, null z on " +
+      "degenerate variance, repartition-independent") {
+    def mwu(ref: Seq[Double], cur: Seq[Double]) =
+      Drift.mannWhitneyU(ref.toDF("v"), cur.toDF("v"), "v").head
+    // ref=[1,2,2], cur=[2,3]: strict wins 0, ties 2 (two ref-2s x one
+    // cur-2) -> U = 0 + 2/2 = 1 -> u2 = 2
+    val hand = mwu(Seq(1, 2, 2), Seq(2, 3))
+    assert(hand.getAs[Long]("u2") === 2L)
+    assert(hand.getAs[Long]("n_ref") === 3L && hand.getAs[Long]("n_cur") === 2L)
+    // ref entirely below cur: U = 0; entirely above: U = nr*nc
+    assert(mwu((1 to 10).map(_.toDouble), (11 to 20).map(_.toDouble)).getAs[Long]("u2") === 0L)
+    assert(mwu((11 to 20).map(_.toDouble), (1 to 10).map(_.toDouble)).getAs[Long]("u2") === 200L)
+    // below-median ref drives z negative; symmetric flip mirrors it
+    val lo = mwu((1 to 10).map(_.toDouble), (11 to 20).map(_.toDouble)).getAs[Long]("z_micros")
+    val hi = mwu((11 to 20).map(_.toDouble), (1 to 10).map(_.toDouble)).getAs[Long]("z_micros")
+    assert(lo < 0L && hi > 0L)
+    // every observation tied: sigma = 0 -> z is null, u2 still exact
+    val tied = mwu(Seq(5, 5, 5), Seq(5, 5))
+    assert(tied.getAs[Long]("u2") === 6L && tied.isNullAt(tied.fieldIndex("z_micros")))
+    // deterministic under repartitioning
+    val a = (1 to 100).map(_.toDouble).toDF("v").repartition(7)
+    val b = (51 to 150).map(_.toDouble).toDF("v").repartition(3)
+    assert(Drift.mannWhitneyU(a, b, "v").head.getAs[Long]("u2") ===
+      Drift.mannWhitneyU((1 to 100).map(_.toDouble).toDF("v"),
+        (51 to 150).map(_.toDouble).toDF("v"), "v").head.getAs[Long]("u2"))
+  }
+
+  test("JS divergence: zero for identical mixes, ln 2 for disjoint " +
+      "supports, per-category contributions nonnegative") {
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("cat")
+    // same proportions at twice the size -> p = q everywhere -> all zero
+    val same = (Seq.fill(120)("a") ++ Seq.fill(80)("b")).toDF("cat")
+    assert(Drift.jsDivergence(ref, same, "cat").collect()
+      .forall(_.getAs[Long]("contrib_micros") === 0L))
+    // disjoint supports: each side contributes (1/2)ln2 -> total ln 2
+    val out = Drift.jsDivergence(Seq.fill(10)("a").toDF("cat"),
+        Seq.fill(7)("b").toDF("cat"), "cat").collect()
+      .map(r => r.getAs[String]("cat") -> r.getAs[Long]("contrib_micros")).toMap
+    assert(out("a") === 346574L && out("b") === 346574L) // floor(.5*ln2*1e6+.5)
+    // skewed but overlapping: every per-category term stays >= 0 (scalar JSD)
+    val skew = Drift.jsDivergence(ref, (Seq.fill(10)("a") ++ Seq.fill(90)("b")).toDF("cat"), "cat")
+      .collect()
+    assert(skew.forall(_.getAs[Long]("contrib_micros") >= 0L))
+    assert(skew.map(_.getAs[Long]("contrib_micros")).sum > 0L)
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
