@@ -1636,6 +1636,20 @@ object SparkEntry {
         |    != least(greatest(CAST(o_totalprice AS DOUBLE), b.wb[1]), b.wb[2]) AS clipped
         |FROM orders, b""".stripMargin)),
 
+    // ---- robust median/MAD scaling: disc medians (exact data elements,
+    //      no cross-engine interpolation), lazily-broadcast scalars,
+    //      pure-projection scaling ----
+    ("q_robust",
+      (s, d) => MlFeatures.robustScale(Tables(s, d).orders, "o_totalprice")
+        .select(col("o_orderkey"), col("o_totalprice_robust")),
+      Some("""WITH med AS (SELECT quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS m FROM orders),
+        |mad AS (SELECT quantile_disc(abs(CAST(o_totalprice AS DOUBLE) - m), 0.5) AS s
+        |        FROM orders CROSS JOIN med)
+        |SELECT o_orderkey,
+        |  CASE WHEN s = 0.0 THEN NULL
+        |    ELSE (CAST(o_totalprice AS DOUBLE) - m) / (s * 1.4826) END AS o_totalprice_robust
+        |FROM orders CROSS JOIN med CROSS JOIN mad""".stripMargin)),
+
     // ---- smoothed target encoding: per-priority fulfilled-rate shrunk
     //      toward the global prior (m = 20), exact counts in, one fixed
     //      double sequence out ----
@@ -1785,6 +1799,34 @@ object SparkEntry {
         |  CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
         |    + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
         |FROM x""".stripMargin)),
+
+    // ---- per-segment KS: the same pre-/post-1997 ECDF gap computed
+    //      independently per order priority — partitioned windows,
+    //      parallel across segments ----
+    ("q_ks_seg",
+      (s, d) => {
+        val orders = Tables(s, d).orders
+        quality.Drift.ksBySegment(
+          orders.filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("date")),
+          "o_orderpriority", "o_totalprice")
+      },
+      Some("""WITH ref AS (SELECT o_orderpriority AS segment, o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+        |cur AS (SELECT o_orderpriority AS segment, o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+        |u AS (SELECT segment, v, 1 AS r, 0 AS c FROM ref UNION ALL SELECT segment, v, 0, 1 FROM cur),
+        |g AS (SELECT segment, v, CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc FROM u GROUP BY segment, v),
+        |w AS (SELECT segment,
+        |  CASE WHEN CAST(sum(nr) OVER (PARTITION BY segment) AS BIGINT) = 0 THEN 0.0
+        |    ELSE CAST(sum(nr) OVER (PARTITION BY segment ORDER BY v) AS DOUBLE)
+        |      / CAST(CAST(sum(nr) OVER (PARTITION BY segment) AS BIGINT) AS DOUBLE) END AS fr,
+        |  CASE WHEN CAST(sum(nc) OVER (PARTITION BY segment) AS BIGINT) = 0 THEN 0.0
+        |    ELSE CAST(sum(nc) OVER (PARTITION BY segment ORDER BY v) AS DOUBLE)
+        |      / CAST(CAST(sum(nc) OVER (PARTITION BY segment) AS BIGINT) AS DOUBLE) END AS fc,
+        |  nr, nc
+        | FROM g)
+        |SELECT segment, CAST(floor(max(abs(fr - fc)) * 1e6 + 0.5) AS BIGINT) AS ks_micros,
+        |  CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur
+        |FROM w GROUP BY segment""".stripMargin)),
 
     // ---- two-sample Mann–Whitney U: rank-based order-value location
     //      test over the same pre-/post-1997 split — u2 = 2U exact

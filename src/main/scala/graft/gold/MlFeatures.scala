@@ -108,6 +108,41 @@ object MlFeatures {
       .drop("_wb")
   }
 
+  /** Robust (median/MAD) scaling — the outlier-resistant alternative to
+    * z-scoring: x → (x − median) / (MAD · 1.4826), where MAD is the
+    * median absolute deviation and 1.4826 makes the scale estimate
+    * consistent with σ under normality. Unlike mean/stddev scaling
+    * ([[graft.ml.MlPipeline]] StandardScaler), a few extreme rows cannot
+    * drag the scale. Output: the input plus `<column>_robust` (null when
+    * MAD = 0 — a majority-constant column has no robust scale).
+    *
+    * Both medians are `percentile_disc` — EXACT data elements, chosen
+    * deliberately over interpolating percentile: an even-count
+    * interpolated median is `lo + g·(hi−lo)` in one engine and
+    * `(1−g)·lo + g·hi` in another — up to 1 ulp apart, which a
+    * bit-exact oracle comparison cannot tolerate. A disc median is the
+    * same stored double everywhere (SQL-standard "smallest value with
+    * cume_dist ≥ q" ≡ DuckDB `quantile_disc`).
+    *
+    * Scale shape: two global aggregates (each a partial+final percentile
+    * over the column), both lazily broadcast as 1-row relations (the A8
+    * no-collect idiom); the scaling itself is a pure projection.
+    */
+  def robustScale(df: DataFrame, column: String,
+      scaleFactor: Double = 1.4826): DataFrame = {
+    val med = df.agg(expr(
+      s"percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST($column AS DOUBLE))").as("_med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr(
+      s"percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(CAST($column AS DOUBLE) - _med))").as("_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn(s"${column}_robust",
+        when(col("_mad") === lit(0.0), lit(null).cast("double"))
+          .otherwise((col(column).cast("double") - col("_med"))
+            / (col("_mad") * lit(scaleFactor))))
+      .drop("_med", "_mad")
+  }
+
   /** Smoothed target encoding — replace a categorical with the shrunk
     * per-category target mean: (Σ_cat target + m·prior)/(n_cat + m), prior
     * = the global target mean (empirical-Bayes shrinkage: rare categories

@@ -205,6 +205,41 @@ object Drift {
         lit(nRef).as("n_ref"), lit(nCur).as("n_cur"))
   }
 
+  /** Per-segment two-sample KS — [[ksStatistic]] grouped by a segment
+    * column (per source, per language, per tenant): one row per segment,
+    * (segment, ks_micros, n_ref, n_cur). Segments present on only one
+    * side still report (their D is 1 over the populated side's values
+    * only when the other side is empty — n_ref/n_cur exposes that; the
+    * fr/fc ratios of an absent side are null-safe zero).
+    *
+    * Scale shape: here the ordered window IS the right tool — it is
+    * partitioned by segment, so work parallelizes across segments and no
+    * task sees more than one segment's distinct values (the [[zScores]]
+    * `partitionCols` argument's shape). For one global comparison — where
+    * an unpartitioned window would serialize — use [[ksStatistic]]'s
+    * two-pass prefix sum instead.
+    */
+  def ksBySegment(reference: DataFrame, current: DataFrame,
+      segCol: String, valueCol: String): DataFrame = {
+    val u = reference.select(col(segCol).as("segment"), col(valueCol).as("v"))
+        .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
+      .unionByName(current.select(col(segCol).as("segment"), col(valueCol).as("v"))
+        .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
+    val wOrd = Window.partitionBy("segment").orderBy("v")
+    val wAll = Window.partitionBy("segment")
+    u.groupBy("segment", "v").agg(sum("_r").as("nr"), sum("_c").as("nc"))
+      .withColumn("_tr", sum("nr").over(wAll))
+      .withColumn("_tc", sum("nc").over(wAll))
+      .withColumn("fr", when(col("_tr") === 0L, lit(0.0))
+        .otherwise(sum("nr").over(wOrd).cast("double") / col("_tr").cast("double")))
+      .withColumn("fc", when(col("_tc") === 0L, lit(0.0))
+        .otherwise(sum("nc").over(wOrd).cast("double") / col("_tc").cast("double")))
+      .groupBy("segment")
+      .agg(
+        expr("CAST(floor(max(abs(fr - fc)) * 1e6 + 0.5) AS BIGINT)").as("ks_micros"),
+        sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+  }
+
   /** Two-sample Mann–Whitney U — the rank-based location test: more
     * sensitive than [[ksStatistic]] to a median shift, robust to outliers
     * a mean-based test ([[graft.ml.AbTesting]]'s Welch t) chases. Returns

@@ -113,6 +113,22 @@ class GoldSpec extends SparkSpec {
     assert(w(500.0) === 500.0)
   }
 
+  test("robust scaling centers on the disc median, nulls out MAD = 0, " +
+      "and shrugs off an outlier that wrecks the z-score") {
+    // 1..9 plus one wild outlier: median = 5 (10 values, disc -> lower
+    // middle), deviations sorted = 0,1,1,2,2,3,3,4,4,9995 -> MAD = 2
+    val df = ((1 to 9).map(_.toDouble) :+ 10000.0).toDF("x")
+    val out = MlFeatures.robustScale(df, "x").collect()
+      .map(r => r.getAs[Double]("x") -> r.getAs[java.lang.Double]("x_robust")).toMap
+    assert(out(5.0) === 0.0)                       // the median maps to 0
+    assert(out(7.0) === 2.0 / (2.0 * 1.4826))      // (7-5)/(MAD*c)
+    // the outlier lands ~3370 MADs out - visible, not absorbed into scale
+    assert(out(10000.0) > 3000.0)
+    // constant column: MAD = 0 -> null, not a divide-by-zero
+    val const = MlFeatures.robustScale(Seq.fill(5)(3.0).toDF("x"), "x").collect()
+    assert(const.forall(_.getAs[java.lang.Double]("x_robust") == null))
+  }
+
   test("target encoding shrinks rare categories toward the global prior") {
     // category "big": 500 rows at 80% positive; "tiny": 2 rows, both positive
     val df = ((1 to 500).map(i => ("big", if (i <= 400) 1 else 0)) ++

@@ -90,6 +90,21 @@ class DriftSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 50000000L)
   }
 
+  test("per-segment KS scores each segment independently, including a " +
+      "segment missing from one side") {
+    val ref = ((1 to 100).map(v => ("shifted", v.toDouble)) ++
+      (1 to 100).map(v => ("same", v.toDouble)) ++
+      (1 to 50).map(v => ("ref_only", v.toDouble))).toDF("seg", "v")
+    val cur = ((51 to 150).map(v => ("shifted", v.toDouble)) ++
+      (1 to 100).map(v => ("same", v.toDouble))).toDF("seg", "v")
+    val out = Drift.ksBySegment(ref, cur, "seg", "v").collect()
+      .map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Long]("ks_micros"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))).toMap
+    assert(out("shifted") === ((500000L, 100L, 100L))) // D = 0.5 exactly
+    assert(out("same") === ((0L, 100L, 100L)))
+    assert(out("ref_only") === ((1000000L, 50L, 0L)))  // D = 1, side absent
+  }
+
   test("Mann-Whitney U: hand-checked tie case, extremes, null z on " +
       "degenerate variance, repartition-independent") {
     def mwu(ref: Seq[Double], cur: Seq[Double]) =
