@@ -164,6 +164,54 @@ object Streaming {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t)
   }
 
+  /** Streaming drift monitor: per micro-batch, score the batch's value
+    * distribution against a STATIC reference with the PSI
+    * ([[graft.quality.Drift.psi]]) and append one summary row per batch
+    * to a parquet ledger — the continuous-ingestion form of the
+    * batch-mode drift checks: the reference (last known-good
+    * distribution) stays fixed while each arriving batch is judged
+    * against it, so a drifting source flags within one trigger interval
+    * rather than at the next nightly audit.
+    *
+    * Ledger row: (batch_id, n_rows, psi_micros, n_drifted_bins) where
+    * psi_micros = Σ per-bin contributions and n_drifted_bins counts bins
+    * past `binAlertMicros`. foreachBatch keeps exactly-once per batch id
+    * via the checkpoint; the PSI per batch is the same distributed
+    * aggregate as in batch mode — nothing is collected beyond the
+    * 10-bin summary.
+    */
+  def driftMonitorStream(values: DataFrame, reference: DataFrame,
+      valueCol: String, ledgerPath: String, checkpoint: String,
+      binAlertMicros: Long = 100000L): Unit = {
+    val q = values.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftMonitorBatch(batch, reference, valueCol, ledgerPath, batchId,
+          binAlertMicros)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the drift monitor — public so batch jobs can
+    * reuse the same scoring. Empty batches still ledger a row (n_rows =
+    * 0, psi of an empty current side is its own signal).
+    */
+  def driftMonitorBatch(batch: DataFrame, reference: DataFrame,
+      valueCol: String, ledgerPath: String, batchId: Long,
+      binAlertMicros: Long = 100000L): Unit = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val psiBins = graft.quality.Drift.psi(reference, batch, valueCol)
+    psiBins.agg(
+        lit(batchId).as("batch_id"),
+        coalesce(sum("cur_cnt"), lit(0L)).as("n_rows"),
+        coalesce(sum("contrib_micros"), lit(0L)).as("psi_micros"),
+        fcount(when(col("contrib_micros") > binAlertMicros, lit(1))).as("n_drifted_bins"))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
   /** Batch-incremental runner: AvailableNow processes all pending input then
     * stops; the checkpoint is the file ledger. Re-running continues where the
     * last run stopped — Glue bookmark semantics, engine-managed.

@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSpec {
     assert(state === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
   }
 
+  test("streaming drift monitor ledgers one PSI row per micro-batch, " +
+      "flat for in-distribution batches and loud for a shifted one") {
+    val in = java.nio.file.Files.createTempDirectory("drift-in").toString
+    val ledger = java.nio.file.Files.createTempDirectory("drift-l").toString + "/ledger"
+    val ckpt = java.nio.file.Files.createTempDirectory("drift-c").toString
+    val reference = (1 to 1000).map(_.toDouble).toDF("v")
+    def write(rows: Seq[Double]): Unit =
+      rows.toDF("v").coalesce(1).write.mode("append").parquet(in)
+    // batch 1: same distribution as the reference
+    write((1 to 1000).map(_.toDouble))
+    val schema = spark.read.parquet(in).schema
+    Streaming.driftMonitorStream(Streaming.fileStream(spark, in, schema),
+      reference, "v", ledger, ckpt)
+    // batch 2: mass collapsed into the top decile — severe drift
+    write((901 to 1000).map(_.toDouble))
+    Streaming.driftMonitorStream(Streaming.fileStream(spark, in, schema),
+      reference, "v", ledger, ckpt)
+    val rows = spark.read.parquet(ledger).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("psi_micros"),
+          r.getAs[Long]("n_drifted_bins")))).toMap
+    assert(rows.size === 2)
+    val (nSame, psiSame, drSame) = rows(0L)
+    val (nShift, psiShift, drShift) = rows(1L)
+    assert(nSame === 1000L && psiSame < 100000L && drSame === 0L)
+    assert(nShift === 100L && psiShift > 1000000L && drShift >= 5L)
+  }
+
   test("dropDuplicatesWithinWatermark also drops a retry whose timestamp differs") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in2b").toString
     Seq(
