@@ -656,6 +656,41 @@ object SparkEntry {
         | round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6) AS top_token_share
         |FROM tf GROUP BY 1""".stripMargin)),
 
+    // ---- BM25 retrieval scoring against a 3-term query: Lucene idf,
+    //      k1/b length normalization, per-term integer micros summed
+    //      exactly per doc ----
+    ("q_bm25",
+      (s, d) => TextAnalysis.bm25(Tables(s, d).documents, Seq("table", "join", "query")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |allf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM allf GROUP BY 1),
+        |tf AS (SELECT * FROM allf WHERE token IN ('table', 'join', 'query')),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dlen) AS BIGINT) AS sum_len FROM len),
+        |per AS (SELECT tf.doc_id,
+        |  CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dlen AS DOUBLE)
+        |        / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * 1e6 + 0.5) AS BIGINT) AS s
+        | FROM tf JOIN len USING (doc_id) JOIN df USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(s) AS BIGINT) AS bm25_micros
+        |FROM per GROUP BY 1""".stripMargin)),
+
+    // ---- per-document token entropy: diversity quality signal, per-type
+    //      c·ln c floored to integer micros then summed exactly (the
+    //      unigram-NLL determinism contract) ----
+    ("q_entropy",
+      (s, d) => TextAnalysis.tokenEntropy(Tables(s, d).documents, "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CAST(floor(tf * ln(tf) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS _clnc_micros
+        | FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+        |    - CAST(_clnc_micros AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS entropy_micros
+        |FROM d""".stripMargin)),
+
     // ---- native session_window sessionization ----
     // Engine-managed sessions (streaming-ready form). The oracle rebuilds
     // the same sessions with gap-islands over FULL-precision timestamps

@@ -290,6 +290,68 @@ object TextAnalysis {
       .select("w1", "w2", "cxy", "pmi")
   }
 
+  /** BM25 relevance scoring against a bounded query-term set — the
+    * retrieval primitive data curation leans on (nearest-prose lookup,
+    * seed-document expansion, query-targeted corpus slicing). Uses the
+    * Lucene idf form ln(1 + (N − df + ½)/(df + ½)) (never negative, the
+    * variant every production engine ships) with the standard k1/b
+    * length normalization. Output: one row per document containing at
+    * least one term — (keyCol, n_terms_hit, bm25_micros).
+    *
+    * Scale shape: term frequencies only for the BOUNDED query-term set
+    * (the isin filter prunes the explode before the aggregate), document
+    * lengths as one partial-aggregated pass, N/avgdl as a lazily
+    * broadcast 1-row aggregate (the A8 idiom), df as a tiny per-term
+    * aggregate joined back. No driver actions.
+    *
+    * Determinism: each per-(doc, term) score is one fixed double
+    * sequence from exact longs, floored to integer micros, then summed
+    * exactly per doc — partition-order and engine independent.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], keyCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val all = termFrequencies(docs, keyCol, textCol)
+    val len = all.groupBy(keyCol).agg(sum("tf").as("dlen"))
+    val tf = all.filter(col("token").isin(queryTerms: _*))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tot = len.agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_len"))
+    tf.join(len, Seq(keyCol))
+      .join(df, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_s", expr(
+        s"""CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |  * (CAST(tf AS DOUBLE) * ($k1 + 1.0))
+           |  / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dlen AS DOUBLE)
+           |      / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_terms_hit"), sum("_s").as("bm25_micros"))
+  }
+
+  /** Per-document token entropy — the diversity quality signal
+    * complementing [[repetitionStats]] (concentration) and the unigram-LM
+    * NLL (corpus-model fit): H = ln n − (Σ c·ln c)/n over the document's
+    * OWN token counts — 0 for a single repeated token, ln(n_types) when
+    * every token is distinct. Boilerplate scores low, diverse prose high.
+    *
+    * Determinism: each c·ln c term is one fixed double sequence from an
+    * exact count, floored to INTEGER micros per (doc, type) and summed
+    * exactly; H is then one fixed double sequence per doc —
+    * partition-order and engine independent (the unigram-NLL contract).
+    * Scale shape: one explode + two partial-aggregated groupBys.
+    */
+  def tokenEntropy(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame =
+    termFrequencies(df, keyCol, textCol)
+      .groupBy(keyCol)
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(floor(tf * ln(tf) * 1e6 + 0.5) AS BIGINT)")).as("_clnc_micros"))
+      .withColumn("entropy_micros", expr(
+        """CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+          |  - CAST(_clnc_micros AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select(keyCol, "n_tokens", "n_types", "entropy_micros")
+
   /** Within-document repetition statistics — dedup/quality signals for a
     * training corpus: type-token ratio (distinct/total tokens) and the
     * share of the single most repeated token. One explode + two

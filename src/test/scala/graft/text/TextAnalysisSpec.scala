@@ -71,6 +71,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L) === ((5L, 5L, 1.0, 0.2)))
   }
 
+  test("tokenEntropy: 0 for one repeated type, ln(n) for all-distinct, " +
+      "ln(2) for a balanced pair") {
+    val docs = Seq(
+      (1L, "a a a a"),            // one type -> H = 0
+      (2L, "u v w x"),            // all distinct -> H = ln 4
+      (3L, "a a b b")).toDF("doc_id", "text") // balanced pair -> H = ln 2
+    val m = TextAnalysis.tokenEntropy(docs, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("entropy_micros")))).toMap
+    assert(m(1L) === ((4L, 1L, 0L)))
+    assert(m(2L) === ((4L, 4L, 1386294L)))  // floor(ln4*1e6+0.5)
+    assert(m(3L) === ((4L, 2L, 693147L)))   // floor(ln2*1e6+0.5)
+  }
+
+  test("bm25 ranks term-dense short docs above diluted long ones and " +
+      "rewards rare terms over common ones") {
+    val docs = Seq(
+      (1L, "join join join"),                       // dense in a rare term
+      (2L, "join a b c d e f g h i j k l m n o p"), // same term, diluted
+      (3L, "table table table"),                    // dense in a COMMON term
+      (4L, "table x y"), (5L, "table z w"),         // spread 'table' wide
+      (6L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("join", "table"), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms_hit"), r.getAs[Long]("bm25_micros")))).toMap
+    // doc 6 has no query term: absent from the output entirely
+    assert(!out.contains(6L) && out.size === 5)
+    // length normalization: dense doc 1 beats diluted doc 2 on 'join'
+    assert(out(1L)._2 > out(2L)._2)
+    // idf: 'join' (df=2) outscores 'table' (df=3) at equal density/length
+    assert(out(1L)._2 > out(3L)._2)
+    assert(out.values.forall(_._2 > 0L))
+  }
+
   test("winnowing: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
     // k=3, w=4 -> guarantee kicks in at 6 shared consecutive tokens
     val shared = "p q r s t u" // 6 tokens
