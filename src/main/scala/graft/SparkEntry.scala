@@ -1831,8 +1831,9 @@ object SparkEntry {
         |  CAST(row_tot AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(grand AS DOUBLE) AS e_cur
         | FROM e)
         |SELECT cat, ref_cnt, cur_cnt,
-        |  CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
-        |    + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+        |  CASE WHEN e_ref = 0.0 OR e_cur = 0.0 THEN NULL
+        |    ELSE CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
+        |      + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) END AS contrib_micros
         |FROM x""".stripMargin)),
 
     // ---- per-segment KS: the same pre-/post-1997 ECDF gap computed

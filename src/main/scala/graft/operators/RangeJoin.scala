@@ -49,6 +49,10 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxCopies > 0, "maxCopies must be positive")
     val iu = intervals
+      // a malformed interval (lo > hi) can never satisfy the BETWEEN —
+      // drop it here, or sequence() would descend and emit bucket copies
+      // that only ever fail the residual filter
+      .filter(col(loCol) <= col(hiCol))
       .withColumn("_lo_b",
         floor(bucketUnits(col(loCol)).cast("double") / lit(bucketWidth)).cast("long"))
       .withColumn("_hi_b",

@@ -200,8 +200,12 @@ object Drift {
     reference.sparkSession.createDataFrame(partMax, StructType(Seq(
         StructField("_part", IntegerType, nullable = false),
         StructField("_max", DoubleType, nullable = false))))
+      // an empty side makes the JVM-side ratio NaN (IEEE, no raise);
+      // guard the cast — ANSI mode raises on CAST(NaN AS BIGINT)
       .agg(
-        expr("CAST(floor(max(_max) * 1e6 + 0.5) AS BIGINT)").as("ks_micros"),
+        expr("""CASE WHEN isnan(max(_max)) THEN NULL
+               |  ELSE CAST(floor(max(_max) * 1e6 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("ks_micros"),
         lit(nRef).as("n_ref"), lit(nCur).as("n_cur"))
   }
 
@@ -319,9 +323,14 @@ object Drift {
         col("row_tot").cast("double") * col("n_ref").cast("double") / col("grand").cast("double"))
       .withColumn("e_cur",
         col("row_tot").cast("double") * col("n_cur").cast("double") / col("grand").cast("double"))
+      // an entirely-empty sample makes its expectations 0 (row_tot > 0
+      // always, so e = 0 iff that side's total is 0); ANSI mode raises on
+      // the double division, so null the statistic instead — there is no
+      // chi-square against a zero-mass distribution
       .withColumn("contrib_micros", expr(
-        """CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
-          |  + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+        """CASE WHEN e_ref = 0.0 OR e_cur = 0.0 THEN NULL
+          |  ELSE CAST(floor(((ref_cnt - e_ref) * (ref_cnt - e_ref) / e_ref
+          |    + (cur_cnt - e_cur) * (cur_cnt - e_cur) / e_cur) * 1e6 + 0.5) AS BIGINT) END""".stripMargin))
       .select("cat", "ref_cnt", "cur_cnt", "contrib_micros")
   }
 

@@ -38,6 +38,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Map(9L -> 1L, 15L -> 1L, 22L -> 1L))
   }
 
+  test("a malformed interval (lo > hi) matches nothing, exactly like SQL " +
+      "BETWEEN") {
+    val iv = Seq((1L, 20L, 10L), (2L, 3L, 7L)).toDF("iv_id", "lo", "hi")
+    val out = RangeJoin.pointInInterval(Seq(5L, 15L).toDF("p"), iv,
+        "p", "lo", "hi", units, bucketWidth = 10L)
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((5L, 2L))) // only the well-formed interval matches
+  }
+
   test("an interval exploding past maxCopies raises instead of silently " +
       "ballooning") {
     val iv = Seq((1L, 0L, 1000L)).toDF("iv_id", "lo", "hi")

@@ -151,6 +151,18 @@ class DriftSpec extends SparkSpec {
     assert(skew.map(_.getAs[Long]("contrib_micros")).sum > 0L)
   }
 
+  test("empty-side inputs degrade to null statistics instead of raising " +
+      "under ANSI") {
+    val some = Seq(1.0, 2.0, 3.0).toDF("v")
+    val none = Seq.empty[Double].toDF("v")
+    val ks = Drift.ksStatistic(some, none, "v").head
+    assert(ks.isNullAt(ks.fieldIndex("ks_micros")) && ks.getAs[Long]("n_cur") === 0L)
+    val cats = Seq("a", "b").toDF("cat")
+    val chi = Drift.chiSquare(cats, Seq.empty[String].toDF("cat"), "cat").collect()
+    assert(chi.length === 2 &&
+      chi.forall(r => r.isNullAt(r.fieldIndex("contrib_micros"))))
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
