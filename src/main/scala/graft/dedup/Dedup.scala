@@ -270,6 +270,51 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Incremental embedding near-dup detection — the nightly-crawl form
+    * of [[embeddingNearDupsScalable]]: a NEW batch is checked against an
+    * existing corpus (and against its own earlier-keyed members) without
+    * ever re-pairing the corpus with itself. Both sides bucket with the
+    * SAME hyperplane set (same seed/planes/tables — the index contract),
+    * candidates come only from buckets the new batch occupies, and the
+    * exact-cosine re-rank touches candidate pairs only. Work scales with
+    * the batch and its bucket collisions, not the corpus pair count —
+    * the property that lets a 100 TB corpus absorb a daily crawl.
+    *
+    * Keys must be unique across corpus ∪ batch. Output: one row per
+    * accepted pair (new_id, match_id, cosine, source) with source =
+    * 'corpus' | 'batch'; within-batch pairs keep the earlier key as the
+    * senior match (new_id > match_id — deterministic keep-first).
+    */
+  def incrementalEmbeddingNearDups(newBatch: DataFrame, corpus: DataFrame,
+      keyCol: String, minCosine: Double, nPlanes: Int = 4, numTables: Int = 8,
+      seed: Long = 42L, embCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val nb = Similarity.withBuckets(newBatch, keyCol, nPlanes, numTables, seed, embCol)
+      .toDF("new_id", "table_id", "bucket")
+    val cb = Similarity.withBuckets(corpus, keyCol, nPlanes, numTables, seed, embCol)
+      .toDF("match_id", "table_id", "bucket")
+    val candCorpus = nb.join(cb, Seq("table_id", "bucket"))
+      .select("new_id", "match_id").distinct()
+      .withColumn("source", lit("corpus"))
+    val candBatch = nb.join(nb.toDF("match_id", "table_id", "bucket"),
+        Seq("table_id", "bucket"))
+      .filter(col("new_id") > col("match_id"))
+      .select("new_id", "match_id").distinct()
+      .withColumn("source", lit("batch"))
+    val newSide = Similarity.withNorm(newBatch, embCol)
+      .select(col(keyCol).as("new_id"), col("v").as("va"), col("norm").as("na"))
+    val matchSide = Similarity.withNorm(corpus, embCol)
+      .select(col(keyCol).as("match_id"), col("v").as("vb"), col("norm").as("nb"))
+      .unionByName(Similarity.withNorm(newBatch, embCol)
+        .select(col(keyCol).as("match_id"), col("v").as("vb"), col("norm").as("nb")))
+    candCorpus.unionByName(candBatch)
+      .join(newSide, Seq("new_id"))
+      .join(matchSide, Seq("match_id"))
+      .withColumn("cosine", expr("graft_dot(va, vb) / (na * nb)"))
+      .filter(col("cosine") >= minCosine)
+      .select("new_id", "match_id", "cosine", "source")
+  }
+
   /** SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023): within
     * each cluster of a coarse partitioning of embedding space, drop every
     * vector that has a more-senior (smaller-key) cluster mate at cosine ≥

@@ -84,6 +84,26 @@ class DedupSpec extends SparkSpec {
     assert(scalable === exact)
   }
 
+  test("incremental embedding dedup flags batch-vs-corpus and " +
+      "within-batch dups without re-pairing the corpus") {
+    val corpus = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      10L -> Array(0.99f, 0.01f, 0f, 0f), // near-copy of corpus vec 1
+      11L -> Array(0f, 0f, 1f, 0f),       // novel
+      12L -> Array(0f, 0f, 0f, 1f),       // novel, duplicated by 13
+      13L -> Array(0f, 0f, 0f, 0.97f)     // scalar multiple of 12: cos = 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.incrementalEmbeddingNearDups(batch, corpus, "vec_id", 0.9)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("match_id"),
+        r.getAs[String]("source"))).toSet
+    // exactly the two planted dups; the corpus pair (1,2) is never
+    // examined, novel vec 11 matches nothing, and the within-batch pair
+    // keeps the earlier key as the senior match
+    assert(out === Set((10L, 1L, "corpus"), (13L, 12L, "batch")))
+  }
+
   test("acceptPairsByJaccard accepts exactly the pairs exactJaccardForPairs keeps") {
     val rnd = new scala.util.Random(11)
     // 4-word vocabulary: plenty of genuine mid-jaccard pairs, straddling 0.3
