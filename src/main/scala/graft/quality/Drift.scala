@@ -146,6 +146,99 @@ object Drift {
     * (offset-corrected), so the row-level doubles — and their max — do
     * not.
     */
+  /** One-sided CUSUM control chart (Page 1954) — SEQUENTIAL change-point
+    * detection on a pre-aggregated series, the drift shape the other
+    * checks miss: a small persistent shift that never trips a per-point
+    * z-score accumulates here. S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ−μ₀)/σ₀ − k),
+    * S⁻ᵢ symmetric; a point flags when either exceeds `h` (k = half the
+    * shift to detect, classically 0.5; h classically 4–5). μ₀/σ₀ come
+    * from the series' own first `baseline` points — the known-good era,
+    * which itself gets null scores (it DEFINES normal; monitoring starts
+    * after it). A flat baseline (σ₀ = 0) or one shorter than `baseline`
+    * yields null scores and no flags on the whole series (fail closed on
+    * insufficient history, the zScores convention). Null values score
+    * null and do not advance the state.
+    *
+    * Output: input columns + (cusum_hi, cusum_lo, is_change).
+    *
+    * Scale shape: the max-reset recursion is not a window aggregate, so
+    * each entity's series folds linearly in one task — one shuffle on
+    * the entity key (`repartition` + `sortWithinPartitions`, the
+    * secondary-sort pattern), parallel ACROSS entities, with only the
+    * `baseline`-row buffer held in memory beyond the running state. A
+    * series is one row per period (the [[zScores]] contract), so
+    * per-task work is bounded by the monitoring horizon, not the data.
+    *
+    * Determinism: the fold visits rows in (entity, order) sorted order —
+    * one fixed double sequence per series, partition-count independent.
+    */
+  def cusum(series: DataFrame, orderCol: String, valueCol: String,
+      baseline: Int = 20, k: Double = 0.5, h: Double = 4.0,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
+    require(baseline >= 2, "need a baseline of at least 2 points")
+    require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got $k/$h")
+    val pk = if (partitionCols.isEmpty) lit("") else
+      concat_ws("", partitionCols.map(col(_).cast("string")): _*)
+    val prepared = series.withColumn("_pk", pk)
+    val sorted = prepared
+      .repartition(col("_pk"))
+      .sortWithinPartitions(col("_pk"), col(orderCol))
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("cusum_hi", DoubleType, nullable = true),
+      StructField("cusum_lo", DoubleType, nullable = true),
+      StructField("is_change", BooleanType, nullable = false)))
+    val pkIdx = sorted.schema.fieldIndex("_pk")
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def value(r: Row): Double = r.get(vIdx) match {
+      case null => Double.NaN
+      case d: java.math.BigDecimal => d.doubleValue()
+      case x: java.lang.Number => x.doubleValue()
+    }
+    val out = sorted.rdd.mapPartitions { it =>
+      // sortWithinPartitions makes each entity's rows one contiguous,
+      // time-ordered run; buffer one SERIES at a time (bounded by the
+      // monitoring horizon — the one-row-per-period contract), never the
+      // whole partition
+      val runs = new Iterator[List[Row]] {
+        private val b = it.buffered
+        def hasNext: Boolean = b.hasNext
+        def next(): List[Row] = {
+          val key = b.head.getString(pkIdx)
+          val acc = scala.collection.mutable.ListBuffer.empty[Row]
+          while (b.hasNext && b.head.getString(pkIdx) == key) acc += b.next()
+          acc.toList
+        }
+      }
+      runs.flatMap { rows =>
+        val baseVals = rows.iterator.map(value).filter(!_.isNaN).take(baseline).toSeq
+        val ready = baseVals.size >= baseline
+        val mu = if (ready) baseVals.sum / baseVals.size else 0.0
+        val sigma = if (ready) {
+          val varS = baseVals.map(v => (v - mu) * (v - mu)).sum / (baseVals.size - 1)
+          if (varS > 0) math.sqrt(varS) else 0.0
+        } else 0.0
+        var seen = 0       // non-null values consumed (baseline era = first `baseline`)
+        var sHi = 0.0; var sLo = 0.0
+        rows.map { r =>
+          val v = value(r)
+          val inBaseline = seen < baseline
+          if (!v.isNaN) seen += 1
+          if (!ready || sigma == 0.0 || v.isNaN || inBaseline)
+            Row.fromSeq(r.toSeq ++ Seq(null, null, false))
+          else {
+            val z = (v - mu) / sigma
+            sHi = math.max(0.0, sHi + z - k)
+            sLo = math.max(0.0, sLo - z - k)
+            Row.fromSeq(r.toSeq ++ Seq(sHi, sLo, sHi > h || sLo > h))
+          }
+        }
+      }
+    }
+    series.sparkSession.createDataFrame(out, schema).drop("_pk")
+  }
+
   /** Shared machinery for the rank/ECDF statistics: per DISTINCT value of
     * `valueCol` (globally value-ordered), the pair counts (nr, nc) and the
     * INCLUSIVE cumulative counts (cumR, cumC), plus the two grand totals.
@@ -163,9 +256,13 @@ object Drift {
     */
   private def cumCountsByValue(reference: DataFrame, current: DataFrame,
       valueCol: String): (org.apache.spark.rdd.RDD[(Long, Long, Long, Long)], Long, Long) = {
-    val u = reference.select(col(valueCol).as("v"))
+    // NULL is not a point of a distribution — and engines disagree on
+    // where it sorts (Spark NULLS FIRST, DuckDB NULLS LAST), which would
+    // silently shift every cumulative count after it. Excluded up front;
+    // n_ref/n_cur therefore count non-null observations.
+    val u = reference.select(col(valueCol).as("v")).filter(col("v").isNotNull)
         .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
-      .unionByName(current.select(col(valueCol).as("v"))
+      .unionByName(current.select(col(valueCol).as("v")).filter(col("v").isNotNull)
         .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
     val rdd = u.groupBy("v").agg(sum("_r").as("nr"), sum("_c").as("nc"))
       .orderBy("v")
@@ -225,9 +322,13 @@ object Drift {
     */
   def ksBySegment(reference: DataFrame, current: DataFrame,
       segCol: String, valueCol: String): DataFrame = {
+    // null values excluded for the same cross-engine NULL-ordering
+    // reason as [[cumCountsByValue]]
     val u = reference.select(col(segCol).as("segment"), col(valueCol).as("v"))
+        .filter(col("v").isNotNull)
         .withColumn("_r", lit(1L)).withColumn("_c", lit(0L))
       .unionByName(current.select(col(segCol).as("segment"), col(valueCol).as("v"))
+        .filter(col("v").isNotNull)
         .withColumn("_r", lit(0L)).withColumn("_c", lit(1L)))
     val wOrd = Window.partitionBy("segment").orderBy("v")
     val wAll = Window.partitionBy("segment")

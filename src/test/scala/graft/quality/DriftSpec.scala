@@ -157,10 +157,52 @@ class DriftSpec extends SparkSpec {
     val none = Seq.empty[Double].toDF("v")
     val ks = Drift.ksStatistic(some, none, "v").head
     assert(ks.isNullAt(ks.fieldIndex("ks_micros")) && ks.getAs[Long]("n_cur") === 0L)
+    // null values are not distribution points: excluded from counts and
+    // cumulative order (engines disagree on where NULL sorts)
+    val withNulls = Seq[java.lang.Double](1.0, null, 2.0, 3.0, null).toDF("v")
+    val ks2 = Drift.ksStatistic(withNulls, some, "v").head
+    assert(ks2.getAs[Long]("n_ref") === 3L && ks2.getAs[Long]("ks_micros") === 0L)
+    val mwu2 = Drift.mannWhitneyU(withNulls, some, "v").head
+    assert(mwu2.getAs[Long]("n_ref") === 3L && mwu2.getAs[Long]("u2") === 9L)
     val cats = Seq("a", "b").toDF("cat")
     val chi = Drift.chiSquare(cats, Seq.empty[String].toDF("cat"), "cat").collect()
     assert(chi.length === 2 &&
       chi.forall(r => r.isNullAt(r.fieldIndex("contrib_micros"))))
+  }
+
+  test("CUSUM flags a persistent small shift a per-point z-score never " +
+      "trips, stays quiet in-control, and resets per entity") {
+    // baseline: alternating 9/11 (mu = 10, sigma ~ 1); after t = 40 the
+    // level shifts to 11.4 - a 1.4-sigma shift, far below any 3-sigma
+    // per-point rule, but CUSUM accumulates (z - k) ~ 0.9/period
+    val series = ((1 to 40).map(t => ("a", t, if (t % 2 == 0) 11.0 else 9.0)) ++
+      (41 to 60).map(t => ("a", t, 11.4))).toDF("seg", "t", "v")
+    val out = Drift.cusum(series, "t", "v", baseline = 20, k = 0.5, h = 4.0)
+      .collect().map(r => r.getAs[Int]("t") ->
+        ((Option(r.getAs[java.lang.Double]("cusum_hi")), r.getAs[Boolean]("is_change")))).toMap
+    assert(out.size === 60)
+    // baseline era: null scores, never flagged
+    assert((1 to 20).forall(t => out(t)._1.isEmpty && !out(t)._2))
+    // in-control era after baseline: scored but quiet
+    assert((21 to 40).forall(t => out(t)._1.nonEmpty && !out(t)._2))
+    // the shift accumulates and flags within ~6 periods, then stays up
+    val firstFlag = (41 to 60).find(out(_)._2)
+    assert(firstFlag.nonEmpty && firstFlag.get <= 47, s"first flag at $firstFlag")
+    assert((firstFlag.get to 60).forall(out(_)._2))
+    // per-entity isolation: a flat second entity never flags and never
+    // sees entity a's state
+    val two = series.unionByName(
+      (1 to 60).map(t => ("b", t, 5.0)).toDF("seg", "t", "v"))
+    val byEnt = Drift.cusum(two, "t", "v", baseline = 20,
+        partitionCols = Seq("seg")).collect()
+      .groupBy(_.getAs[String]("seg"))
+    assert(byEnt("b").forall(!_.getAs[Boolean]("is_change")))       // flat sigma=0: fail closed
+    assert(byEnt("a").count(_.getAs[Boolean]("is_change")) ===
+      out.values.count(_._2))                                       // a unchanged by b
+    // determinism under repartitioning
+    val re = Drift.cusum(series.repartition(7), "t", "v", baseline = 20)
+      .collect().map(r => r.getAs[Int]("t") -> r.getAs[Boolean]("is_change")).toMap
+    assert((1 to 60).forall(t => re(t) === out(t)._2))
   }
 
   test("partitioned monitoring scores each entity against its own history") {
