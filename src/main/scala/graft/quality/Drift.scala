@@ -175,20 +175,78 @@ object Drift {
   def cusum(series: DataFrame, orderCol: String, valueCol: String,
       baseline: Int = 20, k: Double = 0.5, h: Double = 4.0,
       partitionCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
-    require(baseline >= 2, "need a baseline of at least 2 points")
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField}
     require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got $k/$h")
+    foldOrderedSeries(series, orderCol, valueCol, partitionCols, baseline, Seq(
+        StructField("cusum_hi", DoubleType, nullable = true),
+        StructField("cusum_lo", DoubleType, nullable = true),
+        StructField("is_change", BooleanType, nullable = false))) { (mu, sigma) =>
+      var sHi = 0.0; var sLo = 0.0
+      v => {
+        val z = (v - mu) / sigma
+        sHi = math.max(0.0, sHi + z - k)
+        sLo = math.max(0.0, sLo - z - k)
+        Seq(sHi, sLo, sHi > h || sLo > h)
+      }
+    }
+  }
+
+  /** EWMA control chart (Roberts 1959) — [[cusum]]'s smooth companion:
+    * Eᵢ = λxᵢ + (1−λ)Eᵢ₋₁ starting at the baseline mean, flagged when
+    * |Eᵢ − μ₀| exceeds L·σ₀·√(λ/(2−λ)·(1−(1−λ)^(2i))) — the
+    * time-varying exact control limit, so early post-baseline points are
+    * not under-flagged. Small λ remembers far back (tiny sustained
+    * shifts); λ = 1 degenerates to the Shewhart per-point rule. Same
+    * baseline/null/fail-closed semantics and one-shuffle secondary-sort
+    * scale shape as [[cusum]]. Output: input columns +
+    * (ewma, ewma_limit, is_change).
+    */
+  def ewma(series: DataFrame, orderCol: String, valueCol: String,
+      baseline: Int = 20, lambda: Double = 0.2, limitSigmas: Double = 3.0,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField}
+    require(lambda > 0 && lambda <= 1, s"need 0 < lambda <= 1, got $lambda")
+    require(limitSigmas > 0, s"need limitSigmas > 0, got $limitSigmas")
+    foldOrderedSeries(series, orderCol, valueCol, partitionCols, baseline, Seq(
+        StructField("ewma", DoubleType, nullable = true),
+        StructField("ewma_limit", DoubleType, nullable = true),
+        StructField("is_change", BooleanType, nullable = false))) { (mu, sigma) =>
+      var e = mu; var i = 0
+      v => {
+        i += 1
+        e = lambda * v + (1.0 - lambda) * e
+        val limit = limitSigmas * sigma * math.sqrt(
+          lambda / (2.0 - lambda) * (1.0 - math.pow(1.0 - lambda, 2.0 * i)))
+        Seq(e, limit, math.abs(e - mu) > limit)
+      }
+    }
+  }
+
+  /** Shared machinery for the sequential control charts: repartition on
+    * the entity key, sort each partition by (entity, order), walk each
+    * entity's contiguous run buffering ONE series at a time (bounded by
+    * the monitoring horizon — the one-row-per-period contract, never the
+    * whole partition), compute μ₀/σ₀ from the first `baseline` non-null
+    * values, and fold the post-baseline values through `mk(μ₀, σ₀)`'s
+    * stateful step. Baseline rows, null values, flat baselines (σ₀ = 0)
+    * and series shorter than `baseline` emit null scores with `false` in
+    * trailing boolean fields — monitors fail closed on insufficient
+    * history.
+    */
+  private def foldOrderedSeries(series: DataFrame, orderCol: String,
+      valueCol: String, partitionCols: Seq[String], baseline: Int,
+      extra: Seq[org.apache.spark.sql.types.StructField])(
+      mk: (Double, Double) => Double => Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructType}
+    require(baseline >= 2, "need a baseline of at least 2 points")
     val pk = if (partitionCols.isEmpty) lit("") else
-      concat_ws("", partitionCols.map(col(_).cast("string")): _*)
-    val prepared = series.withColumn("_pk", pk)
-    val sorted = prepared
+      concat_ws("", partitionCols.map(col(_).cast("string")): _*)
+    val sorted = series.withColumn("_pk", pk)
       .repartition(col("_pk"))
       .sortWithinPartitions(col("_pk"), col(orderCol))
-    val schema = StructType(sorted.schema.fields ++ Seq(
-      StructField("cusum_hi", DoubleType, nullable = true),
-      StructField("cusum_lo", DoubleType, nullable = true),
-      StructField("is_change", BooleanType, nullable = false)))
+    val schema = StructType(sorted.schema.fields ++ extra)
+    val skipped = extra.map(f => if (f.dataType == BooleanType) false else null)
     val pkIdx = sorted.schema.fieldIndex("_pk")
     val vIdx = sorted.schema.fieldIndex(valueCol)
     def value(r: Row): Double = r.get(vIdx) match {
@@ -197,10 +255,6 @@ object Drift {
       case x: java.lang.Number => x.doubleValue()
     }
     val out = sorted.rdd.mapPartitions { it =>
-      // sortWithinPartitions makes each entity's rows one contiguous,
-      // time-ordered run; buffer one SERIES at a time (bounded by the
-      // monitoring horizon — the one-row-per-period contract), never the
-      // whole partition
       val runs = new Iterator[List[Row]] {
         private val b = it.buffered
         def hasNext: Boolean = b.hasNext
@@ -219,20 +273,15 @@ object Drift {
           val varS = baseVals.map(v => (v - mu) * (v - mu)).sum / (baseVals.size - 1)
           if (varS > 0) math.sqrt(varS) else 0.0
         } else 0.0
-        var seen = 0       // non-null values consumed (baseline era = first `baseline`)
-        var sHi = 0.0; var sLo = 0.0
+        val step = mk(mu, sigma)
+        var seen = 0 // non-null values consumed (baseline era = first `baseline`)
         rows.map { r =>
           val v = value(r)
           val inBaseline = seen < baseline
           if (!v.isNaN) seen += 1
           if (!ready || sigma == 0.0 || v.isNaN || inBaseline)
-            Row.fromSeq(r.toSeq ++ Seq(null, null, false))
-          else {
-            val z = (v - mu) / sigma
-            sHi = math.max(0.0, sHi + z - k)
-            sLo = math.max(0.0, sLo - z - k)
-            Row.fromSeq(r.toSeq ++ Seq(sHi, sLo, sHi > h || sLo > h))
-          }
+            Row.fromSeq(r.toSeq ++ skipped)
+          else Row.fromSeq(r.toSeq ++ step(v))
         }
       }
     }

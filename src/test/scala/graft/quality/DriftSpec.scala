@@ -205,6 +205,30 @@ class DriftSpec extends SparkSpec {
     assert((1 to 60).forall(t => re(t) === out(t)._2))
   }
 
+  test("EWMA tracks the level inside exact time-varying limits and flags " +
+      "the same sustained shift CUSUM catches") {
+    val series = ((1 to 40).map(t => ("a", t, if (t % 2 == 0) 11.0 else 9.0)) ++
+      (41 to 60).map(t => ("a", t, 11.4))).toDF("seg", "t", "v")
+    val out = Drift.ewma(series, "t", "v", baseline = 20, lambda = 0.2)
+      .collect().map(r => r.getAs[Int]("t") ->
+        ((Option(r.getAs[java.lang.Double]("ewma")), r.getAs[Boolean]("is_change")))).toMap
+    // baseline era: null, never flagged
+    assert((1 to 20).forall(t => out(t)._1.isEmpty && !out(t)._2))
+    // in-control alternation: E hugs 10 well inside even the early
+    // narrow limits
+    assert((21 to 40).forall(t => !out(t)._2))
+    assert((25 to 40).forall(t => math.abs(out(t)._1.get - 10.0) < 0.5))
+    // the 1.4-sigma shift pushes E across the asymptotic 3-sigma_E limit
+    // (~1.03 above mu) within ~6 periods and keeps it there
+    val firstFlag = (41 to 60).find(out(_)._2)
+    assert(firstFlag.nonEmpty && firstFlag.get <= 49, s"first flag at $firstFlag")
+    assert((firstFlag.get to 60).forall(out(_)._2))
+    // deterministic under repartitioning
+    val re = Drift.ewma(series.repartition(5), "t", "v", baseline = 20, lambda = 0.2)
+      .collect().map(r => r.getAs[Int]("t") -> r.getAs[Boolean]("is_change")).toMap
+    assert((1 to 60).forall(t => re(t) === out(t)._2))
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
