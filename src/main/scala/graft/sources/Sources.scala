@@ -226,6 +226,50 @@ object Sinks {
   /** S8: quarantine sink — failed rows + a machine-readable reason column,
     * written beside the clean output. One pass decides both destinations.
     */
+  /** Write-audit-publish — the safe-publish pattern for batch sinks
+    * (popularized by Netflix on Iceberg; plain-directory form here):
+    * write the full output to a STAGING directory, run the audit against
+    * what was actually written (re-read from disk — the audit sees the
+    * bytes a consumer would, not the pre-write plan), and only then
+    * atomically move staging over the target. A failing audit leaves the
+    * CURRENT target untouched and keeps staging under `<path>._wap_failed`
+    * for inspection — consumers never observe a half-written or
+    * invalid table. Returns true iff published.
+    *
+    * Scale note: the extra cost over a direct write is one re-read of
+    * the staged output (the audit's scan) — the price of auditing real
+    * bytes; the move itself is a filesystem rename, not a copy. On object
+    * stores without atomic rename, stage to the final location's
+    * table-format branch instead (Iceberg WAP) — the API contract here
+    * is the same.
+    */
+  def writeAuditPublish(df: DataFrame, path: String,
+      audit: DataFrame => Boolean): Boolean = {
+    val spark = df.sparkSession
+    val staging = path.stripSuffix("/") + "._wap_staging"
+    val failed = path.stripSuffix("/") + "._wap_failed"
+    def rmTree(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmTree(staging); rmTree(failed)
+    df.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(staging)
+    val ok = audit(spark.read.parquet(staging))
+    if (ok) {
+      rmTree(path)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(path))
+    } else {
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(failed))
+    }
+    ok
+  }
+
   def quarantine(df: DataFrame, rowPredicate: org.apache.spark.sql.Column,
       cleanPath: String, quarantinePath: String, reason: String): (Long, Long) = {
     val tagged = df.withColumn("_pass", rowPredicate).cache()

@@ -153,6 +153,28 @@ class SourcesSpec extends SparkSpec {
     assert(bad.select("quarantine_reason").distinct().head.getString(0) === "amount_range")
   }
 
+  test("write-audit-publish only replaces the target on a passing audit, " +
+      "and audits the bytes actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("wap").toString
+    val target = dir + "/table"
+    // v1 publishes: audit passes
+    assert(Sinks.writeAuditPublish((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "tag"),
+      target, _.count() == 10L))
+    assert(spark.read.parquet(target).count() === 10L)
+    // v2 fails its audit (simulating a broken upstream): target must
+    // still serve v1, failed output parked for inspection
+    assert(!Sinks.writeAuditPublish((1 to 3).map(i => (i.toLong, "v2")).toDF("id", "tag"),
+      target, _.count() == 10L))
+    val after = spark.read.parquet(target).collect()
+    assert(after.length === 10 && after.forall(_.getAs[String]("tag") === "v1"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(target + "._wap_failed")))
+    // v3 passes again and atomically replaces v1
+    assert(Sinks.writeAuditPublish((1 to 5).map(i => (i.toLong, "v3")).toDF("id", "tag"),
+      target, _.count() == 5L))
+    assert(spark.read.parquet(target).collect().forall(_.getAs[String]("tag") === "v3"))
+  }
+
   test("file ledger tracks processed files across commits") {
     val ledger = new FileLedger(s"${tmp()}/ledger.txt")
     assert(ledger.newFiles(Seq("a", "b")) === Seq("a", "b"))
