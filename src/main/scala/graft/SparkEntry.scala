@@ -1864,6 +1864,91 @@ object SparkEntry {
         |  CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur
         |FROM w GROUP BY segment""".stripMargin)),
 
+    // ---- CUSUM control chart over the integer daily-order-count series:
+    //      baseline moments from exact integer sums, every fold step one
+    //      fixed IEEE sequence the oracle replays via a recursive CTE in
+    //      the same op order — bit-equal micros on a genuinely
+    //      sequential statistic ----
+    ("q_cusum",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        quality.Drift.cusum(daily, "d", "n", baseline = 20, k = 0.5, h = 4.0)
+          .select(col("d"), col("n"),
+            expr("CAST(floor(cusum_hi * 1e6 + 0.5) AS BIGINT)").as("hi_micros"),
+            expr("CAST(floor(cusum_lo * 1e6 + 0.5) AS BIGINT)").as("lo_micros"),
+            col("is_change"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |ord AS (SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM daily),
+        |base AS (SELECT CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM ord WHERE i <= 20),
+        |params AS (SELECT CAST(s AS DOUBLE) / 20 AS mu,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20) / 19) AS sigma
+        |  FROM base),
+        |r AS (
+        |  SELECT 20 AS i, CAST(0.0 AS DOUBLE) AS shi, CAST(0.0 AS DOUBLE) AS slo
+        |  UNION ALL
+        |  SELECT o.i,
+        |    greatest(0.0, (r.shi + ((CAST(o.n AS DOUBLE) - p.mu) / p.sigma)) - 0.5),
+        |    greatest(0.0, (r.slo - ((CAST(o.n AS DOUBLE) - p.mu) / p.sigma)) - 0.5)
+        |  FROM r JOIN ord o ON o.i = r.i + 1 CROSS JOIN params p),
+        |scored AS (
+        |  SELECT i, CAST(floor(shi * 1e6 + 0.5) AS BIGINT) AS hi_micros,
+        |    CAST(floor(slo * 1e6 + 0.5) AS BIGINT) AS lo_micros,
+        |    (shi > 4.0) OR (slo > 4.0) AS is_change
+        |  FROM r WHERE i > 20)
+        |SELECT d, n,
+        |  CASE WHEN ord.i <= 20 THEN NULL ELSE scored.hi_micros END AS hi_micros,
+        |  CASE WHEN ord.i <= 20 THEN NULL ELSE scored.lo_micros END AS lo_micros,
+        |  coalesce(scored.is_change, FALSE) AS is_change
+        |FROM ord LEFT JOIN scored ON scored.i = ord.i""".stripMargin)),
+
+    // ---- EWMA control chart over the same daily series: λ = 0.25 keeps
+    //      every constant ((1−λ), (1−λ)², 2−λ) exactly representable, the
+    //      attenuation is a running multiplication (pow is not correctly
+    //      rounded), and the oracle replays the recursion bit-for-bit ----
+    ("q_ewma",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        quality.Drift.ewma(daily, "d", "n", baseline = 20, lambda = 0.25,
+            limitSigmas = 3.0)
+          .select(col("d"), col("n"),
+            expr("CAST(floor(ewma * 1e6 + 0.5) AS BIGINT)").as("ewma_micros"),
+            expr("CAST(floor(ewma_limit * 1e6 + 0.5) AS BIGINT)").as("limit_micros"),
+            col("is_change"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |ord AS (SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM daily),
+        |base AS (SELECT CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM ord WHERE i <= 20),
+        |params AS (SELECT CAST(s AS DOUBLE) / 20 AS mu,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20) / 19) AS sigma
+        |  FROM base),
+        |r AS (
+        |  SELECT 20 AS i, (SELECT mu FROM params) AS e, CAST(1.0 AS DOUBLE) AS att
+        |  UNION ALL
+        |  SELECT o.i,
+        |    (0.25 * CAST(o.n AS DOUBLE)) + (0.75 * r.e),
+        |    r.att * 0.5625
+        |  FROM r JOIN ord o ON o.i = r.i + 1),
+        |scored AS (
+        |  SELECT i,
+        |    CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS ewma_micros,
+        |    CAST(floor(((3.0 * p.sigma) * sqrt((0.25 / 1.75) * (1 - att))) * 1e6 + 0.5) AS BIGINT) AS limit_micros,
+        |    abs(e - p.mu) > ((3.0 * p.sigma) * sqrt((0.25 / 1.75) * (1 - att))) AS is_change
+        |  FROM r CROSS JOIN params p WHERE i > 20)
+        |SELECT d, n, scored.ewma_micros, scored.limit_micros,
+        |  coalesce(scored.is_change, FALSE) AS is_change
+        |FROM ord LEFT JOIN scored ON scored.i = ord.i""".stripMargin)),
+
     // ---- two-sample Mann–Whitney U: rank-based order-value location
     //      test over the same pre-/post-1997 split — u2 = 2U exact
     //      BIGINT (tie midranks stay integer when doubled), tie-corrected

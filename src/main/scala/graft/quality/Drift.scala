@@ -211,12 +211,15 @@ object Drift {
         StructField("ewma", DoubleType, nullable = true),
         StructField("ewma_limit", DoubleType, nullable = true),
         StructField("is_change", BooleanType, nullable = false))) { (mu, sigma) =>
-      var e = mu; var i = 0
+      var e = mu; var att = 1.0
       v => {
-        i += 1
         e = lambda * v + (1.0 - lambda) * e
+        // (1−λ)^(2i) tracked by running multiplication, not math.pow —
+        // pow is not correctly rounded, and a 1-ulp divergence would
+        // break cross-engine bit-reproducibility of the limits
+        att *= (1.0 - lambda) * (1.0 - lambda)
         val limit = limitSigmas * sigma * math.sqrt(
-          lambda / (2.0 - lambda) * (1.0 - math.pow(1.0 - lambda, 2.0 * i)))
+          lambda / (2.0 - lambda) * (1.0 - att))
         Seq(e, limit, math.abs(e - mu) > limit)
       }
     }
@@ -268,9 +271,16 @@ object Drift {
       runs.flatMap { rows =>
         val baseVals = rows.iterator.map(value).filter(!_.isNaN).take(baseline).toSeq
         val ready = baseVals.size >= baseline
-        val mu = if (ready) baseVals.sum / baseVals.size else 0.0
+        // moments form, NOT per-value (v−μ)² sums: for an integer-valued
+        // series Σv and Σv² are exact doubles, making μ₀/σ₀ — and every
+        // downstream fold step — one fixed IEEE sequence an external
+        // engine can reproduce bit-for-bit (the q_cusum oracle does)
+        var s = 0.0; var s2 = 0.0
+        baseVals.foreach { v => s += v; s2 += v * v }
+        val n = baseVals.size
+        val mu = if (ready) s / n else 0.0
         val sigma = if (ready) {
-          val varS = baseVals.map(v => (v - mu) * (v - mu)).sum / (baseVals.size - 1)
+          val varS = (s2 - s * s / n) / (n - 1)
           if (varS > 0) math.sqrt(varS) else 0.0
         } else 0.0
         val step = mk(mu, sigma)
