@@ -1529,6 +1529,32 @@ object SparkEntry {
         |FROM g WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bench)
         |GROUP BY 1""".stripMargin)),
 
+    // ---- n-gram novelty: contamination's complement — what fraction of
+    //      each candidate doc's distinct 13-grams is NEW relative to the
+    //      reference slice (doc_id % 10 = 0). One row per candidate doc
+    //      with >= 13 tokens; score in integer micros (one division + one
+    //      multiply per row, correctly rounded identically per engine) ----
+    ("q_novelty",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        CorpusCuration.noveltyScore(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", n = 13)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+        |  i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+        |  FROM d WHERE len(toks) >= 13),
+        |cand AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 10 <> 0),
+        |ref AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE gh IN (SELECT gh FROM ref)) AS BIGINT) AS seen_grams
+        |  FROM cand GROUP BY 1)
+        |SELECT doc_id, n_grams, seen_grams,
+        |  CAST(floor((CAST(n_grams - seen_grams AS DOUBLE) / CAST(n_grams AS DOUBLE))
+        |    * 1e6 + 0.5) AS BIGINT) AS novelty_micros
+        |FROM a""".stripMargin)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

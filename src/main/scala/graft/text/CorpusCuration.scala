@@ -66,6 +66,44 @@ object CorpusCuration {
       .groupBy(keyCol).agg(countDistinct(col("gh")).as("shared_ngrams"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * memorization-risk / freshness signal: what fraction of a candidate
+    * document's distinct n-grams already exist ANYWHERE in the
+    * reference. [[contamination]] answers "does this doc overlap a
+    * benchmark" (absolute shared count, benchmark-sized right side);
+    * novelty answers "how much NEW text does this doc add to the corpus
+    * we already have" — the dedup-adjacent score used to rank crawl
+    * batches before paying for training on them. Returns one row per
+    * candidate doc with ≥ n tokens:
+    * (keyCol, n_grams, seen_grams, novelty_micros) where novelty =
+    * (n_grams − seen_grams)/n_grams in integer micros.
+    *
+    * Scale shape: same md5-gram projection as [[contamination]]; the
+    * reference side is distinct'd to one row per gram and the join is a
+    * LEFT SEMI-shaped aggregate (seen = inner-join count), so the
+    * shuffle carries gram hashes, never text. At 100 TB the reference
+    * gram set is the big side — the join shuffles both by gram hash,
+    * no broadcast assumed.
+    */
+  def noveltyScore(candidates: DataFrame, reference: DataFrame,
+      keyCol: String, textCol: String = "text", n: Int = 13): DataFrame = {
+    require(n > 1, "n-gram size must be > 1")
+    def grams(df: DataFrame) = TextAnalysis.withTokens(df, textCol)
+      .filter(size(col("tokens")) >= n)
+      .select(col(keyCol), explode(expr(
+        s"""transform(sequence(1, size(tokens) - ${n - 1}),
+           |  i -> md5(concat_ws(' ', slice(tokens, i, $n))))""".stripMargin)).as("gh"))
+    val cand = grams(candidates).distinct()
+    val seen = cand.join(grams(reference).select("gh").distinct(), Seq("gh"))
+      .groupBy(keyCol).agg(count(lit(1)).as("seen_grams"))
+    cand.groupBy(keyCol).agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq(keyCol), "left")
+      .na.fill(0L, Seq("seen_grams"))
+      .withColumn("novelty_micros", expr(
+        """CAST(floor((CAST(n_grams - seen_grams AS DOUBLE) / CAST(n_grams AS DOUBLE))
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+  }
+
   /** Deterministic stratified sampling: exactly `quota` documents per
     * stratum, chosen by a portable hash order (md5 of the doc key) —
     * reproducible across runs, partitionings and engines, unlike

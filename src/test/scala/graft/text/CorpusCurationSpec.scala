@@ -44,6 +44,24 @@ class CorpusCurationSpec extends SparkSpec {
     assert(hits === Map(1L -> 1L)) // doc 1 only, exactly the one shared 6-gram
   }
 
+  test("noveltyScore counts seen vs new n-grams per candidate doc") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // identical: novelty 0
+      (2L, "alpha beta gamma delta epsilon zeta eta NEW"),   // 3 grams, 2 seen
+      (3L, "totally different words that never appeared anywhere before now"), // all new
+      (4L, "too short")                                      // < n tokens: no row
+    ).toDF("doc_id", "text")
+    val out = CorpusCuration.noveltyScore(cands, ref, "doc_id", n = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("seen_grams"), r.getAs[Long]("novelty_micros")))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) === ((3L, 3L, 0L)))        // 8 tokens, n=6 -> 3 grams, all seen
+    assert(out(2L) === ((3L, 2L, 333333L)))   // last gram touches NEW -> 1/3 novel
+    assert(out(3L)._2 === 0L)                 // nothing seen
+    assert(out(3L)._3 === 1000000L)           // fully novel
+  }
+
   test("stratified sample takes an exact per-stratum quota, hash-deterministically") {
     val corpus = (1L to 40L).map(i => (i, if (i <= 25) "en" else "de", s"text $i"))
       .toDF("doc_id", "lang", "text")
