@@ -1555,6 +1555,24 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS novelty_micros
         |FROM a""".stripMargin)),
 
+    // ---- CCNet-style boilerplate segment dedup: non-overlapping 12-token
+    //      segments, boilerplate = hash present in > 1 distinct doc;
+    //      per-doc rollup with the boilerplate fraction in micros ----
+    ("q_boiler",
+      (s, d) => CorpusCuration.boilerplateSummary(Tables(s, d).documents,
+        "doc_id", segTokens = 12, maxDocFreq = 1L),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT doc_id, md5(array_to_string(list_slice(toks, s, s + 11), ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM d)),
+        |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM u GROUP BY 1),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(count(*) FILTER (WHERE df > 1) AS BIGINT) AS n_boiler_segs
+        |  FROM u JOIN f ON u.h = f.h GROUP BY 1)
+        |SELECT doc_id, n_segs, n_boiler_segs,
+        |  CAST(floor((CAST(n_boiler_segs AS DOUBLE) / CAST(n_segs AS DOUBLE))
+        |    * 1e6 + 0.5) AS BIGINT) AS boiler_micros
+        |FROM a""".stripMargin)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

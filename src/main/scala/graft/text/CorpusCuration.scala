@@ -104,6 +104,69 @@ object CorpusCuration {
           |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
   }
 
+  /** CCNet-style cross-document boilerplate detection at segment
+    * granularity (cf. Wenzek et al., "CCNet", LREC 2020 — paragraph-level
+    * dedup before any document-level pass). Documents are cut into
+    * non-overlapping `segTokens`-token segments (the corpus here is
+    * single-line, so fixed token windows stand in for lines/paragraphs);
+    * a segment is boilerplate when its hash appears in more than
+    * `maxDocFreq` DISTINCT documents — headers, footers, navigation
+    * chrome, license blurbs.
+    *
+    * Returns one row per segment: tokenChunks' columns plus `doc_freq`
+    * and `is_boilerplate`. Scale shape: the chunking is a pure
+    * projection; `doc_freq` is one shuffle on the segment hash with a
+    * partial countDistinct; the flag join re-shuffles both sides by the
+    * hash — big×big, no broadcast assumed, rows = segment count not
+    * pair count.
+    */
+  def boilerplateSegments(docs: DataFrame, keyCol: String,
+      textCol: String = "text", segTokens: Int = 12,
+      maxDocFreq: Long = 1L): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val segs = TextAnalysis.tokenChunks(docs, keyCol, textCol,
+      chunkSize = segTokens, stride = segTokens)
+    val freq = segs.groupBy("chunk_hash")
+      .agg(countDistinct(col(keyCol)).as("doc_freq"))
+    segs.join(freq, Seq("chunk_hash"))
+      .withColumn("is_boilerplate", col("doc_freq") > maxDocFreq)
+  }
+
+  /** Per-document rollup of [[boilerplateSegments]]:
+    * (keyCol, n_segs, n_boiler_segs, boiler_micros) where boiler =
+    * n_boiler_segs / n_segs in integer micros. The score feeds the same
+    * curation funnel as quality/language filters — docs that are mostly
+    * shared chrome get dropped before training.
+    */
+  def boilerplateSummary(docs: DataFrame, keyCol: String,
+      textCol: String = "text", segTokens: Int = 12,
+      maxDocFreq: Long = 1L): DataFrame =
+    boilerplateSegments(docs, keyCol, textCol, segTokens, maxDocFreq)
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_boilerplate"), 1L).otherwise(0L)).as("n_boiler_segs"))
+      .withColumn("boiler_micros", expr(
+        """CAST(floor((CAST(n_boiler_segs AS DOUBLE) / CAST(n_segs AS DOUBLE))
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+
+  /** Rebuild each document's text from its NON-boilerplate segments, in
+    * original segment order — the cleaning counterpart of
+    * [[boilerplateSegments]]. Docs whose every segment is boilerplate
+    * disappear (nothing left to keep). The collect_list is doc-bounded
+    * (segments of one document), not corpus-bounded.
+    */
+  def stripBoilerplate(docs: DataFrame, keyCol: String,
+      textCol: String = "text", segTokens: Int = 12,
+      maxDocFreq: Long = 1L): DataFrame =
+    boilerplateSegments(docs, keyCol, textCol, segTokens, maxDocFreq)
+      .filter(!col("is_boilerplate"))
+      .groupBy(keyCol)
+      .agg(collect_list(struct(col("chunk_idx"), col("chunk"))).as("_kept"))
+      .withColumn(textCol, expr(
+        "concat_ws(' ', transform(array_sort(_kept), x -> x.chunk))"))
+      .drop("_kept")
+
   /** Deterministic stratified sampling: exactly `quota` documents per
     * stratum, chosen by a portable hash order (md5 of the doc key) —
     * reproducible across runs, partitionings and engines, unlike

@@ -62,6 +62,33 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out(3L)._3 === 1000000L)           // fully novel
   }
 
+  test("boilerplate segments are flagged by cross-doc frequency and stripped in order") {
+    val chrome = "copyright acme corp all rights" // 5-token shared footer
+    val corpus = Seq(
+      (1L, s"unique alpha words one two $chrome"),
+      (2L, s"other beta content three four $chrome"),
+      (3L, s"third gamma text five six $chrome"),
+      (4L, "entirely standalone document nothing shared here")
+    ).toDF("doc_id", "text")
+    // 5-token segments: each doc = [5 unique tokens][chrome]; chrome df=3
+    val segs = CorpusCuration.boilerplateSegments(corpus, "doc_id", segTokens = 5)
+    val flagged = segs.filter($"is_boilerplate").collect()
+    assert(flagged.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(flagged.forall(_.getAs[String]("chunk") === chrome))
+    assert(flagged.forall(_.getAs[Long]("doc_freq") === 3L))
+
+    val sums = CorpusCuration.boilerplateSummary(corpus, "doc_id", segTokens = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_boiler_segs"), r.getAs[Long]("boiler_micros")))).toMap
+    assert(sums(1L) === ((2L, 1L, 500000L)))
+    assert(sums(4L) === ((2L, 0L, 0L)))       // 8 tokens -> 2 segments, none shared
+
+    val clean = CorpusCuration.stripBoilerplate(corpus, "doc_id", segTokens = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(clean(1L) === "unique alpha words one two")
+    assert(clean(4L) === "entirely standalone document nothing shared here")
+  }
+
   test("stratified sample takes an exact per-stratum quota, hash-deterministically") {
     val corpus = (1L to 40L).map(i => (i, if (i <= 25) "en" else "de", s"text $i"))
       .toDF("doc_id", "lang", "text")
