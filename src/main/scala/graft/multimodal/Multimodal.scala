@@ -12,10 +12,14 @@ import org.apache.spark.sql.types._
   * container and returns true width/height; [[channelHistogram]] extracts
   * per-channel pixel histograms. Audio decode is REAL for RIFF/WAVE PCM
   * ([[decodeWav]]: hand-parsed header + sample stats, pure JVM, no codec
-  * dependency). Video codecs are not available in this environment, so
-  * remaining payloads fall back to the clearly-marked deterministic
-  * [[syntheticFeatures]]; everything Spark-side — schema, batching,
-  * partition-local iteration, output shape — is identical for all paths.
+  * dependency). Video decode is REAL for uncompressed YUV4MPEG2
+  * ([[decodeY4m]]: header parse + frame walk + per-frame luma/motion
+  * stats and true frame extraction — the raw interchange format ffmpeg
+  * emits). COMPRESSED video/audio codecs are not available in this
+  * environment, so those payloads fall back to the clearly-marked
+  * deterministic [[syntheticFeatures]]; everything Spark-side — schema,
+  * batching, partition-local iteration, output shape — is identical for
+  * all paths.
   *
   * Scale design: per-row byte work happens inside mapPartitions (no driver
   * collect, no shuffle); metadata stays columnar so filters on media_type /
@@ -123,6 +127,70 @@ object Multimodal {
     }
   }
 
+  /** Parsed YUV4MPEG2 stream: header fields plus the byte offsets of each
+    * frame's Y (luma) plane — enough to extract frames without re-walking.
+    */
+  final case class Y4mMeta(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      chroma: String, nFrames: Int, durationMs: Long, frameOffsets: Array[Int])
+
+  /** REAL video decode for uncompressed YUV4MPEG2 (`.y4m` — the raw
+    * planar format `ffmpeg -f yuv4mpeg2` produces): ASCII header
+    * (`YUV4MPEG2 W.. H.. F<num>:<den> .. C<chroma>\n`), then per frame a
+    * `FRAME...\n` marker followed by the raw Y/U/V planes. Pure JVM
+    * header parse + frame walk, no codec dependency. Returns None for
+    * malformed streams, truncated frames, or chroma modes it cannot size
+    * (callers fall through to [[syntheticFeatures]] honestly).
+    */
+  def decodeY4m(bytes: Array[Byte]): Option[Y4mMeta] = {
+    val MAGIC = "YUV4MPEG2"
+    if (bytes.length < MAGIC.length + 1) return None
+    val eol = bytes.indexOf('\n'.toByte)
+    if (eol < 0) return None
+    val header = new String(bytes, 0, eol, java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = header.split(' ')
+    if (parts.isEmpty || parts(0) != MAGIC) return None
+    var w = -1; var h = -1; var fn = 30; var fd = 1; var chroma = "420"
+    parts.iterator.drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => p.drop(1).split(':') match {
+          case Array(n, d) =>
+            fn = n.toIntOption.getOrElse(30); fd = d.toIntOption.getOrElse(1)
+          case _ => ()
+        }
+        case 'C' => chroma = p.drop(1)
+        case _   => () // I (interlace), A (aspect), X (extensions) ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val ySize = w * h
+    val cSize = chroma match {
+      case c if c.startsWith("420") => ((w + 1) / 2) * ((h + 1) / 2)
+      case "422"                    => ((w + 1) / 2) * h
+      case "444"                    => w * h
+      case "mono"                   => 0
+      case _                        => return None
+    }
+    val frameSize = ySize + 2 * cSize
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = eol + 1
+    while (off < bytes.length) {
+      // FRAME marker: "FRAME" + optional parameters, newline-terminated
+      if (off + 5 > bytes.length ||
+        new String(bytes, off, 5, java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+        return None
+      var nl = off + 5
+      while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+      if (nl >= bytes.length || nl + 1 + frameSize > bytes.length) return None
+      offsets += nl + 1
+      off = nl + 1 + frameSize
+    }
+    if (offsets.isEmpty) return None
+    Some(Y4mMeta(w, h, fn, fd, chroma, offsets.length,
+      offsets.length.toLong * 1000L * fd / fn, offsets.toArray))
+  }
+
   /** Real image decode via `javax.imageio` (JDK-shipped codecs: PNG, BMP,
     * GIF, JPEG, WBMP). Returns (format, width, height, image) or None when
     * no installed reader recognizes the byte stream.
@@ -157,7 +225,10 @@ object Multimodal {
     case Some((mt, w, h, _)) => Row(mt, w, h, bytes.length.toLong)
     case None => decodeWav(bytes) match {
       case Some(_) => Row("audio/wav", null, null, bytes.length.toLong)
-      case None    => syntheticFeatures(bytes)
+      case None => decodeY4m(bytes) match {
+        case Some(m) => Row("video/y4m", m.width, m.height, bytes.length.toLong)
+        case None    => syntheticFeatures(bytes)
+      }
     }
   }
 
@@ -189,6 +260,109 @@ object Multimodal {
             math.floor(m.peakAbs * 1e6 + 0.5).toLong,
             math.floor(m.rms * 1e6 + 0.5).toLong)
           case None => Row(r.get(keyIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** DataFrame-level video feature extraction over YUV4MPEG2 payloads:
+    * one row per decodable stream with header fields plus two luma
+    * statistics over the frames sampled every `sampleEvery`-th frame —
+    * `mean_luma_micros` (mean Y/255 over all sampled pixels) and
+    * `motion_micros` (mean |ΔY|/255 between consecutive sampled frames;
+    * null when fewer than two frames are sampled). Both stats are exact
+    * integer pixel sums divided once at the end, so the output is
+    * partition-order independent. Undecodable rows keep the key with
+    * nulls ([[audioFeatures]]' contract). mapPartitions: byte work stays
+    * executor-side, no shuffle.
+    */
+  def videoFeatures(df: DataFrame, keyCol: String, mediaCol: String = "media",
+      sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("fps_num", IntegerType),
+      StructField("fps_den", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mean_luma_micros", LongType),
+      StructField("motion_micros", LongType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        decodeY4m(bytes) match {
+          case Some(m) =>
+            val ySize = m.width * m.height
+            val sampled = m.frameOffsets.indices.filter(_ % sampleEvery == 0)
+            var lumaSum = 0L
+            sampled.foreach { f =>
+              val o = m.frameOffsets(f)
+              var i = 0
+              while (i < ySize) { lumaSum += (bytes(o + i) & 0xff); i += 1 }
+            }
+            var diffSum = 0L
+            sampled.iterator.zip(sampled.iterator.drop(1)).foreach { case (a, b) =>
+              val oa = m.frameOffsets(a); val ob = m.frameOffsets(b)
+              var i = 0
+              while (i < ySize) {
+                diffSum += math.abs((bytes(ob + i) & 0xff) - (bytes(oa + i) & 0xff))
+                i += 1
+              }
+            }
+            val nPix = sampled.length.toLong * ySize
+            val meanLuma = math.floor(lumaSum.toDouble / (nPix * 255L) * 1e6 + 0.5).toLong
+            val motion = if (sampled.length < 2) null
+              else java.lang.Long.valueOf(math.floor(
+                diffSum.toDouble / ((sampled.length - 1).toLong * ySize * 255L) * 1e6 + 0.5).toLong)
+            Row(r.get(keyIdx), m.width, m.height, m.fpsNum, m.fpsDen,
+              m.nFrames, m.durationMs, meanLuma, motion)
+          case None =>
+            Row(r.get(keyIdx), null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real frame sampling from YUV4MPEG2 payloads: one output row per
+    * sampled frame carrying the frame's raw Y (grayscale) plane plus its
+    * presentation timestamp — the "frame-sample" step a vision-model
+    * pipeline feeds to an image encoder. Undecodable payloads produce no
+    * rows (a filter, not a fallback — half-decoded video is useless
+    * downstream). flatMap inside mapPartitions: executor-side, no
+    * shuffle; output rows = sampled frames, never full streams.
+    */
+  def sampleFrames(df: DataFrame, keyCol: String, mediaCol: String = "media",
+      every: Int = 1): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("frame_idx", IntegerType),
+      StructField("pts_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("y_plane", BinaryType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        decodeY4m(bytes) match {
+          case Some(m) =>
+            val ySize = m.width * m.height
+            m.frameOffsets.indices.iterator.filter(_ % every == 0).map { f =>
+              val o = m.frameOffsets(f)
+              Row(r.get(keyIdx), f, f.toLong * 1000L * m.fpsDen / m.fpsNum,
+                m.width, m.height, java.util.Arrays.copyOfRange(bytes, o, o + ySize))
+            }
+          case None => Iterator.empty
         }
       }
     }

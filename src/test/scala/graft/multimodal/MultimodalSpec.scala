@@ -154,4 +154,67 @@ class MultimodalSpec extends SparkSpec {
     assert(gh.head === 35L) // green channel always 0 → first bin
     assert(out(2L).isNullAt(1)) // undecodable → null histograms
   }
+
+  /** An in-memory YUV4MPEG2 stream, 4×2 C420 at 25 fps: each frame's Y
+    * plane is a constant luma from `lumas`; chroma planes are 128 (gray).
+    */
+  private def y4mBytes(lumas: Seq[Int], w: Int = 4, h: Int = 2): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = ((w + 1) / 2) * ((h + 1) / 2)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(header)
+    lumas.foreach { y =>
+      buf.write("FRAME\n".getBytes("US-ASCII"))
+      (0 until ySize).foreach(_ => buf.write(y))
+      (0 until 2 * cSize).foreach(_ => buf.write(128))
+    }
+    buf.toByteArray
+  }
+
+  test("decodeY4m parses header, counts frames, and sizes the planes") {
+    val m = Multimodal.decodeY4m(y4mBytes(Seq(0, 255, 128))).get
+    assert(m.width === 4 && m.height === 2)
+    assert(m.fpsNum === 25 && m.fpsDen === 1)
+    assert(m.nFrames === 3)
+    assert(m.durationMs === 120L) // 3 frames / 25 fps
+    // truncated stream and wrong magic are rejected, not half-parsed
+    assert(Multimodal.decodeY4m(y4mBytes(Seq(0, 255)).dropRight(1)).isEmpty)
+    assert(Multimodal.decodeY4m("MPEG4 junk\n".getBytes("US-ASCII")).isEmpty)
+    // decode() routes y4m before the synthetic fallback
+    assert(Multimodal.decode(y4mBytes(Seq(10))).getString(0) === "video/y4m")
+  }
+
+  test("videoFeatures: exact luma mean and inter-frame motion in micros") {
+    val rows = Seq((1L, y4mBytes(Seq(0, 255, 128))),
+      (2L, "not video".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.videoFeatures(rows, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val v = out(1L)
+    assert(v.getAs[Int]("n_frames") === 3)
+    // mean luma (0+255+128)/3/255 = 0.50065...
+    assert(v.getAs[Long]("mean_luma_micros") ===
+      math.floor(383.0 / (3 * 255) * 1e6 + 0.5).toLong)
+    // motion: |255-0| then |128-255| → (255+127)/(2*255)
+    assert(v.getAs[Long]("motion_micros") ===
+      math.floor(382.0 / (2 * 255) * 1e6 + 0.5).toLong)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width"))) // undecodable → nulls
+    // a single sampled frame has no motion
+    val one = Multimodal.videoFeatures(
+      Seq((1L, y4mBytes(Seq(7)))).toDF("doc_id", "media"), "doc_id").collect().head
+    assert(one.isNullAt(one.fieldIndex("motion_micros")))
+  }
+
+  test("sampleFrames extracts every k-th Y plane with its timestamp") {
+    val rows = Seq((1L, y4mBytes(Seq(0, 50, 100, 150, 200)))).toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(rows, "doc_id", every = 2).collect()
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    assert(frames.map(_.getAs[Long]("pts_ms")).toSeq === Seq(0L, 80L, 160L))
+    assert(frames.forall(_.getAs[Array[Byte]]("y_plane").length === 8)) // 4×2 luma
+    assert(frames(1).getAs[Array[Byte]]("y_plane").forall(b => (b & 0xff) === 100))
+    // non-video rows contribute zero frames
+    assert(Multimodal.sampleFrames(
+      Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"), "doc_id").count() === 0L)
+  }
 }
