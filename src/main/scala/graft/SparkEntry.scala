@@ -1573,6 +1573,26 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS boiler_micros
         |FROM a""".stripMargin)),
 
+    // ---- fastText-style hashed linear quality classifier: 256 buckets,
+    //      deterministic stand-in weights (md5 of the bucket id — a
+    //      trained model's coefficients slot into the same table), score =
+    //      bias + mean bucket weight in exact integer micros ----
+    ("q_qualclf",
+      (s, d) => TextAnalysis.hashedQualityScore(Tables(s, d).documents, "doc_id",
+        TextAnalysis.hashWeightTable(s, 256), nBuckets = 256,
+        biasMicros = 500000L, thresholdMicros = 500000L),
+      Some("""WITH w AS (SELECT CAST(b AS BIGINT) AS bucket,
+        |  ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000 AS wm
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |bk AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket FROM t),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    500000 + CAST(floor(CAST(sum(wm) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS score_micros
+        |  FROM bk JOIN w USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_tokens, CAST(score_micros AS BIGINT) AS score_micros,
+        |  score_micros >= 500000 AS keep
+        |FROM sc""".stripMargin)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

@@ -368,4 +368,58 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6))
       .withColumn("top_token_share",
         round(col("top_token_count").cast("double") / col("n_tokens"), 6))
+
+  /** A deterministic stand-in weight table for [[hashedQualityScore]]:
+    * one row per bucket in [0, nBuckets) with a pseudo-weight in
+    * [-1000000, 1000000] micros derived from md5 of the seeded bucket
+    * index. In production the table comes from a TRAINED linear model
+    * (fastText / logistic regression coefficients, folded into buckets);
+    * this generator exists so the scoring path has a portable,
+    * engine-reproducible fixture.
+    */
+  def hashWeightTable(spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
+      seed: String = "w"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    spark.range(nBuckets).toDF("bucket")
+      .withColumn("w_micros", expr(
+        s"CAST(conv(substr(md5(concat('$seed', CAST(bucket AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2000001 - 1000000"))
+  }
+
+  /** fastText-style linear quality classifier over hashed token features
+    * (the "quality filter" step of GPT-3/CCNet-style curation: score
+    * every document against a trained linear model, keep what clears the
+    * threshold). The hashing trick folds an unbounded vocabulary into
+    * `nBuckets` fixed buckets — md5-based, so bucket assignment is
+    * engine- and partition-independent — and the model is
+    * `score = bias + (Σ w[bucket(token)]) / n_tokens`, i.e. mean bucket
+    * weight: a linear model over L1-normalized hashed counts.
+    *
+    * `weights` is (bucket, w_micros) with integer-micros coefficients;
+    * missing buckets score 0 (left join + fill — a trained model may be
+    * sparse). The per-doc weight sum is an exact integer sum (no
+    * double-accumulation order dependence); ONE double division at the
+    * end produces the score. Output: (key, n_tokens, score_micros, keep).
+    *
+    * Scale shape: token explode is a projection; the weights join keys on
+    * the bucket id — the weight side is bounded by nBuckets (model-sized,
+    * not corpus-sized), so AQE broadcasts it; one shuffle for the per-doc
+    * sum with map-side partials.
+    */
+  def hashedQualityScore(docs: DataFrame, keyCol: String, weights: DataFrame,
+      nBuckets: Int, biasMicros: Long, thresholdMicros: Long,
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+      .join(weights.select(col("bucket"), col("w_micros")), Seq("bucket"), "left")
+      .na.fill(0L, Seq("w_micros"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micros")).as("_sw"))
+      .withColumn("score_micros", lit(biasMicros) + expr(
+        "CAST(floor(CAST(_sw AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 0.5) AS BIGINT)"))
+      .withColumn("keep", col("score_micros") >= thresholdMicros)
+      .select(keyCol, "n_tokens", "score_micros", "keep")
+  }
 }

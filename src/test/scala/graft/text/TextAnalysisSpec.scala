@@ -213,4 +213,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("pii_total") === 0L)
     assert(out(3L).getAs[String]("text_clean") === "no pii here at all")
   }
+
+  test("hashedQualityScore: mean bucket weight + bias, sparse weights score zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha alpha")).toDF("doc_id", "text")
+    // nBuckets = 1: every token lands in bucket 0
+    val wPlus = Seq((0L, 250000L)).toDF("bucket", "w_micros")
+    val out = TextAnalysis.hashedQualityScore(docs, "doc_id", wPlus,
+      nBuckets = 1, biasMicros = 100000L, thresholdMicros = 300000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score_micros"), r.getAs[Boolean]("keep")))).toMap
+    // mean weight is 250000 regardless of length; score = bias + mean
+    assert(out(1L) === ((4L, 350000L, true)))
+    assert(out(2L) === ((2L, 350000L, true)))
+    // an empty (sparse) model scores every doc at the bias alone
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "w_micros")
+    val bare = TextAnalysis.hashedQualityScore(docs, "doc_id", empty,
+      nBuckets = 1, biasMicros = 100000L, thresholdMicros = 300000L).collect()
+    assert(bare.forall(_.getAs[Long]("score_micros") === 100000L))
+    assert(bare.forall(!_.getAs[Boolean]("keep")))
+    // generated weight table is bounded and deterministic
+    val wt = TextAnalysis.hashWeightTable(spark, 64).collect()
+    assert(wt.length === 64)
+    assert(wt.forall(r => math.abs(r.getAs[Long]("w_micros")) <= 1000000L))
+    assert(wt.map(_.getAs[Long]("w_micros")).toSeq ===
+      TextAnalysis.hashWeightTable(spark, 64).collect().map(_.getAs[Long]("w_micros")).toSeq)
+  }
 }
