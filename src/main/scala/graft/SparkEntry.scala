@@ -1593,6 +1593,32 @@ object SparkEntry {
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
 
+    // ---- exact duplicated-substring coverage (Lee et al. ExactSubstr):
+    //      stride-1 13-gram windows duplicated anywhere in the corpus;
+    //      covered tokens from the merged-interval LEAD window ----
+    ("q_dupspan",
+      (s, d) => CorpusCuration.duplicatedSpanCoverage(
+        Tables(s, d).documents, "doc_id", k = 13),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CAST(s AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[s:s+12], ' ')) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS s
+        |        FROM d WHERE len(toks) >= 13)),
+        |dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) > 1),
+        |cc AS (SELECT doc_id, pos, least(13, coalesce(
+        |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos + 13) - pos) AS c
+        |  FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(c) AS BIGINT) AS covered_tokens FROM cc GROUP BY 1),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM d WHERE len(toks) >= 13)
+        |SELECT n.doc_id, n_tokens,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(covered_tokens, 0) AS covered_tokens,
+        |  CAST(floor(CAST(coalesce(covered_tokens, 0) AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_micros
+        |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

@@ -133,6 +133,53 @@ object CorpusCuration {
       .withColumn("is_boilerplate", col("doc_freq") > maxDocFreq)
   }
 
+  /** Exact duplicated-substring coverage (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — their
+    * ExactSubstr criterion at token granularity): a span is duplicated
+    * when its `k`-token window occurs more than once ANYWHERE in the
+    * corpus (another document or the same one), and a token is covered
+    * when any duplicated span contains it. Returns one row per document
+    * with ≥ k tokens: (keyCol, n_tokens, n_dup_spans, covered_tokens,
+    * dup_micros = covered/n_tokens).
+    *
+    * Covered-token counting merges overlapping spans WITHOUT exploding
+    * them: sorted duplicated starts p₁<p₂<…, each start contributes
+    * min(k, next−p) tokens — the gaps-and-islands union computed by one
+    * LEAD window, doc-partitioned (bounded by doc length, never corpus-
+    * wide). Scale shape: stride-1 gram projection (explode factor =
+    * tokens/doc, same as [[contamination]]), one shuffle counting gram
+    * occurrences, big×big join back on the gram hash, then the per-doc
+    * window.
+    */
+  def duplicatedSpanCoverage(docs: DataFrame, keyCol: String,
+      textCol: String = "text", k: Int = 13): DataFrame = {
+    require(k > 1, "span size must be > 1")
+    val toks = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) >= k)
+      .select(col(keyCol), col("tokens"))
+    val grams = toks.select(col(keyCol), posexplode(expr(
+      s"""transform(sequence(1, size(tokens) - ${k - 1}),
+         |  i -> md5(concat_ws(' ', slice(tokens, i, $k))))""".stripMargin))
+        .as(Seq("pos0", "gh")))
+      .select(col(keyCol), (col("pos0") + 1).as("pos"), col("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("pos")
+    val cov = grams.join(dup, Seq("gh"))
+      .withColumn("_next", lead(col("pos"), 1).over(w))
+      .withColumn("_c", when(col("_next").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), col("_next") - col("pos"))))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("_c")).as("covered_tokens"))
+    toks.select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(cov, Seq(keyCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "covered_tokens"))
+      .withColumn("dup_micros", expr(
+        """CAST(floor(CAST(covered_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+  }
+
   /** Per-document rollup of [[boilerplateSegments]]:
     * (keyCol, n_segs, n_boiler_segs, boiler_micros) where boiler =
     * n_boiler_segs / n_segs in integer micros. The score feeds the same

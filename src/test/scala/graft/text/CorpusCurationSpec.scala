@@ -89,6 +89,30 @@ class CorpusCurationSpec extends SparkSpec {
     assert(clean(4L) === "entirely standalone document nothing shared here")
   }
 
+  test("duplicatedSpanCoverage merges overlapping spans and counts within-doc repeats") {
+    val run = "alpha beta gamma delta epsilon" // 5-token cross-doc run
+    val corpus = Seq(
+      (1L, s"x1 x2 $run x3 x4"),                 // 9 tokens, covered 5
+      (2L, s"y1 $run"),                          // 6 tokens, covered 5
+      (3L, "p q r s t u v"),                     // no duplicated span
+      (4L, "m1 m2 m3 m4 m5 zz m1 m2 m3 m4 m5"),  // same-doc repeat: 2 spans
+      (5L, "n1 n2 n3 n4 n5 n6"),                 // 6-token run shared with 6
+      (6L, "w0 n1 n2 n3 n4 n5 n6"),              // overlapping starts merge
+      (7L, "a b c")                              // < k tokens: no row
+    ).toDF("doc_id", "text")
+    val out = CorpusCuration.duplicatedSpanCoverage(corpus, "doc_id", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("covered_tokens"), r.getAs[Long]("dup_micros")))).toMap
+    assert(!out.contains(7L))
+    assert(out(1L) === ((9L, 1L, 5L, 555556L)))
+    assert(out(2L) === ((6L, 1L, 5L, 833333L)))
+    assert(out(3L) === ((7L, 0L, 0L, 0L)))
+    assert(out(4L) === ((11L, 2L, 10L, 909091L)))  // disjoint repeats both count
+    assert(out(5L) === ((6L, 2L, 6L, 1000000L)))   // overlap: 1 + 5, not 10
+    assert(out(6L) === ((7L, 2L, 6L, 857143L)))
+  }
+
   test("stratified sample takes an exact per-stratum quota, hash-deterministically") {
     val corpus = (1L to 40L).map(i => (i, if (i <= 25) "en" else "de", s"text $i"))
       .toDF("doc_id", "lang", "text")
