@@ -1654,6 +1654,26 @@ object SparkEntry {
         |SELECT tot.lang, tot.n_total, coalesce(k.n_kept, 0) AS n_kept
         |FROM tot LEFT JOIN k ON tot.lang = k.lang""".stripMargin)),
 
+    // ---- temperature mixture rebalancing (XLM-R/mT5 sampling, α = 0.5):
+    //      keep-rates derived in-query from stratum counts — rate_s =
+    //      sqrt(n_ref/n_s), smallest stratum keeps all; sqrt + one division
+    //      are correctly-rounded IEEE singles, bit-equal per engine ----
+    ("q_tempmix",
+      (s, d) => CorpusCuration.temperatureMixtureSummary(
+        Tables(s, d).documents, "lang", alpha = 0.5),
+      Some("""WITH tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1),
+        |ref AS (SELECT min(n_total) AS n_ref FROM tot),
+        |r AS (SELECT lang, n_total,
+        |    sqrt(CAST(n_ref AS DOUBLE) / CAST(n_total AS DOUBLE)) AS rate FROM tot, ref),
+        |k AS (SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    < CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT r.lang, n_total, coalesce(n_kept, 0) AS n_kept,
+        |  CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS rate_micros
+        |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin)),
+
     // ---- sequence packing (concat-then-chunk): the corpus token stream in
     //      doc_id order, +1 separator per doc, cut into 128-token training
     //      sequences; docs straddle boundaries. The cumulative offsets come

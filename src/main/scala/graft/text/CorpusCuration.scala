@@ -262,6 +262,67 @@ object CorpusCuration {
     if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
+  /** Temperature-based mixture rebalancing (the multilingual sampling
+    * scheme of XLM-R / mT5: stratum sampled ∝ n^α, α = 1/T < 1, which
+    * up-weights low-resource strata). Realized as per-document keep
+    * rates derived IN-QUERY from the stratum counts — unlike
+    * [[mixtureSample]] no rates are supplied: rate_s =
+    * (n_ref / n_s)^(1−α) with n_ref the smallest stratum, so the
+    * smallest stratum keeps everything and larger strata are
+    * downsampled toward balance. The keep decision is the same salted
+    * md5-threshold as [[mixtureSample]], compared numerically
+    * (hash32 < floor(rate·2^32)).
+    *
+    * α = 0.5 computes the rate via `sqrt` — an IEEE correctly-rounded
+    * single operation, bit-reproducible across engines; other α use
+    * `power` (exp·ln), which libm implementations may round differently
+    * in the last ulp.
+    *
+    * Scale shape: the rates table is one groupBy over the stratum column
+    * (#strata rows — model-sized) cross-joined with its lazy 1-row min
+    * and broadcast back onto the corpus; the filter itself is a pure
+    * projection.
+    */
+  def temperatureMixture(docs: DataFrame, strataCol: String,
+      alpha: Double = 0.5, keyCol: String = "doc_id",
+      salt: String = "temp"): DataFrame = {
+    docs.join(temperatureRates(docs, strataCol, alpha), Seq(strataCol))
+      .filter(expr(
+        s"""CAST(conv(substr(md5(concat('$salt', CAST($keyCol AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           |  < CAST(floor(_rate * 4294967296.0) AS BIGINT)""".stripMargin))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Per-stratum audit of [[temperatureMixture]]:
+    * (strataCol, n_total, n_kept, rate_micros). */
+  def temperatureMixtureSummary(docs: DataFrame, strataCol: String,
+      alpha: Double = 0.5, keyCol: String = "doc_id",
+      salt: String = "temp"): DataFrame = {
+    val rates = temperatureRates(docs, strataCol, alpha)
+    val kept = temperatureMixture(docs, strataCol, alpha, keyCol, salt)
+      .groupBy(strataCol).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(strataCol).agg(count(lit(1)).as("n_total"))
+      .join(rates, Seq(strataCol))
+      .join(kept, Seq(strataCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("rate_micros",
+        expr("CAST(floor(_rate * 1e6 + 0.5) AS BIGINT)"))
+      .select(strataCol, "n_total", "n_kept", "rate_micros")
+  }
+
+  /** (strataCol, _rate): the temperature keep-rate per stratum. */
+  private def temperatureRates(docs: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("_n_s"))
+    val ref = counts.agg(min(col("_n_s")).as("_n_ref"))
+    val rate =
+      if (alpha == 0.5) "sqrt(CAST(_n_ref AS DOUBLE) / CAST(_n_s AS DOUBLE))"
+      else s"power(CAST(_n_ref AS DOUBLE) / CAST(_n_s AS DOUBLE), ${1.0 - alpha})"
+    counts.crossJoin(ref).withColumn("_rate", expr(rate))
+      .select(col(strataCol), col("_rate"))
+  }
+
   /** Global token offsets for concat-then-chunk packing: each document,
     * taken in `orderCol` order, occupies the half-open token span
     * [start, end) of the concatenated corpus stream, where its width is

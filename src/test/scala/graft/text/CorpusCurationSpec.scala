@@ -113,6 +113,27 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out(6L) === ((7L, 2L, 6L, 857143L)))
   }
 
+  test("temperatureMixture keeps the smallest stratum whole and downsamples by sqrt") {
+    // en: 400 docs, de: 100, fr: 25 -> rates fr 1.0, de sqrt(1/4)=0.5, en sqrt(1/16)=0.25
+    val corpus = (1L to 525L).map { i =>
+      val lang = if (i <= 400) "en" else if (i <= 500) "de" else "fr"
+      (i, lang, s"text $i")
+    }.toDF("doc_id", "lang", "text")
+    val sums = CorpusCuration.temperatureMixtureSummary(corpus, "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"), r.getAs[Long]("rate_micros")))).toMap
+    assert(sums("fr") === ((25L, 25L, 1000000L)))  // smallest stratum: keep all
+    assert(sums("de")._3 === 500000L)
+    assert(sums("en")._3 === 250000L)
+    // hash-uniform keeps land near rate * n
+    assert(sums("de")._2 > 30L && sums("de")._2 < 70L)
+    assert(sums("en")._2 > 70L && sums("en")._2 < 130L)
+    // the kept rows are exactly the ones the summary counts, deterministically
+    val kept = CorpusCuration.temperatureMixture(corpus, "lang")
+    assert(kept.filter($"lang" === "de").count() === sums("de")._2)
+    assert(kept.columns.toSeq === corpus.columns.toSeq) // passthrough schema
+  }
+
   test("stratified sample takes an exact per-stratum quota, hash-deterministically") {
     val corpus = (1L to 40L).map(i => (i, if (i <= 25) "en" else "de", s"text $i"))
       .toDF("doc_id", "lang", "text")
