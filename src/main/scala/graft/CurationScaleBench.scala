@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale validation for the round-8 curation operators whose dominant
+  * cost is the n-gram/segment explode: synthesize hash-drawn corpora at
+  * increasing sizes with planted duplicates and confirm wall time grows
+  * ~linearly. The claims under test:
+  *
+  * - `CorpusCuration.boilerplateSummary`: segment explode is stride ==
+  *   segTokens (one row per 12 tokens), so the doc-frequency shuffle
+  *   carries n/12 hashes — scales with corpus tokens.
+  * - `CorpusCuration.duplicatedSpanCoverage`: stride-1 grams explode one
+  *   row per token; the occurrence-count shuffle and the doc-bounded
+  *   LEAD window must both stay linear (the window is per-doc, so no
+  *   corpus-wide sort).
+  * - `TextAnalysis.hashedQualityScore`: explode + broadcast weight join
+  *   + one per-doc aggregate — linear by construction; measured to catch
+  *   regressions (e.g. the weight join degrading to a shuffle).
+  *
+  * Every 20th document is an exact copy of its block head, so ~5% of the
+  * corpus carries real cross-doc duplicate spans/segments at every size.
+  *
+  * Usage: runMain graft.CurationScaleBench [n1 n2 ...]  (default 50000 200000)
+  */
+object CurationScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(50000, 200000)
+    val spark = graft.core.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- sizes) {
+      // 100-token docs over a ~1M-word vocab; doc id%20==19 copies id-19
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 100),
+          |  i -> concat('w', abs(xxhash64(
+          |    CASE WHEN id % 20 = 19 THEN id - 19 ELSE id END,
+          |    CAST(i AS BIGINT))) % 1000000)))""".stripMargin).as("text"))
+
+      val t0 = System.nanoTime()
+      val boiler = text.CorpusCuration.boilerplateSummary(docs, "doc_id")
+        .agg(sum("n_boiler_segs")).head.getLong(0)
+      val tB = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val covered = text.CorpusCuration.duplicatedSpanCoverage(docs, "doc_id")
+        .agg(sum("covered_tokens")).head.getLong(0)
+      val tD = (System.nanoTime() - t1) / 1e9
+
+      val weights = text.TextAnalysis.hashWeightTable(spark, 65536)
+      val t2 = System.nanoTime()
+      val kept = text.TextAnalysis.hashedQualityScore(docs, "doc_id", weights,
+        nBuckets = 65536, biasMicros = 0L, thresholdMicros = 0L)
+        .filter(col("keep")).count()
+      val tQ = (System.nanoTime() - t2) / 1e9
+
+      println(f"n=$n boiler_segs=$boiler sec=$tB%.1f | " +
+        f"dup_covered=$covered sec=$tD%.1f | clf_kept=$kept sec=$tQ%.1f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
