@@ -2194,6 +2194,28 @@ object SparkEntry {
         |  FROM b JOIN cnt USING (bucket) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_micros) AS BIGINT) AS nll_total_micros,
         |  CAST(CAST(sum(nll_micros) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
+        |FROM per GROUP BY 1""".stripMargin)),
+
+    // ---- interpolated bigram-LM NLL (λ = 0.75, both mix weights exactly
+    //      representable): the KenLM-direction upgrade of q_unigram_ppl;
+    //      fixed expression tree evaluated in the same IEEE op order on
+    //      both engines, integer micros summed exactly ----
+    ("q_bigram_ppl",
+      (s, d) => graft.text.ImportanceSampling.bigramNll(Tables(s, d).documents),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT doc_id, substr(md5(unnest(toks)), 1, 3) AS b FROM d),
+        |c1 AS (SELECT b, count(*) AS cb FROM u GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt FROM u),
+        |bg AS (SELECT doc_id, substr(md5(toks[i-1]), 1, 3) AS pb, substr(md5(toks[i]), 1, 3) AS b
+        |  FROM (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |c2 AS (SELECT pb, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(floor(-ln(0.75 * (c2.c2 / CAST(p1.cb AS DOUBLE))
+        |    + 0.25 * (w1.cb / CAST(tt AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS nll
+        |  FROM bg JOIN c2 USING (pb, b) JOIN c1 p1 ON bg.pb = p1.b
+        |  JOIN c1 w1 ON bg.b = w1.b CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_total_micros,
+        |  CAST(CAST(sum(nll) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
         |FROM per GROUP BY 1""".stripMargin))
   )
 

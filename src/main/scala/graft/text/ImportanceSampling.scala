@@ -122,4 +122,53 @@ object ImportanceSampling {
       .withColumn("mean_nll",
         col("nll_total_micros").cast("double") / col("n_tokens") / lit(1e6))
   }
+
+  /** Interpolated bigram-LM negative log-likelihood per document — one
+    * model order up from [[unigramNll]], toward the KenLM-style n-gram
+    * filters of CCNet: each bigram position i ≥ 2 costs
+    * −ln(λ·c₂(b_{i−1},b_i)/c₁(b_{i−1}) + (1−λ)·c₁(b_i)/T) over the
+    * corpus's own hashed-bucket counts. Interpolation (not backoff)
+    * keeps the formula a fixed expression tree both engines evaluate in
+    * the same IEEE op order; with the corpus as its own model every
+    * observed bigram has c₂ ≥ 1, so the argument is never 0. λ defaults
+    * to 0.75 — exactly representable, as is 1−λ (the portability
+    * contract; an arbitrary λ would round its literal differently from
+    * its complement).
+    *
+    * Output (docs with ≥ 2 tokens): (keyCol, n_bigrams,
+    * nll_total_micros, mean_nll) — integer micros summed exactly, the
+    * mean derived by two correctly-rounded divisions.
+    *
+    * Scale shape: bigrams are an array projection (no self-join, no
+    * window — `transform(sequence(2, n), ...)` pairs adjacent tokens
+    * in-place); the model counts are two hash-keyed aggregates (4096
+    * and ≤4096² rows — bounded by the bucket space, not the corpus), so
+    * the three model joins broadcast; one shuffle for the per-doc sum.
+    */
+  def bigramNll(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text", lambdaMix: Double = 0.75): DataFrame = {
+    require(lambdaMix > 0.0 && lambdaMix < 1.0, s"lambda must be in (0,1): $lambdaMix")
+    val uni = tokenBuckets(docs, keyCol, textCol)
+    val c1 = uni.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val tot = uni.agg(count(lit(1)).as("tt"))
+    val bg = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) >= 2)
+      .select(col(keyCol), explode(expr(
+        """transform(sequence(2, size(tokens)),
+          |  i -> struct(substr(md5(element_at(tokens, i - 1)), 1, 3) AS pb,
+          |              substr(md5(element_at(tokens, i)), 1, 3) AS b))""".stripMargin)).as("g"))
+      .select(col(keyCol), col("g.pb").as("pb"), col("g.b").as("b"))
+    val c2 = bg.groupBy("pb", "b").agg(count(lit(1)).as("c2"))
+    bg.join(c2, Seq("pb", "b"))
+      .join(c1.select(col("bucket").as("pb"), col("cb").as("cp")), Seq("pb"))
+      .join(c1.select(col("bucket").as("b"), col("cb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_micros", expr(
+        s"""CAST(floor(-ln($lambdaMix * (c2 / CAST(cp AS DOUBLE))
+           |  + ${1.0 - lambdaMix} * (cb / CAST(tt AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micros")).as("nll_total_micros"))
+      .withColumn("mean_nll",
+        col("nll_total_micros").cast("double") / col("n_bigrams") / lit(1e6))
+  }
 }

@@ -64,4 +64,26 @@ class ImportanceSamplingSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_nll") ===
       row.getAs[Long]("nll_total_micros").toDouble / row.getAs[Long]("n_tokens") / 1e6)
   }
+
+  test("bigram NLL separates fixed phrases from shuffled ones; counts are exact") {
+    // docs 1-20 repeat the fixed phrase; doc 99 has the same unigram mix but
+    // includes the corpus-rare transitions alpha->alpha and beta->beta, so
+    // conditional (bigram) surprise separates what unigram NLL cannot
+    val docs = ((1L to 20L).map(i => (i, "alpha beta alpha beta alpha beta")) :+
+      (99L, "beta alpha alpha beta beta alpha")).toDF("doc_id", "text")
+    val out = ImportanceSampling.bigramNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") === 5L)
+    assert((1L to 20L).forall(i =>
+      out(99L).getAs[Double]("mean_nll") > out(i).getAs[Double]("mean_nll")))
+    // single-token and empty docs contribute no row
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = ImportanceSampling.bigramNll(tiny).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+    // partitioning-independent (exact integer totals)
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      ImportanceSampling.bigramNll(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_total_micros")).toMap
+    assert(totals(docs) === totals(docs.repartition(7)))
+  }
 }
