@@ -1593,6 +1593,22 @@ object SparkEntry {
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
 
+    // ---- tokenizer vocab selection + OOV coverage: top-10 corpus tokens
+    //      (count desc, token asc tie-break), per-doc UNK rate in micros ----
+    ("q_vocab",
+      (s, d) => TextAnalysis.vocabCoverage(Tables(s, d).documents, "doc_id",
+        vocabSize = 10),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 10),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM v)) AS BIGINT) AS n_oov
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS oov_micros
+        |FROM sc""".stripMargin)),
+
     // ---- exact duplicated-substring coverage (Lee et al. ExactSubstr):
     //      stride-1 13-gram windows duplicated anywhere in the corpus;
     //      covered tokens from the merged-interval LEAD window ----

@@ -369,6 +369,43 @@ object TextAnalysis {
       .withColumn("top_token_share",
         round(col("top_token_count").cast("double") / col("n_tokens"), 6))
 
+  /** Top-`vocabSize` corpus tokens by frequency — the tokenizer-vocab
+    * selection step. Deterministic tie-break (count desc, token asc) so
+    * the vocabulary is reproducible across runs and engines. The sort is
+    * a TakeOrdered (top-V heap per partition + merge), never a global
+    * sort of the distinct-token domain.
+    */
+  def topVocabulary(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+  }
+
+  /** Per-document out-of-vocabulary rate against [[topVocabulary]] — the
+    * coverage check run before committing to a tokenizer vocab (how much
+    * of each document would tokenize to UNK). Output: (keyCol, n_tokens,
+    * n_oov, oov_micros). Scale shape: the vocab is bounded by vocabSize
+    * (model-sized), so its membership join broadcasts; one shuffle for
+    * the per-doc aggregate.
+    */
+  def vocabCoverage(docs: DataFrame, keyCol: String, vocabSize: Int,
+      textCol: String = "text"): DataFrame = {
+    val toks = withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+    val vocab = topVocabulary(docs, vocabSize, textCol)
+      .select(col("token"), lit(1).as("_in_vocab"))
+    toks.join(vocab, Seq("token"), "left")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micros", expr(
+        """CAST(floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+  }
+
   /** A deterministic stand-in weight table for [[hashedQualityScore]]:
     * one row per bucket in [0, nBuckets) with a pseudo-weight in
     * [-1000000, 1000000] micros derived from md5 of the seeded bucket

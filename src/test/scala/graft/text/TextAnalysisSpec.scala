@@ -239,4 +239,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wt.map(_.getAs[Long]("w_micros")).toSeq ===
       TextAnalysis.hashWeightTable(spark, 64).collect().map(_.getAs[Long]("w_micros")).toSeq)
   }
+
+  test("vocabCoverage: top-V vocab with deterministic tie-break, per-doc UNK rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat dog dog bird"),
+      (2L, "cat dog zebra quokka")).toDF("doc_id", "text")
+    // counts: cat 4, dog 3, bird 1, zebra 1, quokka 1 -> V=3 is cat dog bird
+    // (tie at 1 broken alphabetically: bird < quokka < zebra)
+    val vocab = TextAnalysis.topVocabulary(docs, 3).collect().map(_.getString(0)).toSeq
+    assert(vocab === Seq("cat", "dog", "bird"))
+    val cov = TextAnalysis.vocabCoverage(docs, "doc_id", 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_micros")))).toMap
+    assert(cov(1L) === ((6L, 0L, 0L)))
+    assert(cov(2L) === ((4L, 2L, 500000L))) // zebra + quokka are UNK
+  }
 }
