@@ -1593,6 +1593,27 @@ object SparkEntry {
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
 
+    // ---- content-defined chunking: boundary after token i when
+    //      md5(trailing 4-token window) % 8 == 0 (+ forced end boundary);
+    //      insertion-robust chunk alignment, one array projection ----
+    ("q_cdc",
+      (s, d) => CorpusCuration.contentDefinedChunks(Tables(s, d).documents,
+        "doc_id", window = 4, divisor = 8),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 4 THEN [len(toks)]
+        |       ELSE list_append(list_filter(range(4, len(toks)),
+        |         i -> ('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 8))::BIGINT % 8 = 0),
+        |         len(toks)) END AS bounds FROM d),
+        |k AS (SELECT doc_id, toks, bounds, unnest(range(1, len(bounds) + 1)) AS ci FROM b),
+        |c AS (SELECT doc_id, CAST(ci - 1 AS INT) AS chunk_idx,
+        |    CASE WHEN ci = 1 THEN 1 ELSE bounds[ci - 1] + 1 END AS s, bounds[ci] AS e, toks
+        |  FROM k)
+        |SELECT doc_id, chunk_idx, CAST(s AS INT) AS start,
+        |  CAST(e - s + 1 AS INT) AS n_tokens,
+        |  md5(array_to_string(toks[s:e], ' ')) AS chunk_hash
+        |FROM c""".stripMargin)),
+
     // ---- tokenizer vocab selection + OOV coverage: top-10 corpus tokens
     //      (count desc, token asc tie-break), per-doc UNK rate in micros ----
     ("q_vocab",

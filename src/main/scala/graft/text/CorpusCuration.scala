@@ -133,6 +133,45 @@ object CorpusCuration {
       .withColumn("is_boilerplate", col("doc_freq") > maxDocFreq)
   }
 
+  /** Content-defined chunking (CDC — the rolling-boundary chunking of
+    * LBFS/restic-style dedup storage, at token granularity): a chunk
+    * boundary falls after token i when the hash of the trailing
+    * `window`-token context is ≡ 0 mod `divisor`, plus a forced boundary
+    * at the document end. Because boundaries depend only on LOCAL
+    * content, inserting or deleting text early in a document shifts only
+    * the chunks up to the first boundary past the edit — every later
+    * chunk re-aligns and hashes identically, which is what makes CDC
+    * chunks dedup-able across near-identical long documents where
+    * fixed-stride chunks ([[TextAnalysis.tokenChunks]]) all shift.
+    * Expected chunk length ≈ `divisor` tokens.
+    *
+    * The boundary scan, chunk assembly and hashing are ONE array
+    * projection per document (filter + transform over the token array —
+    * no window function, no explode until the final chunk rows), so the
+    * operator is embarrassingly parallel at any corpus size. Output:
+    * (keyCol, chunk_idx, start, n_tokens, chunk_hash).
+    */
+  def contentDefinedChunks(docs: DataFrame, keyCol: String,
+      textCol: String = "text", window: Int = 4, divisor: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(divisor > 1, "divisor must be > 1")
+    TextAnalysis.withTokens(docs, textCol)
+      .withColumn("_bounds", expr(
+        s"""CASE WHEN size(tokens) <= $window THEN array(size(tokens))
+           |ELSE concat(filter(sequence($window, size(tokens) - 1),
+           |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(tokens, i - ${window - 1}, $window))), 1, 8), 16, 10) AS BIGINT) % $divisor = 0),
+           |  array(size(tokens))) END""".stripMargin))
+      .select(col(keyCol), col("tokens"), posexplode(expr(
+        """transform(_bounds, (e, k) -> named_struct(
+          |  'start', CASE WHEN k = 0 THEN 1 ELSE element_at(_bounds, k) + 1 END,
+          |  'end', e))""".stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col(keyCol), col("chunk_idx"),
+        col("c.start").as("start"),
+        (col("c.end") - col("c.start") + 1).as("n_tokens"),
+        expr("md5(concat_ws(' ', slice(tokens, c.start, c.end - c.start + 1)))")
+          .as("chunk_hash"))
+  }
+
   /** Exact duplicated-substring coverage (cf. Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — their
     * ExactSubstr criterion at token granularity): a span is duplicated

@@ -113,6 +113,37 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out(6L) === ((7L, 2L, 6L, 857143L)))
   }
 
+  test("contentDefinedChunks: exact cover, and chunks re-align after an insertion") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "INSERTED " + base // one token prepended at the front
+    val corpus = Seq((1L, base), (2L, edited), (3L, "a b c")).toDF("doc_id", "text")
+    val chunks = CorpusCuration.contentDefinedChunks(corpus, "doc_id").collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    // chunks tile each doc exactly: starts are contiguous, lengths sum to n
+    for ((id, n) <- Seq(1L -> 60, 2L -> 61, 3L -> 3)) {
+      val cs = byDoc(id).sortBy(_.getAs[Int]("chunk_idx"))
+      assert(cs.head.getAs[Int]("start") === 1)
+      assert(cs.map(_.getAs[Int]("n_tokens")).sum === n)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Int]("start") ===
+          a.getAs[Int]("start") + a.getAs[Int]("n_tokens"))
+        case _ => ()
+      }
+    }
+    // a doc shorter than the window is one whole chunk
+    assert(byDoc(3L).length === 1)
+    // CDC property: after the first boundary past the edit, the edited
+    // doc's chunk hashes re-align with the original's (fixed-stride
+    // chunking would shift every chunk)
+    val h1 = byDoc(1L).sortBy(_.getAs[Int]("chunk_idx")).map(_.getAs[String]("chunk_hash"))
+    val h2 = byDoc(2L).sortBy(_.getAs[Int]("chunk_idx")).map(_.getAs[String]("chunk_hash"))
+    val shared = h1.toSet intersect h2.toSet
+    assert(h1.length > 3, s"want several chunks, got ${h1.length}")
+    assert(shared.size >= h1.length - 2,
+      s"expected all but the first chunk(s) to re-align; shared=${shared.size}/${h1.length}")
+    assert(h1.last === h2.last) // tails identical
+  }
+
   test("temperatureMixture keeps the smallest stratum whole and downsamples by sqrt") {
     // en: 400 docs, de: 100, fr: 25 -> rates fr 1.0, de sqrt(1/4)=0.5, en sqrt(1/16)=0.25
     val corpus = (1L to 525L).map { i =>
