@@ -914,6 +914,29 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
+    // ---- integer-exact PageRank over the near-dup graph (MinHash pairs
+    //      at jaccard >= 0.5, proven ≡ exact all-pairs by q_minhash):
+    //      rank docs inside near-dup neighborhoods by connectedness; pure
+    //      long arithmetic (damping 17/20), 5 iterations, oracle unrolled
+    //      as chained CTEs — no doubles anywhere in the iteration ----
+    ("q_pagerank",
+      (s, d) => graft.graph.Graph.pageRankMicros(
+        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
+          n = 5, minJaccard = 0.5, numHashTables = 8)
+          .select("doc_a", "doc_b"))
+        .withColumnRenamed("node", "doc_id"),
+      Some(graft.graph.Graph.pageRankOracleSql(
+        """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+          |  FROM dd WHERE len(toks) >= 5),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |pp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT src, dst FROM pp JOIN sz sa ON sa.doc_id = pp.src JOIN sz sb ON sb.doc_id = pp.dst
+          |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)
+        .replace("SELECT node, r AS rank_micros", "SELECT node AS doc_id, r AS rank_micros"))),
+
     // SimHash banded candidates with maxHamming = bands-1 = 7, so every
     // ACCEPTED pair is covered by the pigeonhole guarantee (8 bands must
     // share one when at most 7 bits differ — no probabilistic miss inside

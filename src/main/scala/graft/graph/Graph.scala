@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge DataFrames — centrality for corpus curation
+  * (e.g. rank documents inside a near-dup neighborhood by how connected
+  * they are, then keep the most central representative).
+  *
+  * Everything is integer-micros arithmetic: rank updates use only long
+  * multiplication, integer division and exact long sums, so results are
+  * bit-identical across engines, partitionings and runs — no doubles
+  * anywhere in the iteration.
+  */
+object Graph {
+
+  /** Integer-exact PageRank over an UNDIRECTED edge list (each input row
+    * (a, b) is one undirected edge; the operator symmetrizes internally).
+    * Ranks are in micros, damping is the exact rational 17/20 = 0.85:
+    *
+    *   r₀(v) = 1_000_000
+    *   r_{t+1}(v) = 150_000 + Σ_{u ~ v} (r_t(u) · 17) div (20 · deg(u))
+    *
+    * The per-edge contribution is a single integer division (floor — all
+    * quantities positive), so every engine computes the identical lattice
+    * of values; no dangling-mass redistribution is needed because an
+    * undirected graph has no zero-outdegree node. Nodes are the edge
+    * endpoints; isolated documents simply keep no row (callers union
+    * them back at the base rank if desired).
+    *
+    * Scale shape: each iteration is one shuffle join of the current rank
+    * vector with the (symmetrized) edge list on the source plus one
+    * aggregate on the destination — the standard distributed PageRank
+    * step; `iterations` is small and fixed, so the composed plan stays
+    * bounded. Degrees are computed once and reused.
+    */
+  def pageRankMicros(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", iterations: Int = 5): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r * 17L div (20L * deg)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .na.fill(0L, Seq("s"))
+        .select(col("node"), (lit(150000L) + col("s")).as("r"))
+    }
+    r.withColumnRenamed("r", "rank_micros")
+  }
+
+  /** The DuckDB oracle for [[pageRankMicros]] with the iterations
+    * UNROLLED as chained CTEs (no recursive aggregation needed):
+    * caller supplies `edgesCte`, a CTE body producing (src, dst) for the
+    * UNDIRECTED pair list (one row per pair; symmetrization happens
+    * here). Kept next to the operator so the lockstep between the two
+    * formulas is reviewable in one place.
+    */
+  def pageRankOracleSql(edgesCte: String, iterations: Int = 5): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, sum((p.r * 17) // (20 * d.deg)) AS s
+         |  FROM e JOIN r${k - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($edgesCte),
+       |e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$steps
+       |SELECT node, r AS rank_micros FROM r$iterations""".stripMargin
+  }
+}
