@@ -1616,6 +1616,20 @@ object SparkEntry {
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
 
+    // ---- inverted index: per-term df + sorted posting list, stopword-
+    //      grade terms (df > 80% of docs) stop-listed like production
+    //      indexes; corpus size via the lazily-broadcast A8 1-row agg ----
+    ("q_invidx",
+      (s, d) => TextAnalysis.invertedIndex(Tables(s, d).documents, "doc_id",
+        maxDfRatio = 0.8),
+      Some("""WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |t AS (SELECT DISTINCT doc_id, token FROM t0),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM t GROUP BY 1
+        |HAVING count(*) <= (SELECT n FROM n) * 0.8""".stripMargin)),
+
     // ---- content-defined chunking: boundary after token i when
     //      md5(trailing 4-token window) % 8 == 0 (+ forced end boundary);
     //      insertion-robust chunk alignment, one array projection ----

@@ -406,6 +406,34 @@ object TextAnalysis {
           |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
   }
 
+  /** Inverted-index build: one row per index term with its document
+    * frequency and the SORTED posting list of doc keys — the retrieval
+    * artifact BM25/boolean search serve from. `maxDfRatio` drops
+    * stopword-grade terms (df > ratio·N) the way production indexes
+    * stop-list them — without the cutoff a term like "the" would carry a
+    * corpus-sized posting row, which no single row should at 100 TB.
+    * Postings are doc-distinct and sorted, so the output is
+    * partition-order independent. Scale shape: explode → (token, key)
+    * distinct → per-token collect_list bounded by df ≤ ratio·N; the
+    * corpus size joins in as a lazily-broadcast 1-row aggregate (A8
+    * idiom, no separate count job).
+    */
+  def invertedIndex(docs: DataFrame, keyCol: String,
+      textCol: String = "text", maxDfRatio: Double = 0.5): DataFrame = {
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0,1]: $maxDfRatio")
+    val n = docs.agg(count(lit(1)).as("_n"))
+    withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col(keyCol))).as("postings"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= col("_n") * lit(maxDfRatio))
+      .drop("_n")
+  }
+
   /** A deterministic stand-in weight table for [[hashedQualityScore]]:
     * one row per bucket in [0, nBuckets) with a pseudo-weight in
     * [-1000000, 1000000] micros derived from md5 of the seeded bucket

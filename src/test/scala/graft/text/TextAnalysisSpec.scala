@@ -255,4 +255,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cov(1L) === ((6L, 0L, 0L)))
     assert(cov(2L) === ((4L, 2L, 500000L))) // zebra + quokka are UNK
   }
+
+  test("invertedIndex: sorted doc-distinct postings, stopword-grade terms dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "the cat sat"), (1L, "the cat ran"), (2L, "the dog ran"),
+      (4L, "the fox hid")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", maxDfRatio = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("df"), r.getSeq[Long](r.fieldIndex("postings")).toSeq))).toMap
+    assert(!idx.contains("the"))               // df 4 > 0.5 * 4: stop-listed
+    assert(idx("cat") === ((2L, Seq(1L, 3L)))) // sorted despite input order
+    assert(idx("ran") === ((2L, Seq(1L, 2L))))
+    assert(idx("fox") === ((1L, Seq(4L))))
+    // a term repeated within one doc posts that doc once (ratio 1.0: a
+    // single-doc corpus would otherwise stop-list its every term)
+    val rep = TextAnalysis.invertedIndex(
+      Seq((7L, "echo echo echo")).toDF("doc_id", "text"), "doc_id",
+      maxDfRatio = 1.0)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2).toSeq).toMap
+    assert(rep("echo") === Seq(7L))
+  }
 }
