@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+import graft.text.{CorpusCuration, TextAnalysis}
+
+/** The end-to-end LLM training-data curation pipeline: one invocation
+  * takes a raw document corpus through the full funnel —
+  *
+  *   1. `curate_funnel`     language/quality/length gates + exact dedup
+  *   2. `boilerplate_strip` CCNet-style shared-segment removal
+  *   3. `quality_filter`    hashed linear classifier threshold
+  *   4. `mixture_rebalance` temperature sampling toward language balance
+  *   5. `pack_and_shard`    sequence packing + deterministic epoch shards
+  *   6. `corpus_report`     per-stage accounting JSON
+  *
+  * — with every stage MATERIALIZED to parquet before the next reads it
+  * (the restartable shape a multi-day 100 TB curation run needs: a
+  * failed stage re-runs from the previous stage's output, not from the
+  * raw crawl), orchestrated through the same DAG runner / retry /
+  * dead-letter control plane as [[RunPipeline]].
+  *
+  * Stage outputs under `outRoot`:
+  * {{{
+  *   curated/     docs surviving the funnel (exact-deduped)
+  *   stripped/    boilerplate-free text (lang/source re-attached)
+  *   kept/        classifier-approved docs
+  *   balanced/    temperature-rebalanced corpus
+  *   packed/      (seq_id, n_docs, n_tokens) training sequences
+  *   shards/      (doc_id, shard, pos) epoch order
+  *   report/      single-file JSON: per-stage doc/token counts
+  *   _state/      DLQ
+  * }}}
+  */
+object RunCuration {
+
+  final case class Layout(root: String) {
+    def curated: String = s"$root/curated"
+    def stripped: String = s"$root/stripped"
+    def kept: String = s"$root/kept"
+    def balanced: String = s"$root/balanced"
+    def packed: String = s"$root/packed"
+    def shards: String = s"$root/shards"
+    def report: String = s"$root/report"
+    def dlqPath: String = s"$root/_state/dlq.jsonl"
+  }
+
+  final case class CurationResult(
+      run: Pipeline.RunReport,
+      stageDocs: Map[String, Long])
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
+
+  /** Run the whole curation DAG over `docsDir`'s `documents` table. */
+  def run(spark: SparkSession, docsDir: String, outRoot: String,
+      segTokens: Int = 12, classifierBuckets: Int = 256,
+      thresholdMicros: Long = 450000L, alpha: Double = 0.5,
+      capacity: Long = 128L, nShards: Int = 8,
+      policy: Pipeline.RetryPolicy = Pipeline.RetryPolicy()): CurationResult = {
+    val lay = Layout(outRoot)
+    val dlq = new Pipeline.DeadLetterQueue(lay.dlqPath)
+    val stageDocs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+    def record(stage: String, path: String): Unit =
+      stageDocs(stage) = spark.read.parquet(path).count()
+
+    val jobs = Seq(
+      Pipeline.Job("curate_funnel")(() => {
+        write(CorpusCuration.curate(Tables(spark, docsDir).documents), lay.curated)
+        record("curated", lay.curated)
+      }),
+      Pipeline.Job("boilerplate_strip", dependsOn = Seq("curate_funnel"))(() => {
+        val curated = spark.read.parquet(lay.curated)
+        // stripBoilerplate returns (doc_id, text); re-attach the metadata
+        // columns the later stages key on
+        val clean = CorpusCuration.stripBoilerplate(curated, "doc_id",
+            segTokens = segTokens)
+          .join(curated.select("doc_id", "lang", "source"), Seq("doc_id"))
+        write(clean, lay.stripped)
+        record("stripped", lay.stripped)
+      }),
+      Pipeline.Job("quality_filter", dependsOn = Seq("boilerplate_strip"))(() => {
+        val docs = spark.read.parquet(lay.stripped)
+        val scores = TextAnalysis.hashedQualityScore(docs, "doc_id",
+          TextAnalysis.hashWeightTable(spark, classifierBuckets),
+          nBuckets = classifierBuckets, biasMicros = 500000L,
+          thresholdMicros = thresholdMicros)
+        write(docs.join(scores.filter(col("keep"))
+          .select("doc_id", "score_micros"), Seq("doc_id")), lay.kept)
+        record("kept", lay.kept)
+      }),
+      Pipeline.Job("mixture_rebalance", dependsOn = Seq("quality_filter"))(() => {
+        write(CorpusCuration.temperatureMixture(
+          spark.read.parquet(lay.kept), "lang", alpha), lay.balanced)
+        record("balanced", lay.balanced)
+      }),
+      Pipeline.Job("pack_and_shard", dependsOn = Seq("mixture_rebalance"))(() => {
+        val docs = spark.read.parquet(lay.balanced)
+        val weights = TextAnalysis.withTokens(docs)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        write(CorpusCuration.packSequences(weights, capacity, "n_tokens"), lay.packed)
+        write(CorpusCuration.shuffleShards(docs, nShards)
+          .select("doc_id", "shard", "pos"), lay.shards)
+        stageDocs("sequences") = spark.read.parquet(lay.packed).count()
+      }),
+      Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
+        import spark.implicits._
+        val rows = Seq("curated", "stripped", "kept", "balanced", "sequences")
+          .map(s => (s, stageDocs.getOrElse(s, 0L)))
+        graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)
+      })
+    )
+
+    CurationResult(Pipeline.run(jobs, policy, Some(dlq)), stageDocs.toMap)
+  }
+
+  /** CLI: `runMain graft.pipeline.RunCuration <docsDir> <outRoot>` —
+    * prints one JSON summary line.
+    */
+  def main(args: Array[String]): Unit = {
+    val docsDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outRoot = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-curation").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cpus)
+    try {
+      val r = run(spark, docsDir, outRoot)
+      val jobsJson = r.run.statuses.toSeq.sortBy(_._1).map {
+        case (n, Pipeline.Succeeded)    => s""""$n":"succeeded""""
+        case (n, Pipeline.SkippedDeps)  => s""""$n":"skipped""""
+        case (n, f: Pipeline.FailedJob) => s""""$n":"failed(${f.attempts})""""
+      }.mkString("{", ",", "}")
+      val stagesJson = r.stageDocs.toSeq.sortBy(_._1)
+        .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+      println(s"""{"pipeline":"curation","out":"$outRoot","jobs":$jobsJson,"stages":$stagesJson,"failed":${r.run.failed.size}}""")
+    } finally spark.stop()
+  }
+}

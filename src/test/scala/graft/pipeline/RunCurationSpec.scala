@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation integration: run the full raw→packed curation DAG
+  * over real test data and assert the funnel's accounting — every stage's
+  * output on disk, counts monotone through the filters, packed token
+  * totals reconciling exactly with the balanced corpus.
+  */
+class RunCurationSpec extends SparkSpec {
+
+  private val docsDir = "/root/testdata/sf0.001"
+  private def fastPolicy = Pipeline.RetryPolicy(sleep = _ => ())
+
+  test("full curation run: monotone funnel, exact token reconciliation, epoch shards") {
+    val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
+    val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
+    assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
+    assert(r.run.succeeded.size === 6)
+
+    // the funnel only ever removes documents
+    val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
+    val d = r.stageDocs
+    assert(d("curated") <= raw && d("curated") > 0)
+    assert(d("stripped") <= d("curated"))
+    assert(d("kept") <= d("stripped") && d("kept") > 0)
+    assert(d("balanced") <= d("kept"))
+
+    // kept rows carry their classifier score, all above the threshold
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(kept.filter(col("score_micros") < 450000L).count() === 0L)
+
+    // packed sequences account for every balanced token (+1 separator per
+    // doc — the packSequences contract), with no sequence over capacity
+    val balanced = spark.read.parquet(s"$out/balanced")
+    val totalTokens = graft.text.TextAnalysis.withTokens(balanced)
+      .agg(sum(size(col("tokens")).cast("long"))).head.getLong(0) + d("balanced")
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.agg(sum("n_tokens")).head.getLong(0) === totalTokens)
+    assert(packed.agg(max("n_tokens")).head.getLong(0) <= 128L)
+
+    // shards: every balanced doc appears exactly once with a dense position
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.count() === d("balanced"))
+    assert(shards.select("doc_id").distinct().count() === d("balanced"))
+
+    // report JSON mirrors the in-memory accounting
+    val rep = spark.read.json(s"$out/report")
+      .collect().map(row => row.getAs[String]("stage") -> row.getAs[Long]("n")).toMap
+    assert(rep("curated") === d("curated") && rep("sequences") === d("sequences"))
+
+    // re-run over the same outRoot is deterministic end to end
+    val r2 = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
+    assert(r2.stageDocs === r.stageDocs)
+  }
+}
