@@ -38,9 +38,16 @@ object Graph {
       dstCol: String = "doc_b", iterations: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = sym.select(col("src").as("node")).distinct()
+    // The graph structure is referenced by EVERY iteration — cache it so
+    // each reference is a leaf scan, not a re-expansion of the (possibly
+    // expensive) upstream edge plan. Without these caches the composed
+    // plan re-embeds the edge subtree ~3× per iteration (exponential
+    // plan growth, observed as 241 Project nodes at 5 iterations over a
+    // MinHash pair generator); with them it grows linearly. Caching the
+    // edge list is the standard working set of iterative PageRank.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val nodes = sym.select(col("src").as("node")).distinct().cache()
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
       val contrib = sym
