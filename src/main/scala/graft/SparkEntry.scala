@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{AsOfJoin, Bucketing, Scd2, Skew, SurrogateKeys, Windows}
+import graft.operators.{AsOfJoin, Bucketing, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -1513,6 +1513,18 @@ object SparkEntry {
     //      fact×dim join runs with no shuffle Exchange on either side —
     //      the no-Exchange property itself is asserted in BucketingSpec;
     //      this registered query gates the RESULT against the oracle) ----
+    // ---- z-order (Morton) clustering key: interleave the low 16 bits of
+    //      customer and order keys — integer-only magic-number shifts,
+    //      identical lattice on both engines; the key OPTIMIZE ZORDER
+    //      sorts by so min/max stats prune on EITHER dimension ----
+    ("q_zorder",
+      (s, d) => ZOrder.withZOrderKey(
+        Tables(s, d).orders.select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", "o_orderkey").select("o_orderkey", "z_key"),
+      Some(s"""SELECT o_orderkey,
+        |  ${ZOrder.mortonDuckDbSql("o_custkey", "o_orderkey")} AS z_key
+        |FROM orders""".stripMargin)),
+
     ("q_bucketed",
       (s, d) => {
         val t = Tables(s, d)
