@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{AsOfJoin, Bucketing, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
+import graft.operators.{AsOfJoin, Bucketing, Merge, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -891,6 +891,27 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
+    // ---- EXACT set-similarity join via prefix filtering (SSJoin/PPJoin):
+    //      same all-pairs oracle as q_jaccard but the candidate generator
+    //      is deterministic — rare-first global shingle order, prefix
+    //      p = n − ceil(t·n) + 1 (integer micros), size-band prune — so
+    //      equality with the quadratic scan is a THEOREM, not a recall
+    //      lottery; the exactness proof is in the Scaladoc ----
+    ("q_setsim",
+      (s, d) => Dedup.prefixFilterJaccardPairs(Tables(s, d).documents, "doc_id",
+        n = 3, minJaccard = 0.5),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
+
     // Banded MinHash at the 5-gram grain (the dedup-tuned shingle size),
     // native signatures + exact re-rank, so the exact 5-gram scan is a
     // true oracle: 8 tables bound P(miss) at sim >= 0.5 to (1-j)^8 <= 0.4%
@@ -1524,6 +1545,31 @@ object SparkEntry {
       Some(s"""SELECT o_orderkey,
         |  ${ZOrder.mortonDuckDbSql("o_custkey", "o_orderkey")} AS z_key
         |FROM orders""".stripMargin)),
+
+    // ---- general MERGE upsert (ANSI three-arm semantics in ONE
+    //      full-outer join + projection): target = customers outside the
+    //      %10 stripe, source = the %3 stripe with shifted balances —
+    //      matched keys update c_acctbal, new keys insert, target-only
+    //      keys keep; deterministic stripes make the oracle a plain
+    //      FULL OUTER JOIN + CASE replay ----
+    ("q_merge",
+      (s, d) => {
+        val c = Tables(s, d).customer.select("c_custkey", "c_name", "c_acctbal")
+        Merge.merge(
+          c.filter(col("c_custkey") % 10 =!= 0),
+          c.filter(col("c_custkey") % 3 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + expr("CAST(50.00 AS DECIMAL(4,2))")),
+          "c_custkey", updateCols = Seq("c_acctbal"))
+      },
+      Some("""WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 != 0),
+        |src AS (SELECT c_custkey, c_name, c_acctbal + CAST(50.00 AS DECIMAL(4,2)) AS c_acctbal
+        |        FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        | CASE WHEN t.c_custkey IS NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        | CAST(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS DOUBLE) AS c_acctbal,
+        | CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN 'update'
+        |      WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'keep' END AS merge_action
+        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey""".stripMargin)),
 
     ("q_bucketed",
       (s, d) => {

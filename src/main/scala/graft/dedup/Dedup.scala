@@ -194,6 +194,62 @@ object Dedup {
       minHashCandidatesFromArrays(arr, keyCol, numHashTables), keyCol, minJaccard)
   }
 
+  /** EXACT set-similarity join via prefix filtering (the SSJoin/PPJoin
+    * family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): provably the
+    * same result as the all-pairs scan, with no probabilistic caveat.
+    * Where [[jaccardPairsScalable]]'s MinHash banding has P(miss) =
+    * (1−j^r)^b per pair, this candidate generator CANNOT miss:
+    *
+    * Order all shingles globally by (document frequency asc, shingle) —
+    * rarest first. A doc with n shingles keeps a PREFIX of its sorted set
+    * of length p = n − ceil(t·n) + 1. For any pair with Jaccard ≥ t the
+    * smallest common shingle w (in the global order) sits inside BOTH
+    * prefixes: each side has at most n − i non-shared shingles ranked
+    * below w (i = intersection ≥ ceil(t·n) on both sides, since
+    * J ≥ t forces min-size ≥ t·max-size), so w's position ≤
+    * n − ceil(t·n) + 1 = p. Hence candidates = pairs sharing ≥ 1 PREFIX
+    * shingle ⊇ all true pairs, and the exact pair-local re-rank does the
+    * rest. ceil(t·n) is computed in integer micros
+    * ((tμ·n + 999999) div 10⁶) — no float ceil at an exact-integer
+    * boundary can shrink a prefix below the guarantee.
+    *
+    * Scale shape: rare-first ordering is what bounds the candidate join —
+    * prefixes are each doc's RAREST shingles, so bucket sizes are the df
+    * of rare shingles (corpus-wide stopword-grade shingles sort LAST and
+    * enter no long doc's prefix); the size-band filter
+    * (min·10⁶ ≥ tμ·max) prunes cross-length pairs before the distinct.
+    * Shuffles: df count, df join, per-doc re-sort, candidate bucket join,
+    * pair-local re-rank — all keyed, none all-pairs, no broadcast of
+    * anything corpus-sized. Same output contract as [[jaccardPairs]].
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1]: $minJaccard")
+    val tMicros = math.round(minJaccard * 1e6)
+    val arr = shingleArrays(df, keyCol, textCol, n)
+      .filter(size(col("sh")) > 0).cache()
+    val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
+    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // Per-doc rare-first order: struct sort on (df, shingle) is a total
+    // deterministic order; the collect_list arrival order cannot leak.
+    val prefixes = long.join(dfreq, Seq("shingle"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_os"))
+      .select(col(keyCol), expr("transform(_os, s -> s.shingle)").as("_toks"),
+        size(col("_os")).cast("long").as("sz"))
+      .withColumn("_p",
+        expr(s"CAST(sz - ((${tMicros}L * sz + 999999) div 1000000) + 1 AS INT)"))
+      .select(col(keyCol), col("sz"),
+        explode(expr("slice(_toks, 1, _p)")).as("shingle"))
+    val cand = prefixes.toDF("doc_a", "size_a", "shingle")
+      .join(prefixes.toDF("doc_b", "size_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("size_a"), col("size_b")) * 1000000L >=
+          lit(tMicros) * greatest(col("size_a"), col("size_b")))
+      .select("doc_a", "doc_b").distinct()
+    exactJaccardFromArrays(arr, cand, keyCol, minJaccard)
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not
     * all-pairs). Jaccard DISTANCE threshold (1 - similarity).
     */

@@ -188,4 +188,27 @@ class DedupSpec extends SparkSpec {
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0)
   }
+
+  test("prefixFilterJaccardPairs ≡ exact all-pairs at several thresholds " +
+      "(the prefix guarantee, including boundary pairs)") {
+    import spark.implicits._
+    // words drawn from a small pool -> many cross-doc shared shingles and
+    // pairs landing near every threshold; seeded for reproducibility
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = Vector.fill(30)(pool(rnd.nextInt(pool.size)))
+    val docs2 = (0L until 40L).map { i =>
+      // mutate a shared base at increasing rates -> full jaccard spectrum
+      val words = base.map(w => if (rnd.nextInt(10) < i % 10) pool(rnd.nextInt(pool.size)) else w)
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(docs2, "doc_id", minJaccard = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      val pf = Dedup.prefixFilterJaccardPairs(docs2, "doc_id", minJaccard = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      assert(pf === exact, s"threshold $t")
+      assert(exact.nonEmpty, s"degenerate fixture at $t")
+    }
+  }
 }
