@@ -507,6 +507,45 @@ object SparkEntry {
         |  WHEN rec <= 1825 THEN 'AT_RISK' ELSE 'DORMANT' END AS lifecycle_stage
         |FROM m""".stripMargin)),
 
+    // ---- per-group OLS trend: revenue slope per market segment over
+    //      monthly points — every moment sum (n, Σx, Σy, Σxy, Σx², Σy²)
+    //      integer-exact in ONE groupBy, fit closed-form in fixed-order
+    //      double ops; y pre-scaled to truncated dollars so all products
+    //      stay exact (see Regression Scaladoc) ----
+    ("q_trend",
+      (s, d) => {
+        val t = Tables(s, d)
+        val monthly = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            ((year(to_date(col("o_orderdate"))) - 1992) * 12
+              + month(to_date(col("o_orderdate")))).as("x"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("_cents"))
+          .groupBy("segment", "x")
+          .agg(expr("sum(_cents) div 100").as("y"))
+        gold.Regression.groupedOls(monthly, Seq("segment"), "x", "y")
+      },
+      Some("""WITH m AS (
+        | SELECT c_mktsegment AS segment,
+        |  (year(CAST(o_orderdate AS DATE)) - 1992) * 12 + month(CAST(o_orderdate AS DATE)) AS x,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS y
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |a AS (SELECT segment, count(*) AS n_points,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(CAST(sum(y*y) AS VARCHAR) AS DOUBLE) AS syy_d
+        | FROM m GROUP BY 1)
+        |SELECT segment, n_points,
+        | CASE WHEN n_points*sxx - sx*sx != 0
+        |  THEN CAST(n_points*sxy - sx*sy AS DOUBLE) / CAST(n_points*sxx - sx*sx AS DOUBLE) END AS slope,
+        | CASE WHEN n_points*sxx - sx*sx != 0
+        |  THEN CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n_points*sxx - sx*sx AS DOUBLE) END AS intercept,
+        | CASE WHEN n_points*sxx - sx*sx != 0
+        |       AND CAST(n_points AS DOUBLE)*syy_d - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) != 0
+        |  THEN (CAST(n_points*sxy - sx*sy AS DOUBLE) * CAST(n_points*sxy - sx*sy AS DOUBLE))
+        |     / (CAST(n_points*sxx - sx*sx AS DOUBLE)
+        |        * (CAST(n_points AS DOUBLE)*syy_d - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END AS r2
+        |FROM a""".stripMargin)),
+
     ("q_targets",
       (s, d) => MlFeatures.withTargets(MlFeatures.features(Tables(s, d).orders))
         .select("o_custkey", "order_count", "weekend_orders", "large_orders",
