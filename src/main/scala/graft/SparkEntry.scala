@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{AsOfJoin, Bucketing, Merge, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
+import graft.operators.{AsOfJoin, Bucketing, Merge, Reshape, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -388,6 +388,22 @@ object SparkEntry {
         | CAST(sum(CASE WHEN cat = 'LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
         | CAST(sum(CASE WHEN cat = 'EXTRA_LARGE' THEN 1 ELSE 0 END) AS BIGINT) AS extra_large_orders
         |FROM (SELECT o_custkey, $SizeSql AS cat FROM orders) GROUP BY 1""".stripMargin)),
+
+    // ---- unpivot/melt (the A5 pivot's inverse, native Unpivot node —
+    //      zero shuffle): wide per-year status counts melted back to
+    //      long; dropping null cells makes melt(pivot(x)) ≡ the plain
+    //      groupBy, which is exactly what the oracle runs ----
+    ("q_unpivot",
+      (s, d) => {
+        val wide = Tables(s, d).orders
+          .withColumn("order_year", year(to_date(col("o_orderdate"))))
+          .groupBy("order_year").pivot("o_orderstatus", Seq("O", "F", "P")).count()
+        Reshape.melt(wide, Seq("order_year"), Seq("O", "F", "P"),
+          "o_orderstatus", "n_orders")
+      },
+      Some("""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year, o_orderstatus,
+        | count(*) AS n_orders
+        |FROM orders WHERE o_orderstatus IN ('O', 'F', 'P') GROUP BY 1, 2""".stripMargin)),
 
     ("q_join3",
       (s, d) => CustomerAnalytics.analytics(Tables(s, d).customer, Tables(s, d).orders)
