@@ -9,7 +9,7 @@ import graft.dsl.{ConfigLoader, QualityRule, RuleEngine}
 import graft.etl.{SilverCustomers, SilverOrders, SilverParts}
 import graft.gold.{CustomerAnalytics, MlFeatures, SalesSummary}
 import graft.incremental.{Incremental, WatermarkStore}
-import graft.operators.{AsOfJoin, Bucketing, Merge, Reshape, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
+import graft.operators.{AsOfJoin, Bucketing, FuzzyMatch, Merge, Reshape, Scd2, Skew, SurrogateKeys, Windows, ZOrder}
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -1600,6 +1600,22 @@ object SparkEntry {
       Some(s"""SELECT o_orderkey,
         |  ${ZOrder.mortonDuckDbSql("o_custkey", "o_orderkey")} AS z_key
         |FROM orders""".stripMargin)),
+
+    // ---- blocked fuzzy entity matching: candidate pairs from a
+    //      (brand, type, size) blocking-key equi-join — never all-pairs —
+    //      then codegen'd levenshtein verify with the length lower-bound
+    //      prune; classic record-linkage shape ----
+    ("q_fuzzy",
+      (s, d) => FuzzyMatch.blockedSelfMatch(Tables(s, d).part, "p_partkey",
+        "p_name", Seq("p_brand", "p_type", "p_size"), maxDist = 3)
+        .withColumnRenamed("id_a", "part_a").withColumnRenamed("id_b", "part_b"),
+      Some("""WITH p AS (SELECT p_partkey, p_brand, p_type, p_size,
+        |  lower(trim(p_name)) AS nm FROM part)
+        |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        | CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin)),
 
     // ---- general MERGE upsert (ANSI three-arm semantics in ONE
     //      full-outer join + projection): target = customers outside the
