@@ -1013,6 +1013,31 @@ object SparkEntry {
           |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)
         .replace("SELECT node, r AS rank_micros", "SELECT node AS doc_id, r AS rank_micros"))),
 
+    // ---- per-node triangle counts over the same near-dup graph
+    //      (degree-ordered wedge enumeration — O(m^{3/2}) bound, hub-
+    //      safe; the triangle SET is orientation-independent, so the
+    //      oracle replays the plain canonical a<b<c three-way join) ----
+    ("q_triangles",
+      (s, d) => graft.graph.Graph.triangleCounts(
+        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
+          n = 5, minJaccard = 0.5, numHashTables = 8)
+          .select("doc_a", "doc_b"))
+        .withColumnRenamed("node", "doc_id"),
+      Some("""WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT src AS a, dst AS b FROM pp JOIN sz sa ON sa.doc_id = pp.src JOIN sz sb ON sb.doc_id = pp.dst
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY 1""".stripMargin)),
+
     // SimHash banded candidates with maxHamming = bands-1 = 7, so every
     // ACCEPTED pair is covered by the pigeonhole guarantee (8 bands must
     // share one when at most 7 bits differ — no probabilistic miss inside

@@ -85,4 +85,62 @@ object Graph {
        |$steps
        |SELECT node, r AS rank_micros FROM r$iterations""".stripMargin
   }
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal (a doc whose near-dup neighbors are ALSO near-dups
+    * of each other sits in a dense template cluster, not a chain).
+    *
+    * Degree-ordered orientation (Latapy 2008; the standard distributed
+    * variant): orient every edge from its lower-(degree, id) endpoint to
+    * the higher one — an acyclic orientation where each node's
+    * out-neighborhood is O(√m) on any graph, so the wedge join
+    * (out(u,v) ⋈ out(u,w)) is bounded by Σ outdeg² ≤ O(m^{3/2}), the
+    * provable optimum for triangle enumeration, instead of Σ deg² which
+    * a hub node makes quadratic. A wedge closes iff the oriented edge
+    * (v → w) exists (v, w both out-rank u, and the wedge join emits each
+    * unordered {v, w} once by rank order), so every triangle is counted
+    * exactly once at its lowest-rank corner.
+    *
+    * The RESULT is orientation-independent — the triangle set of a graph
+    * does not depend on enumeration order — which is what lets an oracle
+    * replay it as the plain canonical a<b<c three-way self-join.
+    *
+    * Shuffles: dedup/degree (keyed), two wedge joins (keyed on node,
+    * then on the closing pair), final corner aggregate. No broadcast of
+    * anything graph-sized, no driver materialization.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // referenced 3x below (degrees + both wedge sides) — keep it a leaf
+    val e = und.cache()
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // rank = (deg, id): total order; orient edge toward the higher rank
+    val withRanks = e
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), Seq("b"))
+    val out = withRanks.select(
+      when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("_db").as("rv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("_da").as("rv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.rv").as("rv"))
+      .cache()
+    // wedges from u: unordered {v, w} emitted once (rank order on v, w)
+    val wedges = out.toDF("u", "v", "rv")
+      .join(out.toDF("u", "w", "rw"), Seq("u"))
+      .filter(struct(col("rv"), col("v")) < struct(col("rw"), col("w")))
+    // closing oriented edge is exactly v→w (v out-ranks u, w out-ranks v)
+    val tri = wedges.join(
+      out.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

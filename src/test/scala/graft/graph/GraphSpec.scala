@@ -35,4 +35,40 @@ class GraphSpec extends SparkSpec {
       .map(row => row.getString(0) -> row.getAs[Long]("rank_micros")).toMap
     assert(rp === r)
   }
+
+  test("triangleCounts: triangle, K4, and a triangle-free path") {
+    import spark.implicits._
+    def counts(edges: Seq[(Long, Long)]) =
+      Graph.triangleCounts(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("triangles")).toMap
+    // single triangle: every corner in exactly 1
+    assert(counts(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: 4 triangles, each node in C(3,2) = 3
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(counts(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path: no triangles -> no rows
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+  }
+
+  test("triangleCounts tolerates duplicate, reversed and self-loop edges") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("triangles")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts counts each triangle once regardless of a hub (skew orientation)") {
+    import spark.implicits._
+    // hub 0 connected to 1..6; consecutive spokes also connected -> 5 triangles
+    val spokes = (1L to 6L).map(i => (0L, i))
+    val rim = (1L to 5L).map(i => (i, i + 1))
+    val out = Graph.triangleCounts((spokes ++ rim).toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("triangles")).toMap
+    assert(out(0L) === 5L)     // hub is in every triangle
+    assert(out(1L) === 1L && out(6L) === 1L)
+    assert(out(3L) === 2L)     // middle spokes sit in two
+  }
 }
