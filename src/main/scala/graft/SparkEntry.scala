@@ -2287,6 +2287,53 @@ object SparkEntry {
         |  coalesce(scored.is_change, FALSE) AS is_change
         |FROM ord LEFT JOIN scored ON scored.i = ord.i""".stripMargin)),
 
+    // ---- Holt linear (double exponential) smoothing: level + trend
+    //      state seeded from the 20-day baseline; anomalies = forecast
+    //      errors beyond 3σ₀, so a steady trend is normal (the chart
+    //      q_ewma would mis-flag); recursion replayed bit-exact by the
+    //      DuckDB recursive CTE (anchors CAST to DOUBLE, α=0.5/β=0.25
+    //      exactly representable, l-expression repeated textually) ----
+    ("q_holt",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        quality.Drift.holt(daily, "d", "n", baseline = 20)
+          .select(col("d"), col("n"),
+            expr("CAST(floor(holt_level * 1e6 + 0.5) AS BIGINT)").as("level_micros"),
+            expr("CAST(floor(holt_trend * 1e6 + 0.5) AS BIGINT)").as("trend_micros"),
+            expr("CAST(floor(holt_forecast * 1e6 + 0.5) AS BIGINT)").as("forecast_micros"),
+            col("is_anomaly"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |ord AS (SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM daily),
+        |base AS (SELECT CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM ord WHERE i <= 20),
+        |params AS (SELECT CAST(s AS DOUBLE) / 20 AS mu,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20) / 19) AS sigma
+        |  FROM base),
+        |r AS (
+        |  SELECT 20 AS i, (SELECT mu FROM params) AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    CAST(NULL AS DOUBLE) AS f
+        |  UNION ALL
+        |  SELECT o.i,
+        |    (0.5 * CAST(o.n AS DOUBLE)) + (0.5 * (r.l + r.b)),
+        |    (0.25 * (((0.5 * CAST(o.n AS DOUBLE)) + (0.5 * (r.l + r.b))) - r.l)) + (0.75 * r.b),
+        |    r.l + r.b
+        |  FROM r JOIN ord o ON o.i = r.i + 1),
+        |scored AS (
+        |  SELECT r.i,
+        |    CAST(floor(l * 1e6 + 0.5) AS BIGINT) AS level_micros,
+        |    CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS trend_micros,
+        |    CAST(floor(f * 1e6 + 0.5) AS BIGINT) AS forecast_micros,
+        |    abs(CAST(o.n AS DOUBLE) - f) > (3.0 * p.sigma) AS is_anomaly
+        |  FROM r JOIN ord o ON o.i = r.i CROSS JOIN params p WHERE r.i > 20)
+        |SELECT d, n, scored.level_micros, scored.trend_micros, scored.forecast_micros,
+        |  coalesce(scored.is_anomaly, FALSE) AS is_anomaly
+        |FROM ord LEFT JOIN scored ON scored.i = ord.i""".stripMargin)),
+
     // ---- two-sample Mann–Whitney U: rank-based order-value location
     //      test over the same pre-/post-1997 split — u2 = 2U exact
     //      BIGINT (tie midranks stay integer when doubled), tie-corrected

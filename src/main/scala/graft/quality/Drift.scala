@@ -225,6 +225,49 @@ object Drift {
     }
   }
 
+  /** Holt linear (double exponential) smoothing — the trend-following
+    * member of the sequential family: where [[ewma]] tracks a LEVEL and
+    * flags deviation from a static baseline mean, Holt carries a level
+    * AND a trend state, so a steadily growing series is normal and only
+    * departures from its own extrapolation flag:
+    *
+    *   f_t = l_{t−1} + b_{t−1}                       (one-step forecast)
+    *   l_t = α·x_t + (1−α)·f_t
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * seeded l = μ₀ (baseline mean), b = 0; a point is anomalous when its
+    * forecast error |x_t − f_t| exceeds `limitSigmas`·σ₀. Same
+    * baseline/null/fail-closed semantics and one-shuffle secondary-sort
+    * scale shape as [[cusum]]. Output: input columns +
+    * (holt_level, holt_trend, holt_forecast, is_anomaly).
+    *
+    * α/β must be exactly representable doubles (0.5/0.25 defaults) and
+    * the fold keeps ONE op order — the recursion replays bit-exact in a
+    * recursive-CTE oracle (the q_cusum/q_ewma technique).
+    */
+  def holt(series: DataFrame, orderCol: String, valueCol: String,
+      baseline: Int = 20, alpha: Double = 0.5, beta: Double = 0.25,
+      limitSigmas: Double = 3.0, partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField}
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0 && beta <= 1, s"need 0 <= beta <= 1, got $beta")
+    require(limitSigmas > 0, s"need limitSigmas > 0, got $limitSigmas")
+    foldOrderedSeries(series, orderCol, valueCol, partitionCols, baseline, Seq(
+        StructField("holt_level", DoubleType, nullable = true),
+        StructField("holt_trend", DoubleType, nullable = true),
+        StructField("holt_forecast", DoubleType, nullable = true),
+        StructField("is_anomaly", BooleanType, nullable = false))) { (mu, sigma) =>
+      var l = mu; var b = 0.0
+      v => {
+        val f = l + b
+        val lNew = alpha * v + (1.0 - alpha) * f
+        val bNew = beta * (lNew - l) + (1.0 - beta) * b
+        l = lNew; b = bNew
+        Seq(l, b, f, math.abs(v - f) > limitSigmas * sigma)
+      }
+    }
+  }
+
   /** Shared machinery for the sequential control charts: repartition on
     * the entity key, sort each partition by (entity, order), walk each
     * entity's contiguous run buffering ONE series at a time (bounded by

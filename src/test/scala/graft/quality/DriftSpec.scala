@@ -229,6 +229,36 @@ class DriftSpec extends SparkSpec {
     assert((1 to 60).forall(t => re(t) === out(t)._2))
   }
 
+  test("Holt follows a steady trend without flagging and catches a level " +
+      "break EWMA-style charts would miss or mis-time") {
+    // baseline: flat-ish alternation around 10; then a clean +1/period
+    // ramp (a trend, NOT an anomaly for Holt); then a sudden -15 break
+    val series = ((1 to 20).map(t => ("a", t, if (t % 2 == 0) 11.0 else 9.0)) ++
+      (21 to 50).map(t => ("a", t, 10.0 + (t - 20))) ++
+      (51 to 55).map(t => ("a", t, 40.0 - 15.0))).toDF("seg", "t", "v")
+    val out = Drift.holt(series, "t", "v", baseline = 20)
+      .collect().map(r => r.getAs[Int]("t") ->
+        ((Option(r.getAs[java.lang.Double]("holt_level")),
+          Option(r.getAs[java.lang.Double]("holt_forecast")),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    // baseline era: null state, never flagged
+    assert((1 to 20).forall(t => out(t)._1.isEmpty && !out(t)._3))
+    // once the trend state locks on (a few periods), the ramp is NORMAL:
+    // forecast tracks within sigma and no flags fire late in the ramp
+    assert((30 to 50).forall(t => !out(t)._3), "steady ramp must not flag")
+    assert((40 to 50).forall(t => math.abs(out(t)._2.get - (10.0 + (t - 20))) < 2.0))
+    // trend state approaches +1/period
+    val trendAt50 = Drift.holt(series, "t", "v", baseline = 20)
+      .filter(col("t") === 50).collect().head.getAs[Double]("holt_trend")
+    assert(math.abs(trendAt50 - 1.0) < 0.3, s"trend $trendAt50")
+    // the break versus the extrapolated path flags immediately
+    assert(out(51)._3, "level break must flag against the trend forecast")
+    // deterministic under repartitioning
+    val re = Drift.holt(series.repartition(5), "t", "v", baseline = 20)
+      .collect().map(r => r.getAs[Int]("t") -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert((1 to 55).forall(t => re(t) === out(t)._3))
+  }
+
   test("partitioned monitoring scores each entity against its own history") {
     // segment a runs at 100, segment b runs at 10000: a value of 1000 is a
     // spike for a and a dip for b — both must flag within their own series
