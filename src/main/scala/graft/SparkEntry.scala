@@ -1013,6 +1013,25 @@ object SparkEntry {
           |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)
         .replace("SELECT node, r AS rank_micros", "SELECT node AS doc_id, r AS rank_micros"))),
 
+    // ---- EXACT directional containment join (asymmetric prefix
+    //      filter): catches excerpt/boilerplate-wrapped copies whose
+    //      Jaccard is low because the container is long; contained
+    //      side's rare-first prefix × the corpus posting lists ----
+    ("q_containment",
+      (s, d) => Dedup.containmentPairs(Tables(s, d).documents, "doc_id",
+        n = 3, minContainment = 0.7),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id != b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+        | round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.7""".stripMargin)),
+
     // ---- per-node triangle counts over the same near-dup graph
     //      (degree-ordered wedge enumeration — O(m^{3/2}) bound, hub-
     //      safe; the triangle SET is orientation-independent, so the

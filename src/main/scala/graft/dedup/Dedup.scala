@@ -250,6 +250,63 @@ object Dedup {
     exactJaccardFromArrays(arr, cand, keyCol, minJaccard)
   }
 
+  /** EXACT directional containment join: pairs (a, b) where
+    * |A∩B| / |A| ≥ t — doc a's shingles mostly appear in doc b (a quote,
+    * an excerpt, a boilerplate-wrapped copy). Jaccard misses these when
+    * the container is much longer (J = i/(|A|+|B|−i) shrinks with |B|);
+    * containment is the right statistic for subset-shaped duplication,
+    * and like [[prefixFilterJaccardPairs]] this is exact — no
+    * probabilistic recall caveat.
+    *
+    * Asymmetric prefix filter: containment ≥ t forces i ≥ ceil(t·|A|),
+    * so by the same pigeonhole as the Jaccard form, A's rare-first
+    * PREFIX of length |A| − ceil(t·|A|) + 1 must contain a common
+    * shingle. Only the CONTAINED side gets a prefix; the container side
+    * has no size bound, so it contributes its FULL shingle postings (the
+    * inverted-index side of the join). Scale contract, stated honestly:
+    * candidate volume = Σ over A-prefix shingles of their posting-list
+    * length — bounded because prefixes hold each doc's RAREST shingles;
+    * a doc made entirely of corpus-stopword shingles degrades toward its
+    * full posting volume (cap with a df stop-list upstream if that class
+    * exists, as [[graft.text.TextAnalysis.invertedIndex]] does).
+    *
+    * Output (directional, both orientations possible): (doc_a=contained,
+    * doc_b=container, inter, size_a, size_b, containment).
+    */
+  def containmentPairs(df: DataFrame, keyCol: String, textCol: String = "text",
+      n: Int = 3, minContainment: Double = 0.7): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment in (0,1]: $minContainment")
+    val tMicros = math.round(minContainment * 1e6)
+    val arr = shingleArrays(df, keyCol, textCol, n)
+      .filter(size(col("sh")) > 0).cache()
+    val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
+    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val prefixA = long.join(dfreq, Seq("shingle"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_os"))
+      .select(col(keyCol).as("doc_a"),
+        expr("transform(_os, s -> s.shingle)").as("_toks"),
+        size(col("_os")).cast("long").as("sz"))
+      .withColumn("_p",
+        expr(s"CAST(sz - ((${tMicros}L * sz + 999999) div 1000000) + 1 AS INT)"))
+      .select(col("doc_a"), explode(expr("slice(_toks, 1, _p)")).as("shingle"))
+    val cand = prefixA
+      .join(long.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sized = arr.select(col(keyCol), col("sh"), size(col("sh")).cast("long").as("sz"))
+    cand
+      .join(sized.toDF("doc_a", "sh_a", "size_a"), Seq("doc_a"))
+      .join(sized.toDF("doc_b", "sh_b", "size_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") > 0)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_a"), 6))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "containment")
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs (banded — bucket join, not
     * all-pairs). Jaccard DISTANCE threshold (1 - similarity).
     */

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -187,6 +187,41 @@ class DedupSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0)
+  }
+
+  test("containmentPairs: an excerpt scores high containment in its container " +
+      "but low jaccard, direction matters, and the result is the exact scan's") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 12).map(i => s"w$i").mkString(" ")   // 8 words inside base
+    val docs2 = Seq((0L, base), (1L, excerpt), (2L, "x y z q r s t u v w")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs2, "doc_id", n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // excerpt(1) ⊂ base(0): containment 1.0 in that direction only
+    assert(out((1L, 0L)) === 1.0)
+    assert(!out.contains((0L, 1L)))  // base is NOT contained in the excerpt
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    // while jaccard for the same pair is small (6 of 28 shingles)
+    val j = Dedup.jaccardPairs(docs2, "doc_id", minJaccard = 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 1L)) < 0.3)
+    // prefix-filtered result ≡ exhaustive directional scan on a dense fixture
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("a", "b", "c", "d", "e", "f")
+    val dense = (0L until 25L).map { i =>
+      (i, Vector.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pf = Dedup.containmentPairs(dense, "doc_id", minContainment = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+    // exhaustive reference: score every ordered pair via the candidate-free path
+    val ids = (0L until 25L)
+    val allPairs = ids.flatMap(a => ids.filter(_ != a).map(b => (a, b))).toDF("doc_a", "doc_b")
+    val exact = Dedup.exactJaccardForPairs(dense, allPairs, "doc_id", minJaccard = 0.0)
+      .withColumn("containment", round(col("inter").cast("double") / col("size_a"), 6))
+      .filter(col("containment") >= 0.5)
+      .select("doc_a", "doc_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+    assert(pf === exact)
   }
 
   test("prefixFilterJaccardPairs ≡ exact all-pairs at several thresholds " +
