@@ -13,7 +13,7 @@ import graft.operators.{AsOfJoin, Bucketing, FuzzyMatch, Merge, Reshape, Scd2, S
 import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Retrieval, Similarity}
 import graft.text.{CorpusCuration, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -2510,7 +2510,134 @@ object SparkEntry {
         |  JOIN c1 w1 ON bg.b = w1.b CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_total_micros,
         |  CAST(CAST(sum(nll) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
-        |FROM per GROUP BY 1""".stripMargin))
+        |FROM per GROUP BY 1""".stripMargin)),
+
+    // ---- hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    //      top-20 and the embedding-cosine top-20 (query = vec_id 0). Both
+    //      lists are bounded TakeOrdered cuts; fusion is rank-only
+    //      (no score calibration), points in integer micros ----
+    ("q_rrf",
+      (s, d) => {
+        val t = Tables(s, d)
+        val lex = Retrieval.rankByScore(
+          TextAnalysis.bm25(t.documents, Seq("table", "join", "query")),
+          "doc_id", "bm25_micros", 20)
+          .select(col("doc_id"), col("rank"))
+        val sem = Similarity.bruteForceTopK(t.embeddings, "vec_id",
+            col("vec_id") === 0L, 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, sem), "doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |allf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM allf GROUP BY 1),
+        |tf AS (SELECT * FROM allf WHERE token IN ('table', 'join', 'query')),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dlen) AS BIGINT) AS sum_len FROM len),
+        |per AS (SELECT tf.doc_id,
+        |  CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dlen AS DOUBLE)
+        |        / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * 1e6 + 0.5) AS BIGINT) AS s
+        | FROM tf JOIN len USING (doc_id) JOIN df USING (token) CROSS JOIN tot),
+        |bm AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micros FROM per GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM bm QUALIFY rnk <= 20),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS nrm FROM n),
+        |q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0),
+        |sem0 AS (SELECT vec_id AS doc_id, list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2])) / (nrm * qn) AS cosine
+        |  FROM nn, q WHERE vec_id <> 0),
+        |sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM sem0 QUALIFY rnk <= 20),
+        |u AS (SELECT doc_id, rnk FROM lex UNION ALL SELECT doc_id, rnk FROM sem)
+        |SELECT doc_id, count(*) AS n_lists, min(rnk) AS best_rank,
+        |  CAST(sum(CAST(floor(1e6 / (60 + rnk) + 0.5) AS BIGINT)) AS BIGINT) AS rrf_micros
+        |FROM u GROUP BY 1""".stripMargin)),
+
+    // ---- MMR diversified top-10 (λ = 0.7) over the 50 highest-cosine
+    //      neighbors of vec_id 0: the corpus scan + cut is distributed,
+    //      the greedy runs on the bounded pool; the oracle replays the
+    //      selection step for step as a recursive CTE ----
+    ("q_mmr",
+      (s, d) => Retrieval.mmr(Tables(s, d).embeddings, "vec_id", queryId = 0L,
+        k = 10, lambda = 0.7, candPool = 50),
+      Some(Retrieval.mmrOracleSql(queryId = 0L, k = 10, lambda = 0.7,
+        candPool = 50))),
+
+    // ---- interval×interval overlap join (bucketed, first-shared-bucket
+    //      dedup): click exposure windows × purchase consideration windows
+    //      per user, window = [ts, ts + value minutes] ----
+    ("q_overlap",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        // TIMESTAMP_NTZ → epoch seconds via an explicit timestamp hop
+        // (session tz pinned UTC, so it matches DuckDB's naive epoch())
+        val epochS = col("ts").cast("timestamp").cast("long")
+        def side(t: String, idAs: String, lo: String, hi: String) =
+          ev.filter(col("event_type") === t).select(
+            col("user_id"), col("event_id").as(idAs),
+            epochS.as(lo),
+            (epochS + floor(col("value") * 60).cast("long")).as(hi))
+        graft.operators.RangeJoin.intervalOverlap(
+          side("click", "click_id", "click_start", "click_end"),
+          side("purchase", "purchase_id", "purchase_start", "purchase_end"),
+          Seq("user_id"), "click_start", "click_end",
+          "purchase_start", "purchase_end",
+          c => c, bucketWidth = 3600L, maxCopies = 64)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (least(col("click_end"), col("purchase_end"))
+              - greatest(col("click_start"), col("purchase_start"))).as("overlap_sec"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS cs,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS ce
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS ps,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS pe
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, click_id, purchase_id,
+        |  CAST(least(ce, pe) - greatest(cs, ps) AS BIGINT) AS overlap_sec
+        |FROM l JOIN r ON l.user_id = r.user_id AND cs <= pe AND ps <= ce""".stripMargin)),
+
+    // ---- 2-core of the near-dup graph (same generator as q_triangles):
+    //      iterative peeling to the fixpoint; chains and pendants drop,
+    //      mutual-duplication cores survive. The oracle replays the
+    //      simultaneous peeling rounds as a recursive CTE ----
+    ("q_kcore",
+      (s, d) => graft.graph.Graph.kCore(
+        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
+          n = 5, minJaccard = 0.5, numHashTables = 8)
+          .select("doc_a", "doc_b"), k = 2)
+        .withColumnRenamed("node", "doc_id"),
+      Some(graft.graph.Graph.kCoreOracleSql(
+        """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+          |  FROM dd WHERE len(toks) >= 5),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |pp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT src AS a, dst AS b FROM pp JOIN sz sa ON sa.doc_id = pp.src JOIN sz sb ON sb.doc_id = pp.dst
+          |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+        k = 2))),
+
+    // ---- weighted sampling without replacement, k per stratum (A-ES ≡
+    //      per-group Gumbel-top-k; salted-hash noise, integer micros —
+    //      the q_dsir determinism contract, grouped) ----
+    ("q_wsample",
+      (s, d) => CorpusCuration.weightedStratumSample(
+        Tables(s, d).documents, "lang", k = 5, weightCol = "n_chars",
+        salt = "ws0"),
+      Some("""WITH g AS (SELECT lang, doc_id, n_chars,
+        |  CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |  + CAST(floor(-ln(-ln((('0x' || substr(md5('ws0' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 0.5) / 65536.0))
+        |      * 1e6 + 0.5) AS BIGINT) AS score_micros
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars, score_micros,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY score_micros DESC, doc_id) AS BIGINT) AS smp_rank
+        | FROM g)
+        |SELECT lang, doc_id, n_chars, score_micros, smp_rank
+        |FROM r WHERE smp_rank <= 5""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

@@ -143,4 +143,86 @@ object Graph {
       .union(tri.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k until the fixpoint — what survives is the maximal subgraph where
+    * every node keeps ≥ k neighbors INSIDE the subgraph. The density
+    * signal above triangles: a 2-core keeps only nodes on cycles (chains
+    * and pendant docs peel away), so "near-dup cluster cores" are the
+    * documents whose duplication is mutual, not incidental.
+    *
+    * Output: (node, core_degree) for surviving nodes — core_degree is the
+    * node's degree within the k-core (≥ k by construction).
+    *
+    * Scale shape: each round is one degree aggregate plus two semi-joins
+    * of the edge list against the surviving-node set — all keyed shuffles,
+    * nothing driver-sized. The peeling converges in at most O(longest
+    * chain) rounds (typically < 10 on near-dup graphs); each round's edge
+    * list is localCheckpoint-truncated so the plan does not re-embed the
+    * (possibly expensive) upstream generator per round. The fixpoint is
+    * unique (peeling order cannot change it), which is what lets an exact
+    * oracle replay simultaneous rounds and agree.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var e = und.localCheckpoint()
+    var m = e.count()
+    var rounds = 0
+    var converged = m == 0L
+    while (!converged && rounds < maxRounds) {
+      val alive = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      val pruned = e
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+        .select("a", "b")
+        .localCheckpoint()
+      val m2 = pruned.count()
+      converged = m2 == m
+      e = pruned
+      m = m2
+      rounds += 1
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
+  /** DuckDB oracle for [[kCore]]: the simultaneous peeling rounds replayed
+    * as a recursive CTE carrying the surviving-node list; `edgesCte` must
+    * produce the deduped undirected pair list (a, b), a < b — the same
+    * contract as [[pageRankOracleSql]]'s input. The final SELECT emits
+    * each survivor with its degree restricted to survivors.
+    */
+  def kCoreOracleSql(edgesCte: String, k: Int, maxRounds: Int = 50,
+      nodeAlias: String = "doc_id"): String = {
+    val next =
+      s"""(SELECT coalesce(list(id ORDER BY id), []) FROM (
+         |      SELECT x.id FROM (SELECT unnest(nodes) AS id) x
+         |      JOIN pairs e ON (e.a = x.id AND list_contains(nodes, e.b))
+         |                   OR (e.b = x.id AND list_contains(nodes, e.a))
+         |      GROUP BY 1 HAVING count(*) >= $k))""".stripMargin
+    s"""WITH RECURSIVE pairs AS ($edgesCte),
+       |alive AS (
+       |  SELECT 0 AS step, (SELECT coalesce(list(DISTINCT x ORDER BY x), [])
+       |      FROM (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)) AS nodes
+       |  UNION ALL
+       |  SELECT step + 1, $next
+       |  FROM alive WHERE step < $maxRounds AND nodes <> $next),
+       |last AS (SELECT nodes FROM alive ORDER BY step DESC LIMIT 1),
+       |surv AS (SELECT e.a, e.b FROM pairs e, last
+       |  WHERE list_contains(last.nodes, e.a) AND list_contains(last.nodes, e.b))
+       |SELECT node AS $nodeAlias, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM (SELECT a AS node FROM surv UNION ALL SELECT b FROM surv)
+       |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
 }

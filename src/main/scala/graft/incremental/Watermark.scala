@@ -42,6 +42,21 @@ final class WatermarkStore(stateDir: String) {
 
 object Incremental {
 
+  /** Watermark column as a DOUBLE position on the batch axis. Numerics
+    * cast directly; timestamp flavors hop through TIMESTAMP first because
+    * TIMESTAMP_NTZ (what Spark 4 infers for un-annotated parquet
+    * timestamps) has no direct DOUBLE cast — the hop interprets NTZ in
+    * the session zone (pinned UTC here), i.e. epoch seconds.
+    */
+  private def ordCol(df: DataFrame, wmCol: String): org.apache.spark.sql.Column =
+    df.schema(wmCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType =>
+        col(wmCol).cast("timestamp").cast("double")
+      case _ => col(wmCol).cast("double")
+    }
+
   /** Deterministic batch boundaries: exact percentiles of the watermark
     * column. One aggregate job over the (pruned, single-column) scan.
     */
@@ -63,7 +78,7 @@ object Incremental {
     */
   private def batchesFromBounds(df: DataFrame, wmCol: String,
       bounds: Seq[Double]): Seq[DataFrame] = {
-    val c = col(wmCol).cast("double")
+    val c = ordCol(df, wmCol)
     val cuts = Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity
     cuts.sliding(2).map { case Seq(lo, hi) =>
       val loPred = if (lo.isNegInfinity) lit(true) else c > lo
@@ -78,7 +93,7 @@ object Incremental {
     * `batches.reduce(_ union _) ≡ df` exactly.
     */
   def rangeBatches(df: DataFrame, wmCol: String, batches: Int): Seq[DataFrame] = {
-    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+    val bounds = batchBoundaries(df.select(ordCol(df, wmCol).as(wmCol)), wmCol, batches)
     batchesFromBounds(df, wmCol, bounds)
   }
 
@@ -146,11 +161,11 @@ object Incremental {
     */
   private def planBatches(df: DataFrame, wmCol: String,
       batches: Int): (Seq[DataFrame], Seq[(Int, String)]) = {
-    val bounds = batchBoundaries(df.select(col(wmCol).cast("double").as(wmCol)), wmCol, batches)
+    val bounds = batchBoundaries(df.select(ordCol(df, wmCol).as(wmCol)), wmCol, batches)
     val parts = batchesFromBounds(df, wmCol, bounds)
     // batch id = number of bounds strictly below the value — identical
     // assignment to the range predicates above.
-    val c = col(wmCol).cast("double")
+    val c = ordCol(df, wmCol)
     val bid = bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c > b, 1).otherwise(0) }
     val maxes = df
       .groupBy(bid.as("_bid"))

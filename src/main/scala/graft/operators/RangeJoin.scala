@@ -71,4 +71,46 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval×interval OVERLAP join — "which left intervals intersect
+    * which right intervals" (ad-exposure windows × purchase-consideration
+    * windows, outage windows × job runs): inclusive overlap
+    * `l.lo <= r.hi AND r.lo <= l.hi`, optionally under extra equi-keys
+    * (`keys`, e.g. the user) that both bound the pair volume and express
+    * the usual per-entity semantics.
+    *
+    * Same bucketed shape as [[pointInInterval]], but BOTH sides explode
+    * into their covered buckets. A pair sharing several buckets would
+    * surface once per shared bucket; instead of a distinct shuffle, each
+    * pair is emitted ONLY in its first shared bucket — `bucket ==
+    * max(l.firstBucket, r.firstBucket)`, which for overlapping intervals
+    * is always a bucket both cover — so the join output is exact without
+    * any dedup pass. Column names of the two inputs must be disjoint
+    * apart from `keys`.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String,
+      bucketUnits: Column => Column, bucketWidth: Long,
+      maxCopies: Int = 64): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxCopies > 0, "maxCopies must be positive")
+    def exploded(df: DataFrame, lo: String, hi: String, loB: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn(loB,
+        floor(bucketUnits(col(lo)).cast("double") / lit(bucketWidth)).cast("long"))
+      .withColumn("_hi_b",
+        floor(bucketUnits(col(hi)).cast("double") / lit(bucketWidth)).cast("long"))
+      .withColumn("_hi_b", when(col("_hi_b") - col(loB) >= lit(maxCopies.toLong),
+          raise_error(concat(
+            lit(s"RangeJoin: interval explodes into > $maxCopies buckets of width $bucketWidth: "),
+            col(lo).cast("string"), lit(".."), col(hi).cast("string"))))
+        .otherwise(col("_hi_b")))
+      .withColumn("_bucket", explode(expr(s"sequence($loB, _hi_b)")))
+      .drop("_hi_b")
+    exploded(left, loL, hiL, "_lo_bl")
+      .join(exploded(right, loR, hiR, "_lo_br"), keys :+ "_bucket")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("_bucket") === greatest(col("_lo_bl"), col("_lo_br")))
+      .drop("_bucket", "_lo_bl", "_lo_br")
+  }
 }

@@ -515,6 +515,47 @@ object CorpusCuration {
       .drop("_h")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis reservoir realized as per-group Gumbel-top-k:
+    * a document with weight w gets key ln(w) + Gumbel(u), and the top-k
+    * keys per stratum are EXACTLY a weight-proportional draw without
+    * replacement (the A-ES equivalence). The curation use: "keep the 10k
+    * quality-weighted documents per language" with heavier documents
+    * favored but light ones still reachable — unlike a deterministic
+    * top-k by weight, which starves the tail.
+    *
+    * u comes from a salted md5 of the key — the [[graft.text.ImportanceSampling.gumbelTopK]]
+    * determinism contract (reproducible across runs, partitionings and
+    * engines; change the salt for an independent draw); both ln terms
+    * are floored to integer micros so the per-row key is exact and
+    * engine-portable. Rows with weight ≤ 0 (or null) cannot carry
+    * probability mass and are excluded, matching A-ES.
+    *
+    * Shape: one projection + one per-stratum WindowGroupLimit (map-side
+    * partial top-k per group) — a single shuffle on the stratum key; no
+    * global sort.
+    */
+  def weightedStratumSample(docs: DataFrame, stratumCol: String, k: Int,
+      weightCol: String, salt: String = "ws0",
+      keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_u",
+        (conv(substring(md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")),
+          1, 4), 16, 10).cast("long") + lit(0.5)) / lit(65536.0))
+      .withColumn("score_micros",
+        expr(s"CAST(floor(ln(CAST($weightCol AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+          + expr("CAST(floor(-ln(-ln(_u)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy(stratumCol)
+          .orderBy(col("score_micros").desc, col(keyCol))).cast("long"))
+      .filter(col("smp_rank") <= k)
+      .select(col(stratumCol), col(keyCol), col(weightCol),
+        col("score_micros"), col("smp_rank"))
+  }
+
   /** Funnel report: how many documents each curation stage removed. */
   def funnel(docs: DataFrame, config: Config = Config()): DataFrame = {
     val s = scored(docs, config)

@@ -71,4 +71,57 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) === 1L && out(6L) === 1L)
     assert(out(3L) === 2L)     // middle spokes sit in two
   }
+
+  test("kCore: triangle with a pendant chain — the chain peels, the cycle survives") {
+    import spark.implicits._
+    // triangle 1-2-3 plus chain 3-4-5; 2-core = the triangle, degree 2 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure chain has no 2-core: cascading peel empties it (this is the
+    // multi-round case — each round only exposes the next endpoint)
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assert(Graph.kCore(chain, k = 2).count() === 0L)
+    // ...but its 1-core is the whole chain
+    assert(Graph.kCore(chain, k = 1).count() === 8L)
+  }
+
+  test("kCore: core degree is the degree INSIDE the core, and dirty input " +
+      "(dups, self-loops, both orientations) is canonicalized") {
+    import spark.implicits._
+    // K4 on 1..4, node 1 also linked to pendants 5, 6 (and noise rows)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (5L, 1L), (1L, 6L), (2L, 2L)))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    // 3-core = K4; node 1's pendant edges must NOT inflate its core degree
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore matches a driver brute-force peel on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val edges = raw.toDF("doc_a", "doc_b")
+    // reference: simultaneous peel on the canonicalized edge set
+    var es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val alive = deg.filter(_._2 >= 3).keySet
+      val es2 = es.filter { case (a, b) => alive(a) && alive(b) }
+      changed = es2 != es
+      es = es2
+    }
+    val wantDeg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(got === wantDeg)
+  }
 }

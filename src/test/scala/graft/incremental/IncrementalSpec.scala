@@ -31,6 +31,25 @@ class IncrementalSpec extends SparkSpec {
     assert(unioned === full)
   }
 
+  test("range batches work on a TIMESTAMP_NTZ watermark column (what " +
+      "Spark 4 infers for un-annotated parquet timestamps)") {
+    val df = (1 to 100).map(i => f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00")
+      .toDF("raw")
+      .select(expr("to_timestamp_ntz(raw)").as("wm"))
+    assert(df.schema("wm").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val batches = Incremental.rangeBatches(df, "wm", 4)
+    assert(batches.map(_.count()).sum === 100L)
+    assert(batches.forall(_.count() > 0))
+    val dir = java.nio.file.Files.createTempDirectory("wmspec-ntz").toString
+    val store = new WatermarkStore(dir)
+    val out = Incremental.runBatched(df, "t", "wm", 4, store)(b =>
+      b.agg(count(lit(1)).as("n")))
+    assert(out.agg(sum("n")).head.getLong(0) === 100L)
+    // committed mark is the global max, serialized from the NTZ value
+    assert(store.get("t", "wm").exists(_.startsWith("2024-01-01 01:40")))
+  }
+
   test("runBatched processes every row once and commits the final mark") {
     val dir = java.nio.file.Files.createTempDirectory("wmspec2").toString
     val store = new WatermarkStore(dir)

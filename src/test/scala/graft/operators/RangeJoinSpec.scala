@@ -66,4 +66,55 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("intervalOverlap matches the brute-force overlap join exactly — " +
+      "inclusive endpoints, bucket-straddling spans, keyed sides") {
+    val l = (0L until 60L).map(i => (i % 4, i, i * 7 % 90, i * 7 % 90 + i % 13))
+      .toDF("grp", "l_id", "l_lo", "l_hi")
+    val r = (0L until 60L).map(i => (i % 4, i, i * 11 % 90, i * 11 % 90 + i % 9))
+      .toDF("grp", "r_id", "r_lo", "r_hi")
+    val got = RangeJoin.intervalOverlap(l, r, Seq("grp"),
+        "l_lo", "l_hi", "r_lo", "r_hi", units, bucketWidth = 10L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.join(r.withColumnRenamed("grp", "grp2"),
+        col("grp") === col("grp2") &&
+          col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once even when " +
+      "the pair shares many buckets") {
+    // both intervals span 4 buckets of width 10 and overlap across 3
+    val l = Seq((1L, 5L, 38L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((9L, 12L, 45L)).toDF("r_id", "r_lo", "r_hi")
+    val out = RangeJoin.intervalOverlap(l, r, Seq.empty,
+      "l_lo", "l_hi", "r_lo", "r_hi", units, bucketWidth = 10L)
+    assert(out.count() === 1L)
+    // touching endpoints overlap inclusively
+    val touch = RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("l_id", "l_lo", "l_hi"),
+      Seq((2L, 10L, 20L)).toDF("r_id", "r_lo", "r_hi"),
+      Seq.empty, "l_lo", "l_hi", "r_lo", "r_hi", units, bucketWidth = 7L)
+    assert(touch.count() === 1L)
+  }
+
+  test("intervalOverlap plans a hash equi-join and raises past maxCopies") {
+    val l = (0L until 20L).map(i => (i, i * 3, i * 3 + 5)).toDF("l_id", "l_lo", "l_hi")
+    val r = (0L until 20L).map(i => (i, i * 4, i * 4 + 5)).toDF("r_id", "r_lo", "r_hi")
+    val plan = RangeJoin.intervalOverlap(l, r, Seq.empty,
+        "l_lo", "l_hi", "r_lo", "r_hi", units, bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 1000L)).toDF("l_id", "l_lo", "l_hi"),
+        Seq((2L, 5L, 6L)).toDF("r_id", "r_lo", "r_hi"),
+        Seq.empty, "l_lo", "l_hi", "r_lo", "r_hi", units,
+        bucketWidth = 10L, maxCopies = 4).count()
+    }
+    assert(e.getMessage.contains("RangeJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("RangeJoin")))
+  }
 }

@@ -293,4 +293,37 @@ class CorpusCurationSpec extends SparkSpec {
       CorpusCuration.shuffleShards(corpus, nShards = 7)
     }
   }
+
+  test("weightedStratumSample draws min(k, n) per stratum, excludes " +
+      "non-positive weights, and is partition-independent") {
+    val docs = ((1L to 30L).map(i => (i, "en", i * 10)) ++
+      (31L to 33L).map(i => (i, "fr", 100L)) ++
+      Seq((40L, "de", 0L), (41L, "de", -5L)))       // mass-less rows
+      .toDF("doc_id", "lang", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusCuration.weightedStratumSample(df, "lang", k = 5,
+        weightCol = "n_chars").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("smp_rank")))
+    val a = run(docs)
+    val byLang = a.groupBy(_._1).view.mapValues(_.length).toMap
+    // en has 30 candidates -> 5; fr has 3 -> all 3; de has none with mass
+    assert(byLang === Map("en" -> 5, "fr" -> 3))
+    // ranks dense 1..n within each stratum
+    assert(a.filter(_._1 == "en").map(_._3).sorted.toSeq === (1L to 5L))
+    assert(run(docs.repartition(7)).toSet === a.toSet)
+  }
+
+  test("weightedStratumSample favors weight: a dominant-weight doc wins " +
+      "nearly every independent draw, a feather almost none") {
+    val docs = ((1L to 9L).map(i => (i, "s", 1000L)) :+ ((99L, "s", 1L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val salts = (0 until 30).map(i => s"salt$i")
+    val winners = salts.map { salt =>
+      CorpusCuration.weightedStratumSample(docs, "lang", k = 1,
+        weightCol = "n_chars", salt = salt).collect().head.getAs[Long]("doc_id")
+    }
+    // doc 99 holds 1/9001 of the mass: it should essentially never win
+    assert(winners.count(_ == 99L) <= 1)
+  }
 }
