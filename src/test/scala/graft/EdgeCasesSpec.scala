@@ -92,4 +92,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.agg(sum("n_events")).head().getLong(0) === 0L)
   }
+
+  test("retrieval, k-core, overlap and weighted sampling are empty- and " +
+      "missing-input safe") {
+    import graft.similarity.Retrieval
+    import graft.graph.Graph
+    import graft.operators.RangeJoin
+    import graft.text.CorpusCuration
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // MMR with no corpus (and hence no query row) returns an empty frame
+    assert(Retrieval.mmr(emptyEmb, "vec_id", 0L, k = 3, candPool = 5).count() === 0L)
+    // MMR with a query id absent from the corpus: no relevance scores exist
+    val emb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Retrieval.mmr(emb, "vec_id", 99L, k = 2, candPool = 5).count() === 0L)
+    // rank fusion of lists that share no keys: every key once, n_lists = 1
+    val f = Retrieval.rrfFuse(Seq(
+      Seq(("a", 1L)).toDF("k", "rank"), Seq(("b", 1L)).toDF("k", "rank")), "k")
+    assert(f.count() === 2L &&
+      f.agg(max("n_lists")).head.getLong(0) === 1L)
+    // k-core of an empty / all-self-loop edge list is empty
+    assert(Graph.kCore(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), 2).count() === 0L)
+    assert(Graph.kCore(Seq((7L, 7L)).toDF("doc_a", "doc_b"), 1).count() === 0L)
+    // overlap join with an empty side is empty, not an error
+    val iv = Seq((1L, 0L, 10L)).toDF("l_id", "l_lo", "l_hi")
+    assert(RangeJoin.intervalOverlap(iv, iv.filter(lit(false))
+        .toDF("r_id", "r_lo", "r_hi"), Seq.empty,
+      "l_lo", "l_hi", "r_lo", "r_hi", c => c, 10L).count() === 0L)
+    // weighted sample where every row is mass-less is empty
+    val docs = Seq((1L, "en", 0L), (2L, "en", -3L)).toDF("doc_id", "lang", "n_chars")
+    assert(CorpusCuration.weightedStratumSample(docs, "lang", 3, "n_chars")
+      .count() === 0L)
+  }
 }
