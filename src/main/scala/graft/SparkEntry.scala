@@ -2637,7 +2637,37 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY score_micros DESC, doc_id) AS BIGINT) AS smp_rank
         | FROM g)
         |SELECT lang, doc_id, n_chars, score_micros, smp_rank
-        |FROM r WHERE smp_rank <= 5""".stripMargin))
+        |FROM r WHERE smp_rank <= 5""".stripMargin)),
+
+    // ---- dedup keep-best policy: one representative per near-dup
+    //      cluster (highest n_chars, ties to lowest id), singletons kept —
+    //      the write-out step of the dedup workflow; oracle replays the
+    //      clustering (recursive CTE, as q_clusters) + the same window ----
+    ("q_keeprep",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val pairs = Dedup.jaccardPairsScalable(docs, "doc_id",
+          n = 3, minJaccard = 0.5, numHashTables = 8)
+        Dedup.keepRepresentatives(docs, pairs, "doc_id", "n_chars")
+          .select("doc_id", "cluster_id", "n_chars", "is_kept")
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT s, d FROM e UNION SELECT r.s, e.d FROM r, e WHERE r.d = e.s),
+        |lab AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM r GROUP BY s),
+        |j AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)
+        |SELECT doc_id, cluster_id, n_chars,
+        |  (row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)) = 1 AS is_kept
+        |FROM j""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

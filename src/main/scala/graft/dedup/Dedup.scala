@@ -524,6 +524,38 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** The last step of the dedup workflow: given the corpus and its
+    * near-dup pair graph, pick ONE representative per connected cluster
+    * (highest `qualityCol`, ties to the lowest key — deterministic) and
+    * flag everything else for drop. Documents outside any cluster are
+    * their own singleton cluster and are kept. This is "dedup with a
+    * keep-best policy" — what a curation pipeline actually writes out,
+    * as opposed to the pair/cluster diagnostics upstream.
+    *
+    * Output: every input row with (cluster_id, is_kept); filter
+    * `is_kept` for the surviving corpus, or aggregate on `cluster_id`
+    * for audit counts.
+    *
+    * Shape: the [[dedupClusters]] label propagation (bounded rounds) +
+    * one left join of the corpus against the (small — clustered docs
+    * only) label table + one per-cluster WindowGroupLimit-style
+    * row_number. No new scale hazards beyond the clustering itself.
+    */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame, keyCol: String,
+      qualityCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = dedupClusters(pairs, maxIter, checkpointDir)
+      .withColumnRenamed("id", keyCol)
+    docs.join(labels, Seq(keyCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col(qualityCol).desc, col(keyCol))))
+      .withColumn("is_kept", col("_r") === 1)
+      .drop("_r")
+  }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, each bit
     * votes +1/−1, sign of the vote sum sets the bit. One explode + one
     * aggregation (64 conditional sums fused in a single pass).

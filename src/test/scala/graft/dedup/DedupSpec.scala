@@ -246,4 +246,30 @@ class DedupSpec extends SparkSpec {
       assert(exact.nonEmpty, s"degenerate fixture at $t")
     }
   }
+
+  test("keepRepresentatives keeps the best-quality doc per cluster, " +
+      "singletons keep themselves, transitive chains collapse to one") {
+    import org.apache.spark.sql.functions._
+    // cluster {1,2,3} via chain 1-2, 2-3 (1 and 3 never paired directly);
+    // 4 is a singleton; quality favors 2
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 10L), (4L, 5L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepRepresentatives(docs, pairs, "doc_id", "quality")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true))))
+    // quality ties break to the lowest id
+    val tied = Dedup.keepRepresentatives(
+      Seq((7L, 1L), (8L, 1L)).toDF("doc_id", "quality"),
+      Seq((7L, 8L)).toDF("doc_a", "doc_b"), "doc_id", "quality")
+      .filter(col("is_kept")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(tied === Seq(7L))
+    // exactly one keeper per cluster, always
+    assert(Dedup.keepRepresentatives(docs, pairs, "doc_id", "quality")
+      .groupBy("cluster_id").agg(sum(when(col("is_kept"), 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count() === 0L)
+  }
 }
