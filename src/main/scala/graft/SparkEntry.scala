@@ -2667,7 +2667,75 @@ object SparkEntry {
         |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)
         |SELECT doc_id, cluster_id, n_chars,
         |  (row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)) = 1 AS is_kept
-        |FROM j""".stripMargin))
+        |FROM j""".stripMargin)),
+
+    // ---- time-bounded funnel: conversion only within 24h of the user's
+    //      first click (the attribution-honest variant of q_funnel) ----
+    ("q_funnel_win",
+      (s, d) => graft.gold.Cohorts.funnelWindowed(
+        Tables(s, d).events, "click", "purchase", windowSec = 86400L),
+      Some("""WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |   max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS did_a,
+        |   max(CASE WHEN e.event_type = 'purchase' AND f.fc IS NOT NULL AND e.ts >= f.fc
+        |        AND e.ts <= f.fc + INTERVAL 86400 SECOND THEN 1 ELSE 0 END) AS conv
+        |  FROM events e JOIN f USING (user_id) GROUP BY 1)
+        |SELECT count(*) AS users, CAST(sum(did_a) AS BIGINT) AS stepa_users,
+        | CAST(sum(conv) AS BIGINT) AS converted_users,
+        | round(CAST(sum(conv) AS DOUBLE) / sum(did_a), 6) AS conversion_rate
+        |FROM p""".stripMargin)),
+
+    // ---- event transition matrix (user-flow / Markov-chain input):
+    //      consecutive pairs per user ordered by (ts, event_id) ----
+    ("q_transitions",
+      (s, d) => graft.gold.Cohorts.transitionMatrix(Tables(s, d).events),
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        | FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS total_from,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin)),
+
+    // ---- Kaplan-Meier customer survival: duration = first→last order
+    //      days, churned if the last order is >90 days before the as-of
+    //      date (else censored). Exact-integer ln-product, one boundary
+    //      exp; d = n_risk exhaustion handled as exact 0 ----
+    ("q_survival",
+      (s, d) => {
+        val asOf = lit(java.sql.Date.valueOf(GraftConf.default.asOfDate))
+        val per = Tables(s, d).orders.groupBy("o_custkey").agg(
+          datediff(max(col("o_orderdate").cast("date")),
+            min(col("o_orderdate").cast("date"))).cast("long").as("t"),
+          when(datediff(asOf, max(col("o_orderdate").cast("date"))) > 90, 1)
+            .otherwise(0).as("ev"))
+        graft.gold.Survival.kaplanMeier(per, "t", "ev")
+      },
+      Some(s"""WITH per AS (SELECT o_custkey,
+        |   CAST(datediff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+        |   CASE WHEN datediff('day', max(CAST(o_orderdate AS DATE)), $AsOf) > 90 THEN 1 ELSE 0 END AS ev
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |risk AS (SELECT t, d,
+        |   n - coalesce(CAST(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        |  FROM agg, tot),
+        |ev AS (SELECT t, d, n_risk,
+        |   CASE WHEN d < n_risk
+        |     THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |     ELSE CAST(0 AS BIGINT) END AS lnf,
+        |   CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dz
+        |  FROM risk WHERE d > 0),
+        |cum AS (SELECT t, d, n_risk,
+        |   CAST(sum(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_s_micros,
+        |   max(dz) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM ev)
+        |SELECT t, d, n_risk, ln_s_micros,
+        | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(CAST(ln_s_micros AS DOUBLE) / 1e6), 6) END AS survival
+        |FROM cum""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

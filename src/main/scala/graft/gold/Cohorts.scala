@@ -57,4 +57,57 @@ object Cohorts {
       .withColumn("conversion_rate",
         round(col("converted_users").cast("double") / col("stepa_users"), 6))
   }
+
+  /** [[funnel]] with a CONVERSION WINDOW: B counts only within
+    * `windowSec` seconds of the user's first A (inclusive on both ends —
+    * the product-analytics "converted within N days" question; the
+    * unbounded funnel systematically overstates attribution). Same plan
+    * shape as [[funnel]]: one window to stamp first-A, one per-user
+    * aggregate, one rollup.
+    */
+  def funnelWindowed(events: DataFrame, stepA: String, stepB: String,
+      windowSec: Long, userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(windowSec >= 0, "windowSec must be non-negative")
+    val w = Window.partitionBy(col(userCol))
+    val flagged = events
+      .withColumn("_first_a", min(when(col(typeCol) === stepA, col(tsCol))).over(w))
+    val inWindow = col(typeCol) === stepB && col("_first_a").isNotNull &&
+      col(tsCol) >= col("_first_a") &&
+      col(tsCol) <= col("_first_a") + expr(s"INTERVAL $windowSec SECOND")
+    val perUser = flagged.groupBy(col(userCol)).agg(
+      max(when(col(typeCol) === stepA, 1).otherwise(0)).as("_did_a"),
+      max(when(inWindow, 1).otherwise(0)).as("_conv"))
+    perUser.agg(
+      count(lit(1)).as("users"),
+      sum(col("_did_a")).cast("long").as("stepa_users"),
+      sum(col("_conv")).cast("long").as("converted_users"))
+      .withColumn("conversion_rate",
+        round(col("converted_users").cast("double") / col("stepa_users"), 6))
+  }
+
+  /** Event transition matrix — "user flow": for each consecutive event
+    * pair within a user's stream (ordered by (ts, idCol) — the id
+    * tiebreak makes the sequence total and engine-portable), count
+    * (from_type → to_type) and its share of all transitions leaving
+    * from_type. The Markov-chain / Sankey-diagram input.
+    *
+    * Shape: one lag window partitioned by user (the only corpus-sized
+    * shuffle), one groupBy on the (from, to) pair — output is
+    * |types|² rows, so the share window runs on a model-sized table.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p",
+        round(col("n").cast("double") / col("total_from"), 6))
+  }
 }

@@ -34,4 +34,34 @@ class CohortsSpec extends SparkSpec {
     assert(r.getAs[Long]("converted_users") === 1L)   // only user 1 in order
     assert(math.abs(r.getAs[Double]("conversion_rate") - 0.333333) < 1e-9)
   }
+
+  test("funnelWindowed bounds the conversion window, inclusive at the edge") {
+    // user 1's purchase is exactly 24h after the first click
+    val day = Cohorts.funnelWindowed(events, "click", "purchase", 86400L).head()
+    assert(day.getAs[Long]("converted_users") === 1L)  // edge is inclusive
+    val hour = Cohorts.funnelWindowed(events, "click", "purchase", 3600L).head()
+    assert(hour.getAs[Long]("converted_users") === 0L) // 24h > 1h window
+    assert(hour.getAs[Long]("stepa_users") === 3L)     // step-A unchanged
+  }
+
+  test("transitionMatrix counts consecutive pairs per user with exact shares") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),   // a->b, b->a
+      (2L, 4L, "a"), (2L, 5L, "b"),                  // a->b
+      (3L, 6L, "b")                                  // lone event: no pair
+    ).map { case (u, i, t) => (u, i, f"2024-01-01 00:00:$i%02d", t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val m = Cohorts.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("total_from"), r.getAs[Double]("p"))))
+      .toMap
+    assert(m === Map(
+      ("a", "b") -> ((2L, 2L, 1.0)),
+      ("b", "a") -> ((1L, 1L, 1.0))))
+    // determinism under repartitioning (the (ts, id) tiebreak is total)
+    val m2 = Cohorts.transitionMatrix(ev.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(m2 === m.view.mapValues(_._1).toMap)
+  }
 }
