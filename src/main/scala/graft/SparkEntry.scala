@@ -2735,7 +2735,27 @@ object SparkEntry {
         |  FROM ev)
         |SELECT t, d, n_risk, ln_s_micros,
         | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(CAST(ln_s_micros AS DOUBLE) / 1e6), 6) END AS survival
-        |FROM cum""".stripMargin))
+        |FROM cum""".stripMargin)),
+
+    // ---- linear multi-touch attribution: each purchase's value split
+    //      equally (exact integer division in micros) across the user's
+    //      clicks within a 24h lookback; remainder unattributed,
+    //      deterministically ----
+    ("q_attrib",
+      (s, d) => graft.gold.Attribution.linear(
+        Tables(s, d).events, "purchase", "click", lookbackSec = 86400L),
+      Some("""WITH p AS (SELECT user_id, event_id AS conv_id, ts AS p_ts,
+        |   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS touch_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.conv_id, p.value_micros, c.touch_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts),
+        |n AS (SELECT conv_id, value_micros, touch_id,
+        |   CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS touches FROM j)
+        |SELECT touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
+        | CAST(sum(value_micros // touches) AS BIGINT) AS credit_micros
+        |FROM n GROUP BY 1""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

@@ -1,0 +1,54 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch revenue attribution — "which touchpoints get credit for
+  * this conversion": the marketing-analytics complement to the funnel
+  * ([[Cohorts.funnel]] answers IF users convert; attribution answers
+  * which of their touches to pay for). Linear model: each conversion's
+  * value splits EQUALLY across the user's qualifying touches inside the
+  * lookback window.
+  */
+object Attribution {
+
+  /** Linear attribution: for every conversion event (type `convType`,
+    * monetary `valueCol`), find the same user's touch events (type
+    * `touchType`) with ts in `[conv_ts − lookbackSec, conv_ts]`
+    * (inclusive), and credit each touch value/touches. Money is handled
+    * as integer micros with EXACT integer division — the per-conversion
+    * remainder (< touches micro-units) stays unattributed
+    * deterministically, so per-touch credit sums are engine- and
+    * partition-order independent. Conversions with zero in-window
+    * touches simply contribute nothing (unattributed conversions —
+    * count them upstream if needed).
+    *
+    * Output: one row per credited touch — (touch_id, n_conversions,
+    * credit_micros).
+    *
+    * Shape: one equi-join on the user (per-user touch×conversion pairs,
+    * bounded by per-user activity — the same containment argument as
+    * the funnel), one count window partitioned by conversion id (pair
+    * volume, not corpus volume), one groupBy on the touch.
+    */
+  def linear(events: DataFrame, convType: String, touchType: String,
+      lookbackSec: Long, userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(lookbackSec >= 0, "lookbackSec must be non-negative")
+    val conv = events.filter(col(typeCol) === convType).select(
+      col(userCol), col(idCol).as("conv_id"), col(tsCol).as("_p_ts"),
+      expr(s"CAST(floor($valueCol * 1e6 + 0.5) AS BIGINT)").as("value_micros"))
+    val touch = events.filter(col(typeCol) === touchType).select(
+      col(userCol), col(idCol).as("touch_id"), col(tsCol).as("_c_ts"))
+    conv.join(touch, Seq(userCol))
+      .filter(col("_c_ts") >= col("_p_ts") - expr(s"INTERVAL $lookbackSec SECOND") &&
+        col("_c_ts") <= col("_p_ts"))
+      .withColumn("touches",
+        count(lit(1)).over(Window.partitionBy("conv_id")).cast("long"))
+      .groupBy("touch_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("value_micros div touches")).as("credit_micros"))
+  }
+}
