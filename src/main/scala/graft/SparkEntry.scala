@@ -2755,7 +2755,38 @@ object SparkEntry {
         |   CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS touches FROM j)
         |SELECT touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
         | CAST(sum(value_micros // touches) AS BIGINT) AS credit_micros
-        |FROM n GROUP BY 1""".stripMargin))
+        |FROM n GROUP BY 1""".stripMargin)),
+
+    // ---- leakage-safe split: train/val/test decided per near-dup
+    //      CLUSTER (salted md5 of the cluster id), so near-duplicates
+    //      never straddle the train/test boundary ----
+    ("q_leaksplit",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val pairs = Dedup.jaccardPairsScalable(docs, "doc_id",
+          n = 3, minJaccard = 0.5, numHashTables = 8)
+        Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+          .select("doc_id", "cluster_id", "data_split")
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT s, d FROM e UNION SELECT r.s, e.d FROM r, e WHERE r.d = e.s),
+        |lab AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM r GROUP BY s),
+        |j AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+        |h AS (SELECT doc_id, cluster_id,
+        |      (('0x' || substr(md5('split0' || CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT) % 100 AS hb FROM j)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN hb < 70 THEN 'train' WHEN hb < 90 THEN 'validation' ELSE 'test' END AS data_split
+        |FROM h""".stripMargin))
   )
 
   /** Output-boundary rule: money math stays DECIMAL internally (exact,

@@ -556,6 +556,38 @@ object Dedup {
       .drop("_r")
   }
 
+  /** Leakage-safe train/validation/test split: the split is decided per
+    * near-dup CLUSTER, not per document, so two near-duplicates can never
+    * land on opposite sides of the train/test boundary — the classic
+    * contamination path a per-row split leaves open (a benchmark answer's
+    * paraphrase in train, the original in test). Singletons split by
+    * their own key; the assignment is the salted-md5 hash of the cluster
+    * id (the engine-portable mixture-sampling idiom — change the salt
+    * for an independent split), so it is reproducible across runs,
+    * partitionings and engines and never re-rolls when unrelated
+    * documents arrive.
+    *
+    * Shape: the [[dedupClusters]] propagation + one left join + one
+    * projection; no shuffle beyond the clustering itself.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, keyCol: String,
+      trainPct: Int = 70, validPct: Int = 20, salt: String = "split0",
+      maxIter: Int = 20): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"need 0 < trainPct, 0 <= validPct, trainPct + validPct < 100: $trainPct/$validPct")
+    val labels = dedupClusters(pairs, maxIter).withColumnRenamed("id", keyCol)
+    docs.join(labels, Seq(keyCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))
+      .withColumn("_h",
+        conv(substring(md5(concat(lit(salt), col("cluster_id").cast("string")).cast("binary")),
+          1, 4), 16, 10).cast("long") % 100)
+      .withColumn("data_split",
+        when(col("_h") < trainPct, "train")
+          .when(col("_h") < trainPct + validPct, "validation")
+          .otherwise("test"))
+      .drop("_h")
+  }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, each bit
     * votes +1/−1, sign of the vote sum sets the bit. One explode + one
     * aggregation (64 conditional sums fused in a single pass).

@@ -272,4 +272,29 @@ class DedupSpec extends SparkSpec {
       .groupBy("cluster_id").agg(sum(when(col("is_kept"), 1).otherwise(0)).as("k"))
       .filter(col("k") =!= 1).count() === 0L)
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits; " +
+      "deterministic and salt-sensitive; quotas roughly honored") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 300L).toDF("doc_id")
+    // chains of 3: (1,2,3), (4,5,6), ... — 100 clusters
+    val pairs = (1L to 300L).filter(_ % 3 != 0)
+      .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+    // zero straddling pairs: every cluster maps to ONE split
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct(col("data_split")).as("k"))
+      .filter(col("k") =!= 1).count() === 0L)
+    // distribution near 70/20/10 at cluster granularity
+    val frac = out.filter(col("data_split") === "train").count().toDouble / 300
+    assert(frac > 0.5 && frac < 0.9, s"train fraction $frac")
+    // deterministic; a different salt re-deals
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val base = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again === base)
+    val other = Dedup.leakageSafeSplit(docs, pairs, "doc_id", salt = "split1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(other !== base)
+  }
 }
