@@ -2786,6 +2786,35 @@ object SparkEntry {
         |      (('0x' || substr(md5('split0' || CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT) % 100 AS hb FROM j)
         |SELECT doc_id, cluster_id,
         | CASE WHEN hb < 70 THEN 'train' WHEN hb < 90 THEN 'validation' ELSE 'test' END AS data_split
+        |FROM h""".stripMargin)),
+
+    // ---- Nelson-Aalen cumulative hazard (the KM companion — purely
+    //      additive, so entirely integer micros, no transcendental at
+    //      the boundary at all) over the same customer lifetimes ----
+    ("q_hazard",
+      (s, d) => {
+        val asOf = lit(java.sql.Date.valueOf(GraftConf.default.asOfDate))
+        val per = Tables(s, d).orders.groupBy("o_custkey").agg(
+          datediff(max(col("o_orderdate").cast("date")),
+            min(col("o_orderdate").cast("date"))).cast("long").as("t"),
+          when(datediff(asOf, max(col("o_orderdate").cast("date"))) > 90, 1)
+            .otherwise(0).as("ev"))
+        graft.gold.Survival.nelsonAalen(per, "t", "ev")
+      },
+      Some(s"""WITH per AS (SELECT o_custkey,
+        |   CAST(datediff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+        |   CASE WHEN datediff('day', max(CAST(o_orderdate AS DATE)), $AsOf) > 90 THEN 1 ELSE 0 END AS ev
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |risk AS (SELECT t, d,
+        |   n - coalesce(CAST(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        |  FROM agg, tot),
+        |h AS (SELECT t, d, n_risk,
+        |   CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS hstep
+        |  FROM risk WHERE d > 0)
+        |SELECT t, d, n_risk,
+        | CAST(sum(hstep) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_micros
         |FROM h""".stripMargin))
   )
 

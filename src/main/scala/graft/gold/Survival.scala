@@ -61,4 +61,36 @@ object Survival {
         .otherwise(round(exp(col("ln_s_micros").cast("double") / 1e6), 6)))
       .select("t", "d", "n_risk", "ln_s_micros", "survival")
   }
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * companion: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ. Where KM answers "what fraction
+    * survives to t", the cumulative hazard answers "how much churn
+    * pressure has accumulated by t" — near-linear H(t) means a constant
+    * hazard, convexity means accelerating churn. Entirely integer
+    * micros (each step is one floor of an exact-longs division, summed
+    * exactly), so no boundary transcendental at all; same plan shape as
+    * KM (one duration groupBy, cumulative windows on the model-sized
+    * distinct-duration table).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(
+        sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("c"))
+    val total = df.agg(count(lit(1)).as("_n"))
+    val wOrd = Window.orderBy(col("t"))
+    agg
+      .withColumn("_cumc", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("_n") - coalesce(col("_cumc"), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("_h", expr(
+        "CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("cum_hazard_micros", sum(col("_h")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("t", "d", "n_risk", "cum_hazard_micros")
+  }
 }

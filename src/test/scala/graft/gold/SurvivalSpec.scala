@@ -26,6 +26,18 @@ class SurvivalSpec extends SparkSpec {
     assert(out(1L)._3 >= out(3L)._3)
   }
 
+  test("nelsonAalen accumulates exact d/n hazard steps over the same risk sets") {
+    val df = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0))
+      .toDF("dur", "ev")
+    val out = Survival.nelsonAalen(df, "dur", "ev").collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("cum_hazard_micros")))).toMap
+    // t=1: 1/5 = 200000 micros; t=3: + 2/3 = 666667 -> 866667
+    assert(out === Map(1L -> ((5L, 200000L)), 3L -> ((3L, 866667L))))
+    // hazard is monotone non-decreasing by construction
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
   test("kaplanMeier drives survival to exact 0 when a step exhausts the " +
       "risk set, and censoring-only input yields no steps") {
     val dead = Survival.kaplanMeier(
