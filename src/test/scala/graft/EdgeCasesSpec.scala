@@ -122,5 +122,20 @@ class EdgeCasesSpec extends SparkSpec {
     val docs = Seq((1L, "en", 0L), (2L, "en", -3L)).toDF("doc_id", "lang", "n_chars")
     assert(CorpusCuration.weightedStratumSample(docs, "lang", 3, "n_chars")
       .count() === 0L)
+    // leakage-safe split with NO pairs: every doc a singleton, still split
+    import graft.dedup.Dedup
+    val solo = Dedup.leakageSafeSplit(
+      (1L to 40L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_id")
+    assert(solo.count() === 40L)
+    assert(solo.select("data_split").distinct().count() >= 2L)
+    // cluster-free keepRepresentatives keeps everything
+    assert(Dedup.keepRepresentatives(
+      (1L to 5L).toDF("doc_id").withColumn("q", lit(1L)),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_id", "q")
+      .filter(col("is_kept")).count() === 5L)
+    // hazard over censor-only input: no steps, like KM
+    assert(graft.gold.Survival.nelsonAalen(
+      Seq((1L, 0), (2L, 0)).toDF("dur", "ev"), "dur", "ev").count() === 0L)
   }
 }
