@@ -1791,15 +1791,24 @@ object SparkEntry {
 
     // ---- inverted index: per-term df + sorted posting list, stopword-
     //      grade terms (df > 80% of docs) stop-listed like production
-    //      indexes; corpus size via the lazily-broadcast A8 1-row agg ----
+    //      indexes; corpus size via the lazily-broadcast A8 1-row agg.
+    //      The list-valued postings column stays the library API
+    //      (invertedIndex returns it); the REGISTERED query projects it
+    //      through an md5 digest of the comma-joined sorted ids because
+    //      the driver's pandas comparator cannot sort a list column
+    //      (round-8 q_invidx err) — digest equality ≡ list equality
+    //      since both sides sort by doc_id before joining ----
     ("q_invidx",
       (s, d) => TextAnalysis.invertedIndex(Tables(s, d).documents, "doc_id",
-        maxDfRatio = 0.8),
+        maxDfRatio = 0.8)
+        .select(col("token"), col("df"),
+          md5(expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')"))
+            .as("postings_md5")),
       Some("""WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |t AS (SELECT DISTINCT doc_id, token FROM t0),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS df,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')) AS postings_md5
         |FROM t GROUP BY 1
         |HAVING count(*) <= (SELECT n FROM n) * 0.8""".stripMargin)),
 
