@@ -2606,7 +2606,8 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT l.user_id, click_id, purchase_id,
         |  CAST(least(ce, pe) - greatest(cs, ps) AS BIGINT) AS overlap_sec
-        |FROM l JOIN r ON l.user_id = r.user_id AND cs <= pe AND ps <= ce""".stripMargin)),
+        |FROM l JOIN r ON l.user_id = r.user_id AND cs <= pe AND ps <= ce
+        |  AND cs <= ce AND ps <= pe""".stripMargin)),
 
     // ---- 2-core of the near-dup graph (same generator as q_triangles):
     //      iterative peeling to the fixpoint; chains and pendants drop,

@@ -17,10 +17,13 @@ object Attribution {
     * monetary `valueCol`), find the same user's touch events (type
     * `touchType`) with ts in `[conv_ts − lookbackSec, conv_ts]`
     * (inclusive), and credit each touch value/touches. Money is handled
-    * as integer micros with EXACT integer division — the per-conversion
+    * as integer micros with exact FLOOR division (matching DuckDB `//`,
+    * including for negative refund values) — the per-conversion
     * remainder (< touches micro-units) stays unattributed
     * deterministically, so per-touch credit sums are engine- and
-    * partition-order independent. Conversions with zero in-window
+    * partition-order independent. The micros conversion itself is
+    * floor(v·10⁶ + 0.5): half-up for v ≥ 0, floor-of-shifted for v < 0 —
+    * one fixed deterministic rule applied identically on both engines. Conversions with zero in-window
     * touches simply contribute nothing (unattributed conversions —
     * count them upstream if needed).
     *
@@ -48,7 +51,13 @@ object Attribution {
       .withColumn("touches",
         count(lit(1)).over(Window.partitionBy("conv_id")).cast("long"))
       .groupBy("touch_id")
+      // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
+      // `//` floors, so a refund (-10 micros over 3 touches) is -4 there
+      // but -3 under `div` — the correction term makes both engines agree
+      // for negative conversion values too (touches is always > 0).
       .agg(count(lit(1)).as("n_conversions"),
-        sum(expr("value_micros div touches")).as("credit_micros"))
+        sum(expr("value_micros div touches - (CASE WHEN value_micros < 0 " +
+          "AND value_micros % touches != 0 THEN 1 ELSE 0 END)"))
+          .as("credit_micros"))
   }
 }

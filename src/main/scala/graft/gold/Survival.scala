@@ -36,12 +36,17 @@ object Survival {
     */
   def kaplanMeier(df: DataFrame, durationCol: String,
       eventCol: String): DataFrame = {
-    val agg = df
+    // Null durations are undefined lifetimes, not a t=NULL event time:
+    // kept, they'd form a NULL group whose window placement differs
+    // between engines (Spark sorts NULL first, DuckDB last), skewing
+    // every cumulative n_risk. Excluded from the risk set entirely.
+    val obs = df.filter(col(durationCol).isNotNull)
+    val agg = obs
       .groupBy(col(durationCol).cast("long").as("t"))
       .agg(
         sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("c"))
-    val total = df.agg(count(lit(1)).as("_n"))
+    val total = obs.agg(count(lit(1)).as("_n"))
     val wOrd = Window.orderBy(col("t"))
     val risk = agg
       .withColumn("_cumc", sum(col("c")).over(
@@ -74,12 +79,15 @@ object Survival {
     */
   def nelsonAalen(df: DataFrame, durationCol: String,
       eventCol: String): DataFrame = {
-    val agg = df
+    // Same null-duration exclusion as kaplanMeier (engine-dependent NULL
+    // ordering would skew the cumulative risk counts).
+    val obs = df.filter(col(durationCol).isNotNull)
+    val agg = obs
       .groupBy(col(durationCol).cast("long").as("t"))
       .agg(
         sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("c"))
-    val total = df.agg(count(lit(1)).as("_n"))
+    val total = obs.agg(count(lit(1)).as("_n"))
     val wOrd = Window.orderBy(col("t"))
     agg
       .withColumn("_cumc", sum(col("c")).over(

@@ -187,11 +187,18 @@ object Graph {
         .select("a", "b")
         .localCheckpoint()
       val m2 = pruned.count()
-      converged = m2 == m
+      converged = m2 == m || m2 == 0 // empty IS the fixpoint — no confirm round
       e = pruned
       m = m2
       rounds += 1
     }
+    // A truncated peel is NOT a k-core: on a long chain at k=2 the interior
+    // survives ~n/2 rounds and the final core_degree filter cannot repair
+    // the miscount. Failing loudly beats silently returning a superset.
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds ($m edges alive); " +
+          "raise maxRounds — the fixpoint needs more peeling rounds than allowed")
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)

@@ -58,4 +58,20 @@ class AttributionSpec extends SparkSpec {
     assert(Attribution.linear(events.filter(col("event_type") =!= "purchase"),
       "purchase", "click", 86400L).count() === 0L)
   }
+
+  test("refunds (negative values) FLOOR-divide like DuckDB's //, not " +
+      "truncate toward zero") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 01:00:00", "click", 0.0),
+      (1L, 2L, "2024-01-01 02:00:00", "click", 0.0),
+      (1L, 3L, "2024-01-01 03:00:00", "click", 0.0),
+      (1L, 4L, "2024-01-01 04:00:00", "purchase", -10.0))
+    val out = Attribution.linear(events, "purchase", "click", 86400L)
+      .collect().map(r => r.getAs[Long]("touch_id") -> r.getAs[Long]("credit_micros"))
+      .toMap
+    // floor(-10.0*1e6 + 0.5) = -10_000_000; floor(-10_000_000 / 3) =
+    // -3_333_334 (Spark's `div` alone would give -3_333_333 and diverge
+    // from the DuckDB oracle's // on refund rows)
+    assert(out === Map(1L -> -3333334L, 2L -> -3333334L, 3L -> -3333334L))
+  }
 }

@@ -48,4 +48,19 @@ class SurvivalSpec extends SparkSpec {
       Seq((1L, 0), (2L, 0)).toDF("dur", "ev"), "dur", "ev")
     assert(censOnly.count() === 0L)
   }
+
+  test("null durations are excluded from the risk set in both estimators") {
+    // A NULL duration is an undefined lifetime: kept, it would form a
+    // t=NULL group whose window placement differs between engines (Spark
+    // sorts NULLs first, DuckDB last), skewing every cumulative n_risk.
+    val df = Seq((Option(1L), 1), (Option.empty[Long], 1), (Option(3L), 1))
+      .toDF("dur", "ev")
+    val km = Survival.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Long]("n_risk")).toMap
+    // risk set is 2 (not 3): the null row neither counts at risk nor events
+    assert(km === Map(1L -> 2L, 3L -> 1L))
+    val na = Survival.nelsonAalen(df, "dur", "ev").collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Long]("n_risk")).toMap
+    assert(na === Map(1L -> 2L, 3L -> 1L))
+  }
 }

@@ -124,4 +124,24 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
     assert(got === wantDeg)
   }
+
+  test("kCore throws on round exhaustion instead of returning a truncated " +
+      "peel, and an emptying round counts as converged") {
+    import spark.implicits._
+    // path 0-1-...-11: k=2 peels one endpoint pair per round; the 2-core
+    // is EMPTY but needs ~6 rounds to get there. maxRounds=2 must throw —
+    // the surviving interior is NOT a 2-core and the final degree filter
+    // cannot repair it (a ~200-node chain under the old default silently
+    // returned interior nodes).
+    val chain = (0 until 11).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(chain, k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds: empty core, no throw — including when the graph
+    // empties EXACTLY on the last allowed round (empty is the fixpoint,
+    // no confirming round needed)
+    assert(Graph.kCore(chain, k = 2, maxRounds = 6).count() === 0L)
+  }
 }
