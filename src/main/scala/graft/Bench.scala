@@ -25,6 +25,21 @@ object Bench {
       val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
       warm.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Box-load calibration: a fixed pure-CPU query (no IO, no registry
+    // dependence) timed immediately before and after the suite. On a quiet
+    // box both land near the same value; under contention they inflate
+    // with the load, so calib_first/calib_last let a reader spot an
+    // inflated artifact from the JSON alone (the round-8 driver artifact
+    // overstated the suite 3× from end-of-round box load, with nothing in
+    // the artifact to show it).
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
+      math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+    }
+    calib() // one untimed pass so codegen/JIT of the probe itself is warm
+    val calibFirst = calib()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // run-major order (full suite, then again): back-to-back repeats of
     // one query would share its page-cache/JIT warmth and understate the
@@ -72,10 +87,13 @@ object Bench {
     // carries the totals — and the full JSON is also written whole to
     // BENCH_local.json. The headline deliberately does not contain the
     // string "metric", so a grep for the full line stays unambiguous.
+    val calibLast = calib()
+    val calibRatio = r3(math.max(calibFirst, calibLast) /
+      math.max(math.min(calibFirst, calibLast), 1e-9))
     val headline =
-      s"""{"bench_headline":true,"total":${r3(total)},"n_queries":${perQuery.count(_._3)},"failed":$failed,"runs":$runs,"slowest5":$slowest5,"sf":"$sfDir"}"""
+      s"""{"bench_headline":true,"total":${r3(total)},"n_queries":${perQuery.count(_._3)},"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,"slowest5":$slowest5,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"spread_max_over_min":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,"spread_max_over_min":$spreads,"sf":"$sfDir"}"""
     println(headline)
     println(full)
     println(headline)

@@ -829,8 +829,10 @@ object SparkEntry {
     // Output: one row per cluster with its canonical (minimum) doc id.
     ("q_clusters",
       (s, d) => {
-        val pairs = Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
-          n = 3, minJaccard = 0.5, numHashTables = 8)
+        // shared session-materialized pair graph (PairGraph Scaladoc) —
+        // six consumers, one generation; q_jaccard still proves the
+        // generator against the exact oracle live
+        val pairs = graft.dedup.PairGraph.documentsPairs(s, d, n = 3)
         Dedup.dedupClusters(pairs)
           .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
       },
@@ -997,8 +999,7 @@ object SparkEntry {
     //      as chained CTEs — no doubles anywhere in the iteration ----
     ("q_pagerank",
       (s, d) => graft.graph.Graph.pageRankMicros(
-        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
-          n = 5, minJaccard = 0.5, numHashTables = 8)
+        graft.dedup.PairGraph.documentsPairs(s, d, n = 5)
           .select("doc_a", "doc_b"))
         .withColumnRenamed("node", "doc_id"),
       Some(graft.graph.Graph.pageRankOracleSql(
@@ -1038,8 +1039,7 @@ object SparkEntry {
     //      oracle replays the plain canonical a<b<c three-way join) ----
     ("q_triangles",
       (s, d) => graft.graph.Graph.triangleCounts(
-        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
-          n = 5, minJaccard = 0.5, numHashTables = 8)
+        graft.dedup.PairGraph.documentsPairs(s, d, n = 5)
           .select("doc_a", "doc_b"))
         .withColumnRenamed("node", "doc_id"),
       Some("""WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -2615,8 +2615,7 @@ object SparkEntry {
     //      simultaneous peeling rounds as a recursive CTE ----
     ("q_kcore",
       (s, d) => graft.graph.Graph.kCore(
-        Dedup.jaccardPairsScalable(Tables(s, d).documents, "doc_id",
-          n = 5, minJaccard = 0.5, numHashTables = 8)
+        graft.dedup.PairGraph.documentsPairs(s, d, n = 5)
           .select("doc_a", "doc_b"), k = 2)
         .withColumnRenamed("node", "doc_id"),
       Some(graft.graph.Graph.kCoreOracleSql(
@@ -2656,8 +2655,7 @@ object SparkEntry {
     ("q_keeprep",
       (s, d) => {
         val docs = Tables(s, d).documents
-        val pairs = Dedup.jaccardPairsScalable(docs, "doc_id",
-          n = 3, minJaccard = 0.5, numHashTables = 8)
+        val pairs = graft.dedup.PairGraph.documentsPairs(s, d, n = 3)
         Dedup.keepRepresentatives(docs, pairs, "doc_id", "n_chars")
           .select("doc_id", "cluster_id", "n_chars", "is_kept")
       },
@@ -2773,8 +2771,7 @@ object SparkEntry {
     ("q_leaksplit",
       (s, d) => {
         val docs = Tables(s, d).documents
-        val pairs = Dedup.jaccardPairsScalable(docs, "doc_id",
-          n = 3, minJaccard = 0.5, numHashTables = 8)
+        val pairs = graft.dedup.PairGraph.documentsPairs(s, d, n = 3)
         Dedup.leakageSafeSplit(docs, pairs, "doc_id")
           .select("doc_id", "cluster_id", "data_split")
       },
