@@ -58,6 +58,43 @@ object CurationScaleBench {
         f"dup_covered=$covered sec=$tD%.1f | clf_kept=$kept sec=$tQ%.1f")
       spark.catalog.clearCache()
     }
+
+    // ---- exact-join family under the df stop-list cap, on the
+    // ADVERSARIAL corpus class the round-8 review flagged: every doc is
+    // majority boilerplate (18 of 30 tokens shared corpus-wide), so all
+    // docs land in the heavy (req <= 0) class and the UNCAPPED algorithm
+    // degenerates to ~N^2 candidates through the boilerplate postings —
+    // the exact answer itself is quadratic-sized here. capHeavyDocs mode
+    // bounds every emitted shingle's df at maxDfRatio*N: wall time across
+    // a 4x size step demonstrates the sub-quadratic candidate bound
+    // (quadratic growth would be 16x). Every 20th doc copies its block
+    // head's unique tail, so real (non-boilerplate) near-dup pairs exist
+    // at every size and must be found through the cap.
+    for (n <- sizes) {
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        expr("""concat(
+          | concat_ws(' ', transform(sequence(1, 18), i -> concat('bp', i))),
+          | ' ',
+          | concat_ws(' ', transform(sequence(1, 12), i -> concat('u', abs(xxhash64(
+          |   CASE WHEN id % 20 = 19 THEN id - 19 ELSE id END,
+          |   CAST(i AS BIGINT))) % 5000000))))""".stripMargin).as("text"))
+
+      val t0 = System.nanoTime()
+      val nJac = dedup.Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+        n = 3, minJaccard = 0.5, maxDfRatio = 0.1, capHeavyDocs = true).count()
+      val tJ = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+
+      val t1 = System.nanoTime()
+      val nCon = dedup.Dedup.containmentPairs(docs, "doc_id",
+        n = 3, minContainment = 0.7, maxDfRatio = 0.1, capHeavyDocs = true).count()
+      val tC = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+
+      println(f"n=$n capped_setsim_pairs=$nJac sec=$tJ%.1f | " +
+        f"capped_containment_pairs=$nCon sec=$tC%.1f")
+    }
     spark.stop()
   }
 }

@@ -954,9 +954,12 @@ object SparkEntry {
     //      p = n − ceil(t·n) + 1 (integer micros), size-band prune — so
     //      equality with the quadratic scan is a THEOREM, not a recall
     //      lottery; the exactness proof is in the Scaladoc ----
+    // registered WITH the df stop-list cap engaged (maxDfRatio=0.2):
+    // the oracle below is the uncapped exact all-pairs scan, so a green
+    // row is a standing proof the cap does not cost exactness
     ("q_setsim",
       (s, d) => Dedup.prefixFilterJaccardPairs(Tables(s, d).documents, "doc_id",
-        n = 3, minJaccard = 0.5),
+        n = 3, minJaccard = 0.5, maxDfRatio = 0.2),
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
@@ -1018,9 +1021,11 @@ object SparkEntry {
     //      filter): catches excerpt/boilerplate-wrapped copies whose
     //      Jaccard is low because the container is long; contained
     //      side's rare-first prefix × the corpus posting lists ----
+    //      (df cap engaged — maxDfRatio=0.2 — against the uncapped exact
+    //      oracle, same standing exactness proof as q_setsim)
     ("q_containment",
       (s, d) => Dedup.containmentPairs(Tables(s, d).documents, "doc_id",
-        n = 3, minContainment = 0.7),
+        n = 3, minContainment = 0.7, maxDfRatio = 0.2),
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle

@@ -221,33 +221,111 @@ object Dedup {
     * Shuffles: df count, df join, per-doc re-sort, candidate bucket join,
     * pair-local re-rank — all keyed, none all-pairs, no broadcast of
     * anything corpus-sized. Same output contract as [[jaccardPairs]].
+    *
+    * `maxDfRatio` caps candidate volume on boilerplate-heavy corpora
+    * WITHOUT giving up exactness. Shingles with df > maxDfRatio·N are
+    * stop-listed out of the candidate-generation universe, and each
+    * doc's prefix is recomputed on its REDUCED (non-stop) shingle set
+    * with an ADJUSTED requirement: J ≥ t forces full-set intersection
+    * ≥ ceil(t·sz), of which at most sStop (the doc's stop-shingle count)
+    * can be stop shingles, so reduced-set intersection ≥ req =
+    * ceil(t·sz) − sStop. While req ≥ 1 the pigeonhole argument holds on
+    * the reduced universe verbatim — the smallest common reduced shingle
+    * sits inside both reduced prefixes of length szRed − req + 1 — so
+    * these docs emit SHORT prefixes of rare shingles only. A doc whose
+    * req drops ≤ 0 (made almost entirely of stopword-grade shingles: the
+    * only class the cap cannot shorten) falls back to its UNCAPPED
+    * full-order prefix — which for such a doc provably contains all its
+    * non-stop shingles (see [[Dedup.emittedPrefixShingles]]). Exactness:
+    * every qualifying pair still co-emits ≥ 1 shingle — R×R via the
+    * smallest common reduced shingle in both reduced prefixes, R×H via
+    * the R side's guaranteed reduced-prefix shingle (non-stop, common,
+    * hence inside the H side's non-stop-complete prefix), H×H via the
+    * original full-universe pigeonhole on two uncapped prefixes — and
+    * the exact re-rank is unchanged. Default 1.0 = cap off (identical
+    * to the uncapped algorithm).
+    *
+    * `capHeavyDocs` is the SCALE mode for corpora where mostly-stopword
+    * docs are not a residue but the norm (web boilerplate): a corpus
+    * whose docs share a boilerplate block larger than (1−t) of their
+    * shingles has a QUADRATIC-sized exact answer — every pair of such
+    * docs qualifies — so no exact algorithm is sub-quadratic there.
+    * With capHeavyDocs=true, heavy (req ≤ 0) docs emit ALL their
+    * non-stop shingles instead of their uncapped prefix, making every
+    * emitted shingle's df ≤ maxDfRatio·N and the candidate volume
+    * ≤ Σ_shingle df² ≤ maxDfRatio·N · (total postings) — an explicit,
+    * tunable sub-quadratic bound. The price is a DOCUMENTED BOUNDED
+    * RECALL CUT: pairs whose qualifying overlap consists entirely of
+    * stopword-grade shingles (boilerplate-only duplication) are not
+    * surfaced; every surfaced pair still carries its EXACT full-set
+    * score (the re-rank never drops shingles), so precision is
+    * unaffected. Default false = exact.
     */
   def prefixFilterJaccardPairs(df: DataFrame, keyCol: String,
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5,
+      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1]: $minJaccard")
+    require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
     val tMicros = math.round(minJaccard * 1e6)
     val arr = shingleArrays(df, keyCol, textCol, n)
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
-    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    // Per-doc rare-first order: struct sort on (df, shingle) is a total
-    // deterministic order; the collect_list arrival order cannot leak.
-    val prefixes = long.join(dfreq, Seq("shingle"))
-      .groupBy(keyCol)
-      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_os"))
-      .select(col(keyCol), expr("transform(_os, s -> s.shingle)").as("_toks"),
-        size(col("_os")).cast("long").as("sz"))
-      .withColumn("_p",
-        expr(s"CAST(sz - ((${tMicros}L * sz + 999999) div 1000000) + 1 AS INT)"))
-      .select(col(keyCol), col("sz"),
-        explode(expr("slice(_toks, 1, _p)")).as("shingle"))
-    val cand = prefixes.toDF("doc_a", "size_a", "shingle")
-      .join(prefixes.toDF("doc_b", "size_b", "shingle"), Seq("shingle"))
+    val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
+      capHeavyDocs)
+      .select(col(keyCol), col("sz"), col("shingle"))
+    val cand = emitted.toDF("doc_a", "size_a", "shingle")
+      .join(emitted.toDF("doc_b", "size_b", "shingle"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("size_a"), col("size_b")) * 1000000L >=
           lit(tMicros) * greatest(col("size_a"), col("size_b")))
       .select("doc_a", "doc_b").distinct()
     exactJaccardFromArrays(arr, cand, keyCol, minJaccard)
+  }
+
+  /** Shared prefix-emission step for the exact join family: per doc, the
+    * rare-first prefix over the REDUCED (stop-listed) shingle set with
+    * the adjusted requirement req = ceil(tμ·sz) − sStop when req ≥ 1,
+    * or the UNCAPPED full-order prefix (length sz − ceil(tμ·sz) + 1)
+    * when req ≤ 0 (mostly-stopword docs). The full-order prefix of such
+    * a doc provably contains ALL its non-stop shingles — every non-stop
+    * shingle (df ≤ r·N) sorts strictly before every stop shingle
+    * (df > r·N) in the (df, shingle) order, and req ≤ 0 means the prefix
+    * length sz − ceilT + 1 ≥ szRed + 1 — which is what the R×H exactness
+    * case needs (see [[prefixFilterJaccardPairs]]). Returns
+    * (keyCol, sz, szRed, _req, _ceilT, shingle) rows. Struct sort on
+    * (df, shingle) is a total deterministic order, so the collect_list
+    * arrival order cannot leak.
+    */
+  private def emittedPrefixShingles(arr: DataFrame, long: DataFrame,
+      keyCol: String, tMicros: Long, maxDfRatio: Double,
+      capHeavyDocs: Boolean = false): DataFrame = {
+    // capHeavyDocs: heavy docs emit their whole REDUCED set (bounded-df
+    // universe, recall-cut mode) instead of the uncapped full prefix
+    val heavyEmit =
+      if (capHeavyDocs) "_tR" else "slice(_tF, 1, CAST(sz - _ceilT + 1 AS INT))"
+    val rMicros = math.round(maxDfRatio * 1e6)
+    val nDocs = arr.agg(count(lit(1)).as("_n"))
+    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_stop", col("_df") * 1000000L > col("_n") * lit(rMicros))
+      .select("shingle", "_df", "_stop")
+    long.join(dfreq, Seq("shingle"))
+      .groupBy(keyCol)
+      .agg(
+        sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_osF"),
+        sort_array(collect_list(when(!col("_stop"),
+          struct(col("_df"), col("shingle"))))).as("_osR"))
+      .select(col(keyCol),
+        expr("transform(_osF, s -> s.shingle)").as("_tF"),
+        expr("transform(_osR, s -> s.shingle)").as("_tR"),
+        size(col("_osF")).cast("long").as("sz"),
+        size(col("_osR")).cast("long").as("szRed"))
+      .withColumn("_ceilT", expr(s"(${tMicros}L * sz + 999999) div 1000000"))
+      .withColumn("_req", col("_ceilT") - (col("sz") - col("szRed")))
+      .select(col(keyCol), col("sz"), col("szRed"), col("_req"), col("_ceilT"),
+        explode(expr("CASE WHEN _req >= 1 " +
+          "THEN slice(_tR, 1, CAST(szRed - _req + 1 AS INT)) " +
+          s"ELSE $heavyEmit END")).as("shingle"))
   }
 
   /** EXACT directional containment join: pairs (a, b) where
@@ -262,37 +340,69 @@ object Dedup {
     * so by the same pigeonhole as the Jaccard form, A's rare-first
     * PREFIX of length |A| − ceil(t·|A|) + 1 must contain a common
     * shingle. Only the CONTAINED side gets a prefix; the container side
-    * has no size bound, so it contributes its FULL shingle postings (the
-    * inverted-index side of the join). Scale contract, stated honestly:
-    * candidate volume = Σ over A-prefix shingles of their posting-list
-    * length — bounded because prefixes hold each doc's RAREST shingles;
-    * a doc made entirely of corpus-stopword shingles degrades toward its
-    * full posting volume (cap with a df stop-list upstream if that class
-    * exists, as [[graft.text.TextAnalysis.invertedIndex]] does).
+    * contributes its shingle postings (the inverted-index side of the
+    * join).
+    *
+    * `maxDfRatio` is the scale lever for that container side: with the
+    * cap on, a contained doc whose adjusted requirement req =
+    * ceil(t·|A|) − sStop stays ≥ 1 emits its REDUCED rare-first prefix
+    * (the [[prefixFilterJaccardPairs]] argument, one-sided) and joins
+    * only the REDUCED postings — every posting list bounded by
+    * maxDfRatio·N, which is the cap the round-8 review asked to wire.
+    * Only mostly-stopword docs (req ≤ 0 — the one class no df cap can
+    * shorten) keep the uncapped full-order prefix against full postings;
+    * their count bounds the residual heavy volume and they route through
+    * the same exact re-rank, so the result stays EXACT at every setting.
+    * Default 1.0 = cap off (identical to the uncapped algorithm).
+    *
+    * `capHeavyDocs=true` is the scale mode for boilerplate-dominated
+    * corpora, where the heavy class is the norm and the exact answer is
+    * itself quadratic-sized (a pure-boilerplate doc is contained in
+    * EVERY doc carrying the block): heavy docs emit their non-stop
+    * shingles only and every candidate join runs against the REDUCED
+    * postings — posting lists bounded by maxDfRatio·N, candidate volume
+    * sub-quadratic by construction. Bounded recall cut as documented on
+    * [[prefixFilterJaccardPairs]]: containments that exist only through
+    * stopword-grade shingles are not surfaced; surfaced pairs keep
+    * their exact full-set scores.
     *
     * Output (directional, both orientations possible): (doc_a=contained,
     * doc_b=container, inter, size_a, size_b, containment).
     */
   def containmentPairs(df: DataFrame, keyCol: String, textCol: String = "text",
-      n: Int = 3, minContainment: Double = 0.7): DataFrame = {
+      n: Int = 3, minContainment: Double = 0.7,
+      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment in (0,1]: $minContainment")
+    require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
     val tMicros = math.round(minContainment * 1e6)
+    val rMicros = math.round(maxDfRatio * 1e6)
     val arr = shingleArrays(df, keyCol, textCol, n)
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
-    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    val prefixA = long.join(dfreq, Seq("shingle"))
-      .groupBy(keyCol)
-      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_os"))
-      .select(col(keyCol).as("doc_a"),
-        expr("transform(_os, s -> s.shingle)").as("_toks"),
-        size(col("_os")).cast("long").as("sz"))
-      .withColumn("_p",
-        expr(s"CAST(sz - ((${tMicros}L * sz + 999999) div 1000000) + 1 AS INT)"))
-      .select(col("doc_a"), explode(expr("slice(_toks, 1, _p)")).as("shingle"))
-    val cand = prefixA
-      .join(long.toDF("doc_b", "shingle"), Seq("shingle"))
+    val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
+      capHeavyDocs)
+    // container-side postings, reduced to non-stop shingles (recomputing
+    // the tiny df table here costs one extra shuffle over a cached input
+    // and keeps the helper's interface minimal)
+    val nDocs = arr.agg(count(lit(1)).as("_n"))
+    val stopFree = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_df") * 1000000L <= col("_n") * lit(rMicros))
+      .select("shingle")
+    val postRed = long.join(stopFree, Seq("shingle"))
+      .select(col(keyCol).as("doc_b"), col("shingle"))
+    val postFull = long.select(col(keyCol).as("doc_b"), col("shingle"))
+    val candR = emitted.filter(col("_req") >= 1)
+      .select(col(keyCol).as("doc_a"), col("shingle"))
+      .join(postRed, Seq("shingle"))
+    // heavy docs: exact mode joins full postings (stop shingles included);
+    // capHeavyDocs emits only non-stop shingles, so the reduced postings
+    // are sufficient and keep every list bounded by maxDfRatio·N
+    val candH = emitted.filter(col("_req") < 1)
+      .select(col(keyCol).as("doc_a"), col("shingle"))
+      .join(if (capHeavyDocs) postRed else postFull, Seq("shingle"))
+    val cand = candR.union(candH)
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val sized = arr.select(col(keyCol), col("sh"), size(col("sh")).cast("long").as("sz"))

@@ -247,6 +247,80 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df stop-list cap preserves exactness on a boilerplate-heavy corpus, " +
+      "including mostly-stopword docs (the heavy-residue group)") {
+    import spark.implicits._
+    // Adversarial shape for the exact joins: every doc shares an 8-word
+    // boilerplate header (its shingles reach df ≈ N, stopword-grade) and
+    // a few docs are ENTIRELY boilerplate — the req ≤ 0 class that must
+    // route through the uncapped fallback for the result to stay exact.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val rnd = new scala.util.Random(13)
+    val pool = Vector("u", "v", "w", "x", "y", "z")
+    val docs2 = (0L until 30L).map { i =>
+      val body =
+        if (i % 7 == 0) "" // pure-boilerplate doc: all shingles stopword-grade
+        else Vector.fill(6)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      (i, s"$boiler $body".trim)
+    }.toDF("doc_id", "text")
+    for (ratio <- Seq(0.1, 0.3, 1.0)) {
+      val jac = Dedup.prefixFilterJaccardPairs(docs2, "doc_id",
+        minJaccard = 0.5, maxDfRatio = ratio).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      val jacRef = Dedup.jaccardPairs(docs2, "doc_id", minJaccard = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      assert(jac === jacRef, s"jaccard ratio=$ratio")
+      assert(jacRef.nonEmpty)
+      val con = Dedup.containmentPairs(docs2, "doc_id",
+        minContainment = 0.7, maxDfRatio = ratio).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+      val ids = (0L until 30L)
+      val allPairs = ids.flatMap(a => ids.filter(_ != a).map(b => (a, b)))
+        .toDF("doc_a", "doc_b")
+      val conRef = Dedup.exactJaccardForPairs(docs2, allPairs, "doc_id",
+        minJaccard = 0.0)
+        .withColumn("containment", round(col("inter").cast("double") / col("size_a"), 6))
+        .filter(col("containment") >= 0.7)
+        .select("doc_a", "doc_b", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+      assert(con === conRef, s"containment ratio=$ratio")
+      assert(conRef.nonEmpty)
+    }
+  }
+
+  test("capHeavyDocs mode: precision-exact subset, losing EXACTLY the pairs " +
+      "whose overlap is all stopword-grade (the documented recall cut)") {
+    import spark.implicits._
+    // 10 docs all carrying a 10-word boilerplate block; doc 0 and 1 are
+    // PURE boilerplate (their containment in everyone rides only on stop
+    // shingles), docs 2-9 add distinct unique tails except 2 and 3 which
+    // share their tail (a real non-boilerplate near-dup pair).
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs2 = ((0L to 1L).map(i => (i, boiler)) ++
+      (2L to 3L).map(i => (i, s"$boiler shared tail words here")) ++
+      (4L to 9L).map(i => (i, s"$boiler tail$i only$i words$i"))).toDF("doc_id", "text")
+    val ratio = 0.5 // the boilerplate shingles (df = 10 = N) are stop-listed
+    val exact = Dedup.containmentPairs(docs2, "doc_id",
+      minContainment = 0.9, maxDfRatio = ratio).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    val capped = Dedup.containmentPairs(docs2, "doc_id",
+      minContainment = 0.9, maxDfRatio = ratio, capHeavyDocs = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // subset with identical scores (precision untouched)
+    capped.foreach { case (k, v) => assert(exact(k) === v, s"score drift at $k") }
+    // the pure-boilerplate docs 0/1 are contained in EVERYONE exactly;
+    // capped mode drops precisely those boilerplate-only containments
+    assert(exact.keySet.filter(_._1 == 0L).map(_._2) === (1L to 9L).toSet)
+    assert(!capped.keySet.exists(p => p._1 <= 1L || p._2 <= 1L))
+    // while the real shared-tail pair 2<->3 (common NON-stop shingles
+    // exist) survives the cut in both directions
+    assert(capped.contains((2L, 3L)) && capped.contains((3L, 2L)))
+    // and the lost set is exactly characterized: every dropped pair has
+    // zero common non-stop shingles beyond the boilerplate block
+    val dropped = exact.keySet -- capped.keySet
+    assert(dropped.nonEmpty && dropped.forall(p => p._1 <= 1L || p._2 <= 1L))
+  }
+
   test("keepRepresentatives keeps the best-quality doc per cluster, " +
       "singletons keep themselves, transitive chains collapse to one") {
     import org.apache.spark.sql.functions._
