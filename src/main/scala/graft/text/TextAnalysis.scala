@@ -437,10 +437,12 @@ object TextAnalysis {
   /** A deterministic stand-in weight table for [[hashedQualityScore]]:
     * one row per bucket in [0, nBuckets) with a pseudo-weight in
     * [-1000000, 1000000] micros derived from md5 of the seeded bucket
-    * index. In production the table comes from a TRAINED linear model
-    * (fastText / logistic regression coefficients, folded into buckets);
-    * this generator exists so the scoring path has a portable,
-    * engine-reproducible fixture.
+    * index. In production the table comes from a TRAINED linear model —
+    * [[graft.text.QualityTraining.trainQualityWeights]] produces one in
+    * exactly this format from spark.ml logistic regression; this
+    * generator exists so the ORACLE-CHECKED scoring path has a portable,
+    * engine-reproducible fixture (DuckDB can replay md5 pseudo-weights,
+    * not an LBFGS fit).
     */
   def hashWeightTable(spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
       seed: String = "w"): DataFrame = {

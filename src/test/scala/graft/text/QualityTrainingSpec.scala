@@ -1,0 +1,91 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityTrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: even ids draw from an "editorial" vocabulary, odd ids
+  // from a disjoint "spam" vocabulary. Token identity carries the whole
+  // signal; surface statistics (length, diversity) are engineered to be
+  // similar across classes so the weak labels are genuinely noisy.
+  private val goodVocab = Vector("harbor", "granite", "meadow", "lantern",
+    "copper", "orchard", "timber", "saddle", "willow", "ember", "garnet",
+    "thicket", "anchor", "bramble", "cinder", "drift", "fenn", "grove")
+  private val badVocab = Vector("clickz", "freebie", "winnow", "promo",
+    "blastx", "dealio", "spammy", "offerz", "buynow", "cheapo", "crypto",
+    "jackpt", "luckyx", "bonusz", "scamlt", "pumpit", "shill", "grift")
+
+  private def corpus(n: Int) = (0L until n.toLong).map { i =>
+    val vocab = if (i % 2 == 0) goodVocab else badVocab
+    val rnd = new scala.util.Random(i)
+    val words = Vector.fill(30)(vocab(rnd.nextInt(vocab.size)))
+    (i, words.mkString(" "), if (i % 2 == 0) 1.0 else 0.0)
+  }.toDF("doc_id", "text", "true_label")
+
+  test("trained weights separate planted classes that the weak-label " +
+      "heuristics cannot, and beat the hash stand-in by a wide margin") {
+    val docs = corpus(300)
+    // weak labels: the TRUE class with a deterministic 20% flip — the
+    // noisy supervision a real pipeline gets from heuristics
+    val weak = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 < 2, lit(1.0) - col("true_label"))
+        .otherwise(col("true_label")).as("label"))
+    val nBuckets = 4096
+    val (weights, bias) = QualityTraining.trainQualityWeights(
+      docs, "doc_id", weak, nBuckets, maxIter = 50, regParam = 0.01)
+
+    def accuracy(w: org.apache.spark.sql.DataFrame, b: Long, thr: Long) =
+      TextAnalysis.hashedQualityScore(docs, "doc_id", w, nBuckets,
+          biasMicros = b, thresholdMicros = thr)
+        .join(docs.select("doc_id", "true_label"), Seq("doc_id"))
+        .select(avg((col("keep").cast("double") === col("true_label"))
+          .cast("double")).as("acc"))
+        .head.getDouble(0)
+
+    val trained = accuracy(weights, bias, 0L)
+    // the deterministic stand-in table scores at its documented operating
+    // point (bias 0, threshold at the pseudo-weight midpoint 500000 —
+    // the q_qualclf registration's setting)
+    val standin = accuracy(TextAnalysis.hashWeightTable(spark, nBuckets),
+      0L, 500000L)
+    // token identity is fully separable: the trained model should be
+    // near-perfect despite 20% label noise; the stand-in is chance-level
+    assert(trained >= 0.95, s"trained accuracy $trained")
+    assert(trained >= standin + 0.2,
+      s"trained $trained should clearly beat stand-in $standin")
+  }
+
+  test("weakQualityLabels flags repetitive and degenerate-length docs") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog tonight"), // diverse
+      (1L, "spam spam spam spam spam spam spam spam"),           // repetitive
+      (2L, "a b c d e f g h i j"),                               // mean len 1
+      (3L, "honorificabilitudinitatibus antidisestablishmentarianism " +
+        "floccinaucinihilipilification pseudopseudohypoparathyroidism " +
+        "supercalifragilisticexpialidocious pneumonoultramicroscopicsilico " +
+        "hippopotomonstrosesquippedaliophobia thyroparathyroidectomized " +
+        "dichlorodifluoromethane electroencephalographically"))  // mean len > 9
+      .toDF("doc_id", "text")
+    val out = QualityTraining.weakQualityLabels(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(0L -> 1.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+  }
+
+  test("exported weights plug into the scoring path: keep == (margin >= 0) " +
+      "at the model's own decision boundary") {
+    val docs = corpus(100)
+    val weak = docs.select(col("doc_id"), col("true_label").as("label"))
+    val (weights, bias) = QualityTraining.trainQualityWeights(
+      docs, "doc_id", weak, 1024, maxIter = 30)
+    val scored = TextAnalysis.hashedQualityScore(docs, "doc_id", weights,
+      1024, biasMicros = bias, thresholdMicros = 0L)
+    // keep must be exactly score_micros >= 0 (the 0.5-probability line)
+    assert(scored.filter(col("keep") =!= (col("score_micros") >= 0L)).count() === 0L)
+    // and with clean labels the fit separates the corpus perfectly
+    val acc = scored.join(docs, Seq("doc_id"))
+      .filter(col("keep").cast("double") === col("true_label")).count()
+    assert(acc === 100L)
+  }
+}
