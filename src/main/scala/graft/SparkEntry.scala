@@ -1854,6 +1854,17 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS oov_micros
         |FROM sc""".stripMargin)),
 
+    // ---- distributed BPE merge learning (Sennrich subword units): 6
+    //      rounds of corpus-wide top-pair count + greedy merge, each
+    //      round one pair-count shuffle + one broadcast rewrite; oracle
+    //      replays the rounds as unrolled chained CTEs (the q_pagerank
+    //      pattern) with the identical (count DESC, lhs, rhs) tie-break
+    //      and double-space-delimited replace ----
+    ("q_bpe",
+      (s, d) => graft.text.BpeLearning.learnBpeMerges(
+        Tables(s, d).documents, rounds = 6),
+      Some(graft.text.BpeLearning.bpeOracleSql(6))),
+
     // ---- exact duplicated-substring coverage (Lee et al. ExactSubstr):
     //      stride-1 13-gram windows duplicated anywhere in the corpus;
     //      covered tokens from the merged-interval LEAD window ----

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-pair learning — the tokenizer-training step a
+  * pipeline runs between corpus curation and packing (Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL'16):
+  * start from characters, repeatedly count adjacent symbol pairs across
+  * the corpus and merge the most frequent pair, emitting the learned merge
+  * table that [[TextAnalysis.topVocabulary]]-style consumers apply.
+  *
+  * Determinism contract (identical on the DuckDB oracle side):
+  *  - words are whitespace tokens; symbols start as characters; no
+  *    end-of-word marker (merges never cross word boundaries because
+  *    each word is processed independently).
+  *  - the round's winner is (count DESC, lhs ASC, rhs ASC) — a total
+  *    order, so ties cannot make engines diverge.
+  *  - within a round, merging is canonical GREEDY LEFT-TO-RIGHT
+  *    NON-OVERLAPPING: "aaaa" under merge (a,a) → "aa aa" (disjoint
+  *    occurrences all merge), "aaa" → "aa a" (the overlap is skipped).
+  *    BOTH engines implement the round as one string replace over the
+  *    encoding " s1  s2  ...  sn " (symbols joined by TWO spaces,
+  *    single-space sentinels at the ends): the pattern ' lhs  rhs ' →
+  *    ' lhsrhs ' consumes exactly one space of each boundary gap, which
+  *    reproduces greedy non-overlapping scanning exactly, and the
+  *    double-space gap makes a symbol's delimiters unshareable so
+  *    multi-char symbols can never false-match inside a neighbor
+  *    ("xab ab" has no ' ab ' hit inside 'xab').
+  *
+  * Scale shape: one corpus-wide pair-count shuffle per round (keys =
+  * distinct adjacent pairs, model-sized) + one TakeOrdered(1) + one
+  * map-side broadcast-join rewrite of the word table; rounds are bounded
+  * by the caller. The word table is localCheckpoint-truncated per round
+  * so the plan does not re-embed all previous rounds (the kCore
+  * pattern). No driver collect of anything corpus-sized — the winning
+  * pair rides a broadcast 1-row crossJoin into the rewrite.
+  *
+  * Output: (merge_round, lhs, rhs, pair_count) — `pair_count` is the pair's
+  * corpus frequency at the START of its round. Named lhs/rhs because
+  * left/right are SQL keywords on the oracle side.
+  */
+object BpeLearning {
+
+  def learnBpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var words = TextAnalysis.withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(concat(lit(" "), concat_ws("  ", split(col("tok"), "")), lit(" "))
+        .as("w"))
+      .localCheckpoint()
+    var out: Option[DataFrame] = None
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = words
+        .select(expr("split(trim(w), '  ')").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .withColumn("merge_round", lit(r))
+        .localCheckpoint() // the winner is re-used by rewrite AND output
+      if (top.isEmpty) {
+        exhausted = true // fewer distinct pairs than requested rounds
+      } else {
+        words = words.crossJoin(broadcast(top))
+          .select(expr(
+            "replace(w, concat(' ', lhs, '  ', rhs, ' '), " +
+              "concat(' ', lhs, rhs, ' '))").as("w"))
+          .localCheckpoint()
+        out = Some(out.map(_.union(top)).getOrElse(top))
+        r += 1
+      }
+    }
+    out.map(_.select("merge_round", "lhs", "rhs", "pair_count"))
+      .getOrElse(docs.sparkSession.emptyDataFrame
+        .withColumn("merge_round", lit(0))
+        .withColumn("lhs", lit("")).withColumn("rhs", lit(""))
+        .withColumn("pair_count", lit(0L))
+        .limit(0).select("merge_round", "lhs", "rhs", "pair_count"))
+  }
+
+  /** DuckDB oracle for [[learnBpeMerges]]: the rounds unrolled as chained
+    * CTEs (the q_pagerank pattern), each round repeating the identical
+    * pair-count → (count DESC, lhs, rhs) top-1 → double-space-delimited
+    * replace over the `documents` table.
+    */
+  def bpeOracleSql(rounds: Int): String = {
+    require(rounds >= 1)
+    val w0 =
+      """w0 AS (SELECT ' ' || array_to_string(list_transform(range(1, len(tok) + 1), i -> tok[i]), '  ') || ' ' AS w
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |  WHERE len(tok) > 0)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pr.l AS lhs, pr.r AS rhs, count(*) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)), i -> struct_pack(l := s[i], r := s[i + 1]))) AS pr
+         |        FROM (SELECT string_split(trim(w), '  ') AS s FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT replace(w, ' ' || t$r.lhs || '  ' || t$r.rhs || ' ', ' ' || t$r.lhs || t$r.rhs || ' ') AS w
+         |  FROM w${r - 1}, t$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { r =>
+      s"SELECT $r AS merge_round, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM t$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH $w0,\n$roundsSql\n$unions"
+  }
+}

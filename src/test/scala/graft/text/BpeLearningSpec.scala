@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeLearningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
+
+  test("learned merges are hand-checkable on a planted corpus, with the " +
+      "(count DESC, lhs, rhs) tie-break") {
+    // words: abc x3, ab x1 -> round 1 pairs (a,b):4 (b,c):3 -> (a,b) wins;
+    // round 2: only (ab,c):3 remains; round 3: all words are single
+    // symbols -> learning stops early even though 5 rounds were allowed
+    val docs = Seq((1L, "abc abc abc"), (2L, "ab")).toDF("doc_id", "text")
+    val out = merges(BpeLearning.learnBpeMerges(docs, rounds = 5))
+    assert(out === Seq((1, "a", "b", 4L), (2, "ab", "c", 3L)))
+  }
+
+  test("within-round merging is canonical greedy left-to-right " +
+      "non-overlapping (disjoint occurrences merge, overlaps skip)") {
+    // round 1 merges (a,a) count 5 (3 in aaaa + 2 in aaa); greedy makes
+    // aaaa -> [aa, aa] (both disjoint pairs) and aaa -> [aa, a] (overlap
+    // skipped). Round 2: pairs (aa,aa):1 and (aa,a):1 tie on count ->
+    // rhs tie-break picks (aa,a). Round 3: only (aa,aa) remains.
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val out = merges(BpeLearning.learnBpeMerges(docs, rounds = 3))
+    assert(out === Seq((1, "a", "a", 5L), (2, "aa", "a", 1L),
+      (3, "aa", "aa", 1L)))
+  }
+
+  test("multi-char symbols never false-match inside a neighbor") {
+    // after (a,b) merges, word xab holds symbol sequence [x, ab]; the
+    // round-2 winner (x,ab) must come from THAT adjacency, never from a
+    // phantom 'ab' inside another symbol
+    val docs = Seq((1L, "xab xab ab")).toDF("doc_id", "text")
+    val out = merges(BpeLearning.learnBpeMerges(docs, rounds = 2))
+    assert(out === Seq((1, "a", "b", 3L), (2, "x", "ab", 2L)))
+  }
+}
