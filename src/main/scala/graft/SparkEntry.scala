@@ -1865,6 +1865,18 @@ object SparkEntry {
         Tables(s, d).documents, rounds = 6),
       Some(graft.text.BpeLearning.bpeOracleSql(6))),
 
+    // ---- tokenizer application: segment the corpus with the learned
+    //      merges (model-sized merge table folded into ONE codegen'd
+    //      replace chain — single pass, no joins) and account per doc;
+    //      seg_hash witnesses the full segmentation bit-exactly ----
+    ("q_bpe_apply",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        graft.text.BpeLearning.applyBpeMerges(docs, "doc_id",
+          graft.text.BpeLearning.learnBpeMerges(docs, rounds = 6))
+      },
+      Some(graft.text.BpeLearning.bpeApplyOracleSql(6))),
+
     // ---- exact duplicated-substring coverage (Lee et al. ExactSubstr):
     //      stride-1 13-gram windows duplicated anywhere in the corpus;
     //      covered tokens from the merged-interval LEAD window ----

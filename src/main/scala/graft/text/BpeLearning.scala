@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE merge-pair learning — the tokenizer-training step a
@@ -88,6 +88,50 @@ object BpeLearning {
         .limit(0).select("merge_round", "lhs", "rhs", "pair_count"))
   }
 
+  /** Apply a learned merge table to a corpus: segment every word with the
+    * merges in round order and account the result per document — the
+    * tokenizer-application step whose outputs (BPE token counts) feed
+    * packing and length-bucketed batching.
+    *
+    * Applying the R merges sequentially to the fresh character encoding
+    * reproduces the learning-time final state exactly (both are the same
+    * deterministic rewrites in the same order), so the oracle can replay
+    * learning and application in one CTE chain. The merge table is
+    * model-sized (R rows — bounded-by-contract driver collect, the MMR
+    * pool pattern); the application itself is ONE codegen'd projection:
+    * the R replaces fold into a single nested expression, one pass over
+    * the corpus, no joins and no per-round materialization.
+    *
+    * Output: (keyCol, n_words, n_chars, n_bpe_tokens, seg_hash) where
+    * seg_hash is md5 of the words' segmentations joined in word order —
+    * a bit-exact witness that the full segmentation (not just counts)
+    * matches across engines.
+    */
+  def applyBpeMerges(docs: DataFrame, keyCol: String, mergeTable: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val ms = mergeTable.orderBy("merge_round").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val words = TextAnalysis.withTokens(docs, textCol)
+      .select(col(keyCol), posexplode(col("tokens")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w0: Column = concat(lit(" "), concat_ws("  ", split(col("tok"), "")), lit(" "))
+    val encoded = ms.foldLeft(w0) { case (c, (l, r)) =>
+      // functions.replace (literal, non-regex) keeps symbols with regex
+      // metacharacters or quotes safe — no string-built expression
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words
+      .withColumn("w", trim(encoded))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(replace(col("w"), lit(" "), lit("")))).as("n_chars"),
+        sum(size(expr("split(w, '  ')"))).as("n_bpe_tokens"),
+        md5(concat_ws(" | ", expr(
+          "transform(sort_array(collect_list(struct(pos, w))), s -> s.w)")))
+          .as("seg_hash"))
+  }
+
   /** DuckDB oracle for [[learnBpeMerges]]: the rounds unrolled as chained
     * CTEs (the q_pagerank pattern), each round repeating the identical
     * pair-count → (count DESC, lhs, rhs) top-1 → double-space-delimited
@@ -112,5 +156,36 @@ object BpeLearning {
       s"SELECT $r AS merge_round, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM t$r"
     }.mkString("\nUNION ALL ")
     s"WITH $w0,\n$roundsSql\n$unions"
+  }
+
+  /** DuckDB oracle for learn-then-[[applyBpeMerges]]: the same unrolled
+    * round CTEs, but the word table carries (doc_id, pos) so the final
+    * state w{rounds} — which IS the applied segmentation — can be
+    * re-aggregated per document, including the order-sensitive seg_hash.
+    */
+  def bpeApplyOracleSql(rounds: Int): String = {
+    require(rounds >= 1)
+    val w0 =
+      """w0 AS (SELECT doc_id, pr.pos AS pos,
+        |    ' ' || array_to_string(list_transform(range(1, len(pr.tok) + 1), i -> pr.tok[i]), '  ') || ' ' AS w
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> struct_pack(pos := i, tok := toks[i]))) AS pr
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |  WHERE len(pr.tok) > 0)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pr.l AS lhs, pr.r AS rhs, count(*) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)), i -> struct_pack(l := s[i], r := s[i + 1]))) AS pr
+         |        FROM (SELECT string_split(trim(w), '  ') AS s FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT doc_id, pos, replace(w, ' ' || t$r.lhs || '  ' || t$r.rhs || ' ', ' ' || t$r.lhs || t$r.rhs || ' ') AS w
+         |  FROM w${r - 1}, t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $w0,
+       |$roundsSql
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(replace(trim(w), ' ', ''))) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(trim(w), '  '))) AS BIGINT) AS n_bpe_tokens,
+       |  md5(string_agg(trim(w), ' | ' ORDER BY pos)) AS seg_hash
+       |FROM w$rounds GROUP BY 1""".stripMargin
   }
 }

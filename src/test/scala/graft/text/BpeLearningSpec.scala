@@ -31,6 +31,35 @@ class BpeLearningSpec extends SparkSpec {
       (3, "aa", "aa", 1L)))
   }
 
+  test("applyBpeMerges segments a held-out doc with the learned merges, " +
+      "in merge order, with exact per-doc accounting") {
+    val train = Seq((1L, "abc abc abc"), (2L, "ab")).toDF("doc_id", "text")
+    val mergeTable = BpeLearning.learnBpeMerges(train, rounds = 5)
+    // held-out: "abcab" -> chars a b c a b -> (a,b): [ab, c, ab]
+    // -> (ab,c): [abc, ab]; plus a two-word doc exercising word order
+    val apply = Seq((10L, "abcab"), (11L, "ab abc")).toDF("doc_id", "text")
+    val out = BpeLearning.applyBpeMerges(apply, "doc_id", mergeTable)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("seg_hash")))).toMap
+    assert(out(10L)._1 === 1L && out(10L)._2 === 5L && out(10L)._3 === 2L)
+    assert(out(11L)._1 === 2L && out(11L)._2 === 5L && out(11L)._3 === 2L)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(10L)._4 === md5("abc  ab"))
+    assert(out(11L)._4 === md5("ab | abc"))
+  }
+
+  test("applyBpeMerges with an empty merge table is pure character " +
+      "segmentation") {
+    val docs = Seq((1L, "hi yo")).toDF("doc_id", "text")
+    val empty = BpeLearning.learnBpeMerges(docs, rounds = 1).limit(0)
+    val r = BpeLearning.applyBpeMerges(docs, "doc_id", empty).collect().head
+    assert(r.getAs[Long]("n_words") === 2L)
+    assert(r.getAs[Long]("n_chars") === 4L)
+    assert(r.getAs[Long]("n_bpe_tokens") === 4L) // every char its own token
+  }
+
   test("multi-char symbols never false-match inside a neighbor") {
     // after (a,b) merges, word xab holds symbol sequence [x, ab]; the
     // round-2 winner (x,ab) must come from THAT adjacency, never from a
