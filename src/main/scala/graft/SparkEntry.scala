@@ -1877,6 +1877,33 @@ object SparkEntry {
       },
       Some(graft.text.BpeLearning.bpeApplyOracleSql(6))),
 
+    // ---- Gopher-style composite quality gate (Rae et al. §A1.1):
+    //      word-count / mean-length / alphabetic / repetition rules,
+    //      all integer-micros exact — the standard pre-training filter
+    //      stack as one two-shuffle query ----
+    ("q_gopher",
+      (s, d) => CorpusCuration.gopherQualityRules(
+        Tables(s, d).documents, "doc_id", minTokens = 50L),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(max(tf) AS BIGINT) AS top_cnt,
+        |    CAST(sum(tf * len(token)) AS BIGINT) AS n_chars,
+        |    CAST(sum(CASE WHEN regexp_matches(token, '[A-Za-z]') THEN tf ELSE 0 END) AS BIGINT) AS n_alpha
+        |  FROM c GROUP BY 1),
+        |m AS (SELECT doc_id, n_tokens,
+        |    CAST(n_chars * 1000000 // n_tokens AS BIGINT) AS mean_len_micros,
+        |    CAST(n_alpha * 1000000 // n_tokens AS BIGINT) AS alpha_micros,
+        |    CAST(top_cnt * 1000000 // n_tokens AS BIGINT) AS top_share_micros
+        |  FROM a)
+        |SELECT doc_id, n_tokens, mean_len_micros, alpha_micros, top_share_micros,
+        |  n_tokens BETWEEN 50 AND 100000 AS r_wordcount,
+        |  mean_len_micros BETWEEN 3000000 AND 10000000 AS r_mean_len,
+        |  alpha_micros >= 800000 AS r_alpha,
+        |  top_share_micros <= 200000 AS r_repetition,
+        |  (n_tokens BETWEEN 50 AND 100000) AND (mean_len_micros BETWEEN 3000000 AND 10000000)
+        |    AND alpha_micros >= 800000 AND top_share_micros <= 200000 AS keep
+        |FROM m""".stripMargin)),
+
     // ---- exact duplicated-substring coverage (Lee et al. ExactSubstr):
     //      stride-1 13-gram windows duplicated anywhere in the corpus;
     //      covered tokens from the merged-interval LEAD window ----

@@ -556,6 +556,62 @@ object CorpusCuration {
         col("score_micros"), col("smp_rank"))
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 filtering heuristics — the
+    * standard pre-training quality gate, adapted to what is computable
+    * bit-exactly on two engines): per document,
+    *
+    *  - r_wordcount: token count in [minTokens, maxTokens]
+    *  - r_mean_len:  mean token length in [3, 10] characters
+    *  - r_alpha:     ≥ 80% of token occurrences contain a letter
+    *  - r_repetition: most frequent token ≤ 20% of all tokens
+    *  - keep = all rules pass
+    *
+    * All ratios are integer micros from exact long division (operands
+    * non-negative, so div ≡ floor on both engines) — thresholds compare
+    * bit-exactly, no IEEE boundary anywhere.
+    *
+    * Scale shape: two keyed shuffles — (doc, token) term frequencies,
+    * then the per-doc rollup (max tf gives the top-token share without
+    * materializing per-doc vocabularies). No windows, no corpus-wide
+    * broadcast.
+    *
+    * Output: (keyCol, n_tokens, mean_len_micros, alpha_micros,
+    * top_share_micros, r_wordcount, r_mean_len, r_alpha, r_repetition,
+    * keep).
+    */
+  def gopherQualityRules(docs: DataFrame, keyCol: String,
+      textCol: String = "text", minTokens: Long = 50L,
+      maxTokens: Long = 100000L): DataFrame = {
+    require(minTokens >= 0 && maxTokens >= minTokens,
+      s"bad token bounds: [$minTokens, $maxTokens]")
+    TextAnalysis.withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .groupBy(col(keyCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        max(col("tf")).as("top_cnt"),
+        sum(expr("tf * length(token)")).as("n_chars"),
+        sum(expr("CASE WHEN token RLIKE '[A-Za-z]' THEN tf ELSE 0 END"))
+          .as("n_alpha"))
+      .withColumn("mean_len_micros", expr("n_chars * 1000000L div n_tokens"))
+      .withColumn("alpha_micros", expr("n_alpha * 1000000L div n_tokens"))
+      .withColumn("top_share_micros", expr("top_cnt * 1000000L div n_tokens"))
+      .withColumn("r_wordcount",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_mean_len",
+        col("mean_len_micros").between(3000000L, 10000000L))
+      .withColumn("r_alpha", col("alpha_micros") >= 800000L)
+      .withColumn("r_repetition", col("top_share_micros") <= 200000L)
+      .withColumn("keep", col("r_wordcount") && col("r_mean_len") &&
+        col("r_alpha") && col("r_repetition"))
+      .select(keyCol, "n_tokens", "mean_len_micros", "alpha_micros",
+        "top_share_micros", "r_wordcount", "r_mean_len", "r_alpha",
+        "r_repetition", "keep")
+  }
+
   /** Funnel report: how many documents each curation stage removed. */
   def funnel(docs: DataFrame, config: Config = Config()): DataFrame = {
     val s = scored(docs, config)

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class CorpusCurationSpec extends SparkSpec {
   import spark.implicits._
@@ -325,5 +326,31 @@ class CorpusCurationSpec extends SparkSpec {
     }
     // doc 99 holds 1/9001 of the mass: it should essentially never win
     assert(winners.count(_ == 99L) <= 1)
+  }
+
+  test("gopherQualityRules: each rule trips on its planted violator and " +
+      "only the clean doc survives the composite gate") {
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ")      // all pass
+    val short = "just five little words here"                    // wordcount
+    val longTok = (1 to 60).map(_ => "honorificabilitudinity").mkString(" ") // mean len > 10 AND repetition
+    val numeric = (1 to 60).map(i => s"$i${i * 7}").mkString(" ") // no letters
+    val repetitive = ("spam " * 30 + clean).trim                  // top share > 20%
+    val docs = Seq((0L, clean), (1L, short), (2L, longTok), (3L, numeric),
+      (4L, repetitive)).toDF("doc_id", "text")
+    val out = CorpusCuration.gopherQualityRules(docs, "doc_id", minTokens = 50L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("r_wordcount"), r.getAs[Boolean]("r_mean_len"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_repetition"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(0L) === ((true, true, true, true, true)))
+    assert(!out(1L)._1 && !out(1L)._5)            // too short
+    assert(!out(2L)._2 && !out(2L)._4)            // 22-char tokens, all same
+    assert(!out(3L)._3 && !out(3L)._5)            // digits only
+    assert(!out(4L)._4 && out(4L)._1 && !out(4L)._5) // spam = 30/90 > 20%
+    // micros are exact long divisions: clean doc mean len is hand-computable
+    val cleanRow = CorpusCuration.gopherQualityRules(docs, "doc_id",
+      minTokens = 50L).filter(col("doc_id") === 0L).collect().head
+    val totalChars = (1 to 60).map(i => s"word$i".length.toLong).sum
+    assert(cleanRow.getAs[Long]("mean_len_micros") === totalChars * 1000000L / 60L)
   }
 }
