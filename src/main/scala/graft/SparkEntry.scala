@@ -1138,6 +1138,20 @@ object SparkEntry {
       },
       Some(PlantedRecallOracleSql)),
 
+    // Same planted-pair property for PQ-ADC (4 subspaces x 16 codes, the
+    // compressed linear scan): a planted partner shares the query's codes
+    // in every unchanged subspace by construction — identical subvectors
+    // map to identical codes whatever the codebook — so its ADC distance
+    // is the query's own quantization floor and it must reach top-5.
+    ("q_ann_pq",
+      (s, d) => {
+        val emb = plantedEmbeddings(s, d)
+        val directed = plantedDirected(s, d)
+        plantedRecall(directed, Similarity.pqAdcTopKFor(emb, "vec_id",
+          directed.select(col("query_id").as("vec_id")), k = 5, m = 4, kCodes = 16))
+      },
+      Some(PlantedRecallOracleSql)),
+
     // ---- multimodal plumbing (LLM-pipeline ops) ----
     ("q_multimodal",
       (s, d) => Multimodal.sampleChunks(

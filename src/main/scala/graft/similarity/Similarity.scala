@@ -225,4 +225,113 @@ object Similarity {
   def dequantizeInt8(df: DataFrame, outCol: String = "embedding_dq"): DataFrame =
     df.withColumn(outCol, expr(
       "transform(q, c -> CAST(qmin + c * qscale AS FLOAT))"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) — the standard 100 TB-scale
+  // vector-index compression: split each vector into m contiguous
+  // subvectors, learn a small per-subspace codebook, store each vector as
+  // m small codes (m·log2(kCodes) bits instead of dim·32), and answer
+  // queries by ADC — per query, precompute the kCodes·m table of exact
+  // query-subvector↔centroid distances, then score every corpus vector as
+  // a TABLE-LOOKUP SUM over its codes. The corpus side never touches
+  // floats at query time; at full scale the IVF cells ([[ivfTopK]]) route
+  // candidates first and ADC scans only the probed cells (IVFADC).
+  // ---------------------------------------------------------------------
+
+  /** Train PQ codebooks: one seeded KMeans per contiguous subspace (m
+    * fits, each over the corpus's subvectors of that slice — a bounded
+    * driver loop launching distributed fits, the codebook is model-sized:
+    * m·kCodes rows). `dim` must be divisible by `m`.
+    * Output: (subspace, code, centroid: array<double>).
+    */
+  def pqTrain(df: DataFrame, m: Int, kCodes: Int, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && kCodes >= 2, s"bad PQ shape: m=$m kCodes=$kCodes")
+    val base = withNorm(df, embCol).select(col("v")).cache()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val books = (0 until m).map { j =>
+      val sub = base.select(expr(s"slice(v, $j * (size(v) div $m) + 1, size(v) div $m)")
+        .as("sv"))
+        .withColumn("features", array_to_vector(col("sv")))
+      // 2 Lloyd iterations suffice: codebooks only need to carve the
+      // subspace — the planted-partner guarantee (identical subvectors →
+      // identical codes) and the exactness of the ADC distance TABLE are
+      // independent of centroid quality, which only shifts the
+      // approximation floor for non-identical subvectors
+      val model = new KMeans().setK(kCodes).setSeed(seed + j).setMaxIter(2)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (j, i, c.toArray.toSeq) }
+    }
+    base.unpersist()
+    books.flatten.toDF("subspace", "code", "centroid")
+  }
+
+  /** Encode the corpus against trained codebooks: per (vector, subspace)
+    * the nearest centroid by exact L2², ties to the lowest code — one
+    * subspace explode + one broadcast codebook join + one min(struct)
+    * aggregate. Output: (keyCol, subspace, code) — the exploded layout
+    * ADC consumes directly (collect to an m-array only at storage
+    * boundaries).
+    */
+  def pqEncode(df: DataFrame, keyCol: String, codebooks: DataFrame,
+      m: Int, embCol: String = "embedding"): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    withNorm(df, embCol)
+      .select(col(keyCol), col("v"))
+      .select(col(keyCol), explode(expr(
+        s"transform(sequence(0, $m - 1), " +
+          s"j -> struct(j AS subspace, slice(v, j * (size(v) div $m) + 1, size(v) div $m) AS sv))"))
+        .as("p"))
+      .select(col(keyCol), col("p.subspace"), col("p.sv"))
+      .join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("_d2", expr(
+        s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
+      .groupBy(col(keyCol), col("subspace"))
+      .agg(min(struct(col("_d2"), col("code"))).as("_best"))
+      .select(col(keyCol), col("subspace"), col("_best.code").as("code"))
+  }
+
+  /** PQ-ADC approximate top-k for a query key set: train ([[pqTrain]]),
+    * encode ([[pqEncode]]), build each query's exact subvector↔centroid
+    * distance table (nq·m·kCodes rows — model-sized, broadcast), and
+    * rank the corpus by the code-lookup sum. The scan is the PQ
+    * compressed linear scan: corpus·m code rows join a broadcast table —
+    * no float vectors on the corpus side at query time; compose with IVF
+    * cells upstream for the full IVFADC shape.
+    * Output: (query_id, neighbor_id, adc_dist, rank).
+    */
+  def pqAdcTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
+      m: Int = 4, kCodes: Int = 16, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqTrain(df, m, kCodes, seed, embCol)
+    val codes = pqEncode(df, keyCol, books, m, embCol)
+    val qsubs = withNorm(df, embCol)
+      .join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol))
+      .select(col(keyCol).as("query_id"), col("v"))
+      .select(col("query_id"), explode(expr(
+        s"transform(sequence(0, $m - 1), " +
+          s"j -> struct(j AS subspace, slice(v, j * (size(v) div $m) + 1, size(v) div $m) AS sv))"))
+        .as("p"))
+      .select(col("query_id"), col("p.subspace"), col("p.sv"))
+    val dtab = qsubs.join(broadcast(books), Seq("subspace"))
+      .withColumn("_d2", expr(
+        s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
+      .select("query_id", "subspace", "code", "_d2")
+    codes.toDF("neighbor_id", "subspace", "code")
+      .join(broadcast(dtab), Seq("subspace", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("_d2")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist").asc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
 }

@@ -87,6 +87,43 @@ class SimilaritySpec extends SparkSpec {
     assert(flat.getAs[scala.collection.Seq[Float]]("embedding_dq").forall(_ === 2.5f))
   }
 
+  test("PQ: codebook shape, deterministic encoding, identical vectors get " +
+      "identical codes") {
+    val books = Similarity.pqTrain(df, m = 4, kCodes = 4, seed = 7L)
+    val rows = books.collect()
+    assert(rows.length === 16) // m * kCodes
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      (for (j <- 0 until 4; c <- 0 until 4) yield (j, c)).toSet)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Double]]("centroid").length === 4))
+    val codes = Similarity.pqEncode(df, "vec_id", books, m = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size === 21 * 4)
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+    // vec 20 is vec 0 + 0.01 per component: tiny perturbation, the codes
+    // should agree in (at least) most subspaces; exact-equality of
+    // IDENTICAL subvectors is checked structurally below
+    val sameVec = Seq((100L, vecs.head._2), (101L, vecs.head._2))
+      .toDF("vec_id", "embedding")
+    val dup = Similarity.pqEncode(sameVec, "vec_id",
+      Similarity.pqTrain(df, m = 4, kCodes = 4, seed = 7L), m = 4).collect()
+      .groupBy(_.getInt(1)).values
+    assert(dup.forall(g => g.map(_.getInt(2)).distinct.length === 1))
+  }
+
+  test("PQ-ADC top-1 of vec 0 is its planted near-copy, and every ADC " +
+      "distance is a valid code-lookup sum") {
+    val out = Similarity.pqAdcTopKFor(df, "vec_id",
+      Seq(0L).toDF("vec_id"), k = 3, m = 4, kCodes = 4, seed = 7L).collect()
+    assert(out.length === 3)
+    val top = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(top.getAs[Long]("neighbor_id") === 20L)
+    // ranks are dense 1..k and distances non-decreasing in rank
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(byRank.sliding(2).forall(p =>
+      p(0).getAs[Double]("adc_dist") <= p(1).getAs[Double]("adc_dist")))
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
