@@ -954,6 +954,34 @@ object SparkEntry {
     //      p = n − ceil(t·n) + 1 (integer micros), size-band prune — so
     //      equality with the quadratic scan is a THEOREM, not a recall
     //      lottery; the exactness proof is in the Scaladoc ----
+    // ---- incremental batch-vs-corpus text dedup: docs with id % 10 == 0
+    //      play the nightly crawl, the rest the standing corpus; banded
+    //      signatures on both sides, candidates only where the batch
+    //      lands, exact re-rank — the oracle is the exact cross scan
+    //      (batch×corpus plus within-batch, earlier key senior) ----
+    ("q_incdedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Dedup.incrementalJaccardNearDups(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", n = 3, minJaccard = 0.5, numTables = 8)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS match_id, count(*) AS inter,
+        |    CASE WHEN b.doc_id % 10 = 0 THEN 'batch' ELSE 'corpus' END AS source
+        |  FROM s a JOIN s b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 = 0 AND (b.doc_id % 10 != 0 OR b.doc_id < a.doc_id)
+        |  GROUP BY 1, 2, 4)
+        |SELECT new_id, match_id,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard, source
+        |FROM p JOIN sz sa ON sa.doc_id = p.new_id JOIN sz sb ON sb.doc_id = p.match_id
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
+
     // registered WITH the df stop-list cap engaged (maxDfRatio=0.2):
     // the oracle below is the uncapped exact all-pairs scan, so a green
     // row is a standing proof the cap does not cost exactness

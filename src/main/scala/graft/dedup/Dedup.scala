@@ -538,6 +538,59 @@ object Dedup {
       .select("new_id", "match_id", "cosine", "source")
   }
 
+  /** Incremental batch-vs-corpus TEXT near-dup detection — the nightly-
+    * crawl form of [[jaccardPairsScalable]], mirroring
+    * [[incrementalEmbeddingNearDups]]'s contract for the shingle domain:
+    * a NEW batch is checked against an existing corpus (and its own
+    * earlier-keyed members) without ever re-pairing the corpus with
+    * itself. Both sides compute the SAME banded-MinHash signatures
+    * (per-table xxhash64 min over the shingle array — the index
+    * contract; a production corpus stores its signature table once),
+    * candidates come only from signatures the batch occupies, and the
+    * exact-Jaccard re-rank touches candidate pairs only. Work scales
+    * with the batch and its signature collisions, not the corpus pair
+    * count.
+    *
+    * Keys must be unique across corpus ∪ batch. Output: one row per
+    * accepted pair (new_id, match_id, jaccard, source) with source =
+    * 'corpus' | 'batch'; within-batch pairs keep the earlier key as the
+    * senior match (new_id > match_id — deterministic keep-first).
+    */
+  def incrementalJaccardNearDups(newBatch: DataFrame, corpus: DataFrame,
+      keyCol: String, textCol: String = "text", n: Int = 3,
+      minJaccard: Double = 0.5, numTables: Int = 8): DataFrame = {
+    val nbArr = shingleArrays(newBatch, keyCol, textCol, n)
+      .filter(size(col("sh")) > 0).cache()
+    val cbArr = shingleArrays(corpus, keyCol, textCol, n)
+      .filter(size(col("sh")) > 0).cache()
+    def sigs(arr: DataFrame, idName: String) = arr
+      .select(col(keyCol), posexplode(expr(
+        s"transform(sequence(0, ${numTables - 1}), " +
+          "t -> array_min(transform(sh, s -> xxhash64(s, t))))"))
+        .as(Seq("table_id", "sig")))
+      .toDF(idName, "table_id", "sig")
+    val nb = sigs(nbArr, "new_id")
+    val candCorpus = nb.join(sigs(cbArr, "match_id"), Seq("table_id", "sig"))
+      .select("new_id", "match_id").distinct()
+      .withColumn("source", lit("corpus"))
+    val candBatch = nb.join(nb.toDF("match_id", "table_id", "sig"),
+        Seq("table_id", "sig"))
+      .filter(col("new_id") > col("match_id"))
+      .select("new_id", "match_id").distinct()
+      .withColumn("source", lit("batch"))
+    val newSide = nbArr.select(col(keyCol).as("new_id"), col("sh").as("sha"))
+    val matchSide = cbArr.select(col(keyCol).as("match_id"), col("sh").as("shb"))
+      .unionByName(nbArr.select(col(keyCol).as("match_id"), col("sh").as("shb")))
+    candCorpus.unionByName(candBatch)
+      .join(newSide, Seq("new_id"))
+      .join(matchSide, Seq("match_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "match_id", "jaccard", "source")
+  }
+
   /** SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023): within
     * each cluster of a coarse partitioning of embedding space, drop every
     * vector that has a more-senior (smaller-key) cluster mate at cosine ≥

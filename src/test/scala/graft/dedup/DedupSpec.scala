@@ -288,6 +288,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJaccardNearDups finds batch-vs-corpus and within-batch " +
+      "near-dups without re-pairing the corpus, keeping the earlier key senior") {
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, phrase),
+      (2L, "completely unrelated corpus text with many distinct tokens here"),
+      (3L, "another standing document about something else entirely today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, phrase),                                    // dup of corpus 1
+      (11L, phrase + " extra"),                         // near-dup of 1 and 10
+      (12L, "fresh novel content nothing matches this at all ever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccardNearDups(batch, corpus, "doc_id",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("jaccard"), r.getAs[String]("source")))).toMap
+    assert(out((10L, 1L))._1 === 1.0 && out((10L, 1L))._2 === "corpus")
+    assert(out((11L, 1L))._2 === "corpus" && out((11L, 1L))._1 >= 0.5)
+    // within-batch: senior (earlier) key is the match side, never reversed
+    assert(out((11L, 10L))._2 === "batch")
+    assert(!out.contains((10L, 11L)))
+    // corpus never pairs with itself; the novel doc pairs with nothing
+    assert(out.keySet.forall { case (n2, _) => n2 >= 10L })
+    assert(!out.keySet.exists { case (n2, m2) => n2 == 12L || m2 == 12L })
+  }
+
   test("capHeavyDocs mode: precision-exact subset, losing EXACTLY the pairs " +
       "whose overlap is all stopword-grade (the documented recall cut)") {
     import spark.implicits._
