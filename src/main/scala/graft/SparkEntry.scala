@@ -982,6 +982,42 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.new_id JOIN sz sb ON sb.doc_id = p.match_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
+    // ---- contrastive negative sampling: per anchor (id % 50 == 0), 4
+    //      salted-hash negatives excluding the anchor's near-dup pairs
+    //      (false negatives poison a contrastive objective) — shares the
+    //      materialized pair graph; oracle replays with the exact pair
+    //      scan and the same md5 rank ----
+    ("q_negsample",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        CorpusCuration.negativeSamples(docs,
+          graft.dedup.PairGraph.documentsPairs(s, d, n = 3),
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", k = 4)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |ex AS (SELECT doc_a AS anchor_id, doc_b AS neg_id FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |cand AS (SELECT a.doc_id AS anchor_id, dd.doc_id AS neg_id
+        |  FROM documents a, documents dd
+        |  WHERE a.doc_id % 50 = 0 AND dd.doc_id != a.doc_id),
+        |c2 AS (SELECT c.anchor_id, c.neg_id FROM cand c
+        |  LEFT JOIN ex ON ex.anchor_id = c.anchor_id AND ex.neg_id = c.neg_id
+        |  WHERE ex.anchor_id IS NULL),
+        |h AS (SELECT anchor_id, neg_id,
+        |    ('0x' || substr(md5('ns0' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM c2),
+        |r AS (SELECT anchor_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY hv, neg_id) AS BIGINT) AS smp_rank
+        |  FROM h)
+        |SELECT anchor_id, neg_id, smp_rank FROM r WHERE smp_rank <= 4""".stripMargin)),
+
     // registered WITH the df stop-list cap engaged (maxDfRatio=0.2):
     // the oracle below is the uncapped exact all-pairs scan, so a green
     // row is a standing proof the cap does not cost exactness

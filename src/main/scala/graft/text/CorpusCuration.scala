@@ -612,6 +612,43 @@ object CorpusCuration {
         "r_repetition", "keep")
   }
 
+  /** Deterministic negative sampling for contrastive training data: for
+    * each anchor document, k pseudo-random negatives drawn from the
+    * corpus EXCLUDING the anchor itself and its near-duplicates (a
+    * near-dup sampled as a "negative" is a false negative that poisons a
+    * contrastive objective — the reason the near-dup pair graph feeds
+    * this step). Selection is a salted-md5 rank per (anchor, candidate),
+    * so the sample is reproducible across engines, partitionings and
+    * runs, and changes wholesale with the salt (the q_dsir/q_wsample
+    * determinism contract).
+    *
+    * Scale shape: anchors are a bounded query set (broadcast) crossed
+    * with the corpus — |anchors|·N rows, linear in the corpus like any
+    * per-anchor scoring pass; the near-dup exclusion is one anti-join on
+    * the pair graph; per-anchor top-k compiles to WindowGroupLimit (map-
+    * side k-cut, no global sort).
+    *
+    * Output: (anchor_id, neg_id, smp_rank), smp_rank 1..k.
+    */
+  def negativeSamples(docs: DataFrame, pairs: DataFrame, anchors: DataFrame,
+      keyCol: String, k: Int, salt: String = "ns0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val cands = broadcast(anchors.select(col(keyCol).as("anchor_id")))
+      .crossJoin(docs.select(col(keyCol).as("neg_id")))
+      .filter(col("anchor_id") =!= col("neg_id"))
+    val excl = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("neg_id"))
+      .unionByName(pairs.select(col("doc_b").as("anchor_id"), col("doc_a").as("neg_id")))
+    cands.join(excl, Seq("anchor_id", "neg_id"), "left_anti")
+      .withColumn("_h", expr(
+        s"CAST(conv(substr(md5(concat('$salt', CAST(anchor_id AS STRING), ':', " +
+          "CAST(neg_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("_h"), col("neg_id"))).cast("long"))
+      .filter(col("smp_rank") <= k)
+      .select("anchor_id", "neg_id", "smp_rank")
+  }
+
   /** Funnel report: how many documents each curation stage removed. */
   def funnel(docs: DataFrame, config: Config = Config()): DataFrame = {
     val s = scored(docs, config)

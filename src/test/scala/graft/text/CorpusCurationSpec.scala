@@ -328,6 +328,29 @@ class CorpusCurationSpec extends SparkSpec {
     assert(winners.count(_ == 99L) <= 1)
   }
 
+  test("negativeSamples: exactly k negatives per anchor, near-dups and self " +
+      "excluded, deterministic yet salt-sensitive") {
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 7L), (13L, 0L)).toDF("doc_a", "doc_b") // 0's near-dups: 7, 13
+    val anchors = Seq(Tuple1(0L), Tuple1(10L)).toDF("doc_id")
+    val out = CorpusCuration.negativeSamples(docs, pairs, anchors, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_._1 == 0L) === 5 && out.count(_._1 == 10L) === 5)
+    // near-dups of anchor 0 (both pair orientations) and the anchor itself
+    // never appear as its negatives
+    val neg0 = out.filter(_._1 == 0L).map(_._2).toSet
+    assert(!neg0.contains(0L) && !neg0.contains(7L) && !neg0.contains(13L))
+    // ranks dense 1..k per anchor
+    assert(out.filter(_._1 == 0L).map(_._3).sorted.toSeq === (1L to 5L))
+    // deterministic under repartitioning; different salt, different sample
+    val again = CorpusCuration.negativeSamples(docs.repartition(7), pairs,
+      anchors, "doc_id", k = 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    val salted = CorpusCuration.negativeSamples(docs, pairs, anchors, "doc_id",
+      k = 5, salt = "other").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted !== out.map(r => (r._1, r._2)).toSet)
+  }
+
   test("gopherQualityRules: each rule trips on its planted violator and " +
       "only the clean doc survives the composite gate") {
     val clean = (1 to 60).map(i => s"word$i").mkString(" ")      // all pass
