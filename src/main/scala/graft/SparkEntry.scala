@@ -1233,6 +1233,20 @@ object SparkEntry {
       },
       Some(PlantedRecallOracleSql)),
 
+    // The full IVFADC index shape (coarse cells route, residual-PQ codes
+    // score): a planted partner shares its query's coarse cell (the two
+    // vectors are near-identical), lands in the first probed cell, and
+    // its residual codes equal the query's — ADC floor, top-5 guaranteed.
+    ("q_ann_ivfpq",
+      (s, d) => {
+        val emb = plantedEmbeddings(s, d)
+        val directed = plantedDirected(s, d)
+        plantedRecall(directed, Similarity.ivfPqTopKFor(emb, "vec_id",
+          directed.select(col("query_id").as("vec_id")), k = 5,
+          nClusters = 16, nProbe = 8, m = 4, kCodes = 16))
+      },
+      Some(PlantedRecallOracleSql)),
+
     // ---- multimodal plumbing (LLM-pipeline ops) ----
     ("q_multimodal",
       (s, d) => Multimodal.sampleChunks(

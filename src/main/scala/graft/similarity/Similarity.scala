@@ -305,6 +305,78 @@ object Similarity {
     * cells upstream for the full IVFADC shape.
     * Output: (query_id, neighbor_id, adc_dist, rank).
     */
+  /** Faithful IVFADC (Jégou et al. 2011 §IV): the coarse IVF quantizer
+    * routes, PQ encodes the RESIDUAL x − C[cell(x)] (residuals
+    * concentrate near the origin, so the same kCodes budget buys a much
+    * finer grid than raw-vector PQ), and each query builds one distance
+    * table PER PROBED CELL against its own residual q − C[cell]. The
+    * scan touches only code rows of probed cells — candidate volume
+    * ≈ nProbe/nClusters of the corpus, each candidate a table-lookup
+    * sum. This is the index shape that serves billion-vector corpora.
+    *
+    * Output: (query_id, neighbor_id, adc_dist, rank).
+    */
+  def ivfPqTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
+      nClusters: Int = 16, nProbe: Int = 8, m: Int = 4, kCodes: Int = 16,
+      seed: Long = 42L, embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"))
+      .withColumn("features", array_to_vector(col("v"))).cache()
+    val coarse = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(4)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(base)
+    val centroids = df.sparkSession.createDataFrame(
+      coarse.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "ccent")
+    val assigned = coarse.transform(base)
+      .select(col(keyCol), col("v"), col("cell"))
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("resid", expr("zip_with(v, ccent, (x, c) -> x - c)"))
+    // PQ over pooled residuals (the standard single-codebook choice)
+    val books = pqTrain(assigned.select(col(keyCol), col("resid")),
+      m, kCodes, seed + 1000, embCol = "resid")
+    val codes = pqEncode(assigned.select(col(keyCol), col("resid")),
+      keyCol, books, m, embCol = "resid")
+      .join(assigned.select(col(keyCol), col("cell")), Seq(keyCol))
+    // probe routing: each query's nProbe nearest coarse cells by L2
+    val queries = base
+      .join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol))
+      .select(col(keyCol).as("query_id"), col("v").as("qv"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("_d2", expr(
+        "graft_dot(qv, qv) - 2.0D * graft_dot(qv, ccent) + graft_dot(ccent, ccent)"))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_d2").asc, col("cell"))))
+      .filter(col("_pr") <= nProbe)
+      .withColumn("qresid", expr("zip_with(qv, ccent, (x, c) -> x - c)"))
+      .select("query_id", "cell", "qresid")
+    // one distance table per (query, probed cell): exact L2^2 of the
+    // query's cell-residual subvectors vs the residual codebooks
+    val dtab = probes
+      .select(col("query_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, $m - 1), " +
+          s"j -> struct(j AS subspace, slice(qresid, j * (size(qresid) div $m) + 1, size(qresid) div $m) AS sv))"))
+        .as("p"))
+      .select(col("query_id"), col("cell"), col("p.subspace"), col("p.sv"))
+      .join(broadcast(books), Seq("subspace"))
+      .withColumn("_d2", expr(
+        s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
+      .select("query_id", "cell", "subspace", "code", "_d2")
+    base.unpersist()
+    codes.toDF("neighbor_id", "subspace", "code", "cell")
+      .join(broadcast(dtab), Seq("cell", "subspace", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("_d2")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist").asc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+
   def pqAdcTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
       m: Int = 4, kCodes: Int = 16, seed: Long = 42L,
       embCol: String = "embedding"): DataFrame = {

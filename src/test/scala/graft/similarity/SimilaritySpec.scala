@@ -124,6 +124,21 @@ class SimilaritySpec extends SparkSpec {
       p(0).getAs[Double]("adc_dist") <= p(1).getAs[Double]("adc_dist")))
   }
 
+  test("IVFADC (residual PQ inside probed cells) top-1 of vec 0 is its " +
+      "planted near-copy") {
+    val out = Similarity.ivfPqTopKFor(df, "vec_id", Seq(0L).toDF("vec_id"),
+      k = 3, nClusters = 4, nProbe = 2, m = 4, kCodes = 4, seed = 7L).collect()
+    assert(out.nonEmpty)
+    val top = out.find(_.getAs[Long]("rank") == 1L).get
+    // the near-copy shares the query's coarse cell (they are ~identical),
+    // so its residual codes match the query's and it wins the ADC scan
+    assert(top.getAs[Long]("neighbor_id") === 20L)
+    // candidates only from probed cells: never more than the corpus size,
+    // ranks dense from 1
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ===
+      (1L to out.length.toLong))
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
