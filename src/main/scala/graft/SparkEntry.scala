@@ -99,6 +99,40 @@ object SparkEntry {
   private val bpeMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
+  private val annIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Session-memoized persisted PQ index over the planted embeddings —
+    * built once per dir with [[Similarity.buildPqIndex]], saved through
+    * [[graft.similarity.VectorIndexStore]], loaded thereafter: the
+    * registered query exercises the build-once/query-many contract the
+    * store exists for (q_ann_ivf keeps pricing a live KMeans fit).
+    */
+  private def pqIndexFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = annIndexMemo.getOrElseUpdate(s"pq|$dir", {
+      val (books, codes) = Similarity.buildPqIndex(
+        plantedEmbeddings(spark, dir), "vec_id", m = 4, kCodes = 16)
+      val out = java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+      graft.similarity.VectorIndexStore.savePq(out, books, codes)
+      out
+    })
+    graft.similarity.VectorIndexStore.loadPq(spark, path)
+  }
+
+  /** Same memoized-persisted-index contract for IVFADC. */
+  private def ivfPqIndexFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val path = annIndexMemo.getOrElseUpdate(s"ivfpq|$dir", {
+      val (centroids, books, codes) = Similarity.buildIvfPqIndex(
+        plantedEmbeddings(spark, dir), "vec_id", nClusters = 16, m = 4, kCodes = 16)
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfpqidx-").toString
+      graft.similarity.VectorIndexStore.saveIvfPq(out, centroids, books, codes)
+      out
+    })
+    graft.similarity.VectorIndexStore.loadIvfPq(spark, path)
+  }
+
   /** Session-memoized 6-round BPE merge table over `documents` in `dir`
     * (model-sized — 6 rows — collected once and replayed as a local
     * relation; learning is fully deterministic, so the memo is too).
@@ -1228,8 +1262,10 @@ object SparkEntry {
       (s, d) => {
         val emb = plantedEmbeddings(s, d)
         val directed = plantedDirected(s, d)
-        plantedRecall(directed, Similarity.pqAdcTopKFor(emb, "vec_id",
-          directed.select(col("query_id").as("vec_id")), k = 5, m = 4, kCodes = 16))
+        val (books, codes) = pqIndexFor(s, d)
+        plantedRecall(directed, Similarity.pqAdcTopKWithIndex(emb, "vec_id",
+          books, codes, directed.select(col("query_id").as("vec_id")),
+          k = 5, m = 4))
       },
       Some(PlantedRecallOracleSql)),
 
@@ -1241,9 +1277,11 @@ object SparkEntry {
       (s, d) => {
         val emb = plantedEmbeddings(s, d)
         val directed = plantedDirected(s, d)
-        plantedRecall(directed, Similarity.ivfPqTopKFor(emb, "vec_id",
+        val (centroids, books, codes) = ivfPqIndexFor(s, d)
+        plantedRecall(directed, Similarity.ivfPqTopKWithIndex(emb, "vec_id",
+          centroids, books, codes,
           directed.select(col("query_id").as("vec_id")), k = 5,
-          nClusters = 16, nProbe = 8, m = 4, kCodes = 16))
+          nProbe = 8, m = 4))
       },
       Some(PlantedRecallOracleSql)),
 

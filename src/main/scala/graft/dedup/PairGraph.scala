@@ -28,23 +28,15 @@ import graft.core.Tables
   * generation inside its own timing, later consumers read a small file.
   */
 object PairGraph {
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Banded-MinHash near-dup pairs (doc_a, doc_b, jaccard) over
     * `documents` in `dataDir`, materialized once per session per
-    * parameterization.
+    * parameterization (via [[graft.core.Materialize]]).
     */
   def documentsPairs(spark: SparkSession, dataDir: String, n: Int,
-      minJaccard: Double = 0.5, numHashTables: Int = 8): DataFrame = {
-    val key = s"$dataDir|$n|$minJaccard|$numHashTables"
-    val path = memo.computeIfAbsent(key, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft-pairs-").toString
+      minJaccard: Double = 0.5, numHashTables: Int = 8): DataFrame =
+    graft.core.Materialize.once(spark,
+      s"pairs|$dataDir|$n|$minJaccard|$numHashTables") {
       Dedup.jaccardPairsScalable(Tables(spark, dataDir).documents, "doc_id",
         n = n, minJaccard = minJaccard, numHashTables = numHashTables)
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-    spark.read.parquet(path)
-  }
+    }
 }

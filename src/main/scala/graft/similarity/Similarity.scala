@@ -319,9 +319,22 @@ object Similarity {
   def ivfPqTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
       nClusters: Int = 16, nProbe: Int = 8, m: Int = 4, kCodes: Int = 16,
       seed: Long = 42L, embCol: String = "embedding"): DataFrame = {
+    val (centroids, books, codes) =
+      buildIvfPqIndex(df, keyCol, nClusters, m, kCodes, seed, embCol)
+    ivfPqTopKWithIndex(df, keyCol, centroids, books, codes, queryIds, k,
+      nProbe, m, embCol)
+  }
+
+  /** Build the IVFADC index artifacts — all plain DataFrames, so they
+    * persist as parquet ([[VectorIndexStore]]) and a 100 TB corpus
+    * builds them ONCE: (centroids (cell, ccent), residual codebooks
+    * (subspace, code, centroid), codes (keyCol, subspace, code, cell)).
+    */
+  def buildIvfPqIndex(df: DataFrame, keyCol: String, nClusters: Int = 16,
+      m: Int = 4, kCodes: Int = 16, seed: Long = 42L,
+      embCol: String = "embedding"): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
     val base = withNorm(df, embCol).select(col(keyCol), col("v"))
       .withColumn("features", array_to_vector(col("v"))).cache()
     val coarse = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(4)
@@ -340,8 +353,22 @@ object Similarity {
     val codes = pqEncode(assigned.select(col(keyCol), col("resid")),
       keyCol, books, m, embCol = "resid")
       .join(assigned.select(col(keyCol), col("cell")), Seq(keyCol))
+      .select(col(keyCol), col("subspace"), col("code"), col("cell"))
+    base.unpersist()
+    (centroids, books, codes)
+  }
+
+  /** Query a prebuilt IVFADC index ([[buildIvfPqIndex]] or
+    * [[VectorIndexStore.loadIvfPq]]): probe routing + per-(query, cell)
+    * residual distance tables + the code-lookup ADC scan of probed
+    * cells only.
+    */
+  def ivfPqTopKWithIndex(df: DataFrame, keyCol: String, centroids: DataFrame,
+      books: DataFrame, codes: DataFrame, queryIds: DataFrame, k: Int,
+      nProbe: Int = 8, m: Int = 4, embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // probe routing: each query's nProbe nearest coarse cells by L2
-    val queries = base
+    val queries = withNorm(df, embCol)
       .join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol))
       .select(col(keyCol).as("query_id"), col("v").as("qv"))
     val probes = queries.join(broadcast(centroids))
@@ -364,7 +391,6 @@ object Similarity {
       .withColumn("_d2", expr(
         s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
       .select("query_id", "cell", "subspace", "code", "_d2")
-    base.unpersist()
     codes.toDF("neighbor_id", "subspace", "code", "cell")
       .join(broadcast(dtab), Seq("cell", "subspace", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -380,9 +406,29 @@ object Similarity {
   def pqAdcTopKFor(df: DataFrame, keyCol: String, queryIds: DataFrame, k: Int,
       m: Int = 4, kCodes: Int = 16, seed: Long = 42L,
       embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (books, codes) = buildPqIndex(df, keyCol, m, kCodes, seed, embCol)
+    pqAdcTopKWithIndex(df, keyCol, books, codes, queryIds, k, m, embCol)
+  }
+
+  /** Build the plain-PQ index artifacts (codebooks + corpus codes) — both
+    * plain DataFrames, persistable via [[VectorIndexStore]]; built once
+    * per corpus in production.
+    */
+  def buildPqIndex(df: DataFrame, keyCol: String, m: Int = 4,
+      kCodes: Int = 16, seed: Long = 42L,
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
     val books = pqTrain(df, m, kCodes, seed, embCol)
-    val codes = pqEncode(df, keyCol, books, m, embCol)
+    (books, pqEncode(df, keyCol, books, m, embCol))
+  }
+
+  /** Query a prebuilt plain-PQ index: per-query exact distance table vs
+    * the codebooks, code-lookup sum over the whole code table (the
+    * compressed linear scan — route with IVF upstream for IVFADC).
+    */
+  def pqAdcTopKWithIndex(df: DataFrame, keyCol: String, books: DataFrame,
+      codes: DataFrame, queryIds: DataFrame, k: Int, m: Int = 4,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qsubs = withNorm(df, embCol)
       .join(broadcast(queryIds.select(col(keyCol))), Seq(keyCol))
       .select(col(keyCol).as("query_id"), col("v"))

@@ -139,6 +139,30 @@ class SimilaritySpec extends SparkSpec {
       (1L to out.length.toLong))
   }
 
+  test("VectorIndexStore round-trip: a saved-then-loaded index answers " +
+      "identically to the fresh one (build once, query many)") {
+    def canon(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"),
+        x.getAs[Double]("adc_dist"), x.getAs[Long]("rank"))).sortBy(t => (t._1, t._4)).toSeq
+    val q = Seq(0L, 5L).toDF("vec_id")
+    val (books, codes) = Similarity.buildPqIndex(df, "vec_id", m = 4, kCodes = 4, seed = 7L)
+    val fresh = canon(Similarity.pqAdcTopKWithIndex(df, "vec_id", books, codes, q, k = 3, m = 4))
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString
+    VectorIndexStore.savePq(dir, books, codes)
+    val (b2, c2) = VectorIndexStore.loadPq(spark, dir)
+    assert(canon(Similarity.pqAdcTopKWithIndex(df, "vec_id", b2, c2, q, k = 3, m = 4)) === fresh)
+    // same for the IVFADC triple
+    val (cent, ib, ic) = Similarity.buildIvfPqIndex(df, "vec_id",
+      nClusters = 4, m = 4, kCodes = 4, seed = 7L)
+    val ifresh = canon(Similarity.ivfPqTopKWithIndex(df, "vec_id", cent, ib, ic, q,
+      k = 3, nProbe = 2, m = 4))
+    val dir2 = java.nio.file.Files.createTempDirectory("vidx2").toString
+    VectorIndexStore.saveIvfPq(dir2, cent, ib, ic)
+    val (lc, lb, lk) = VectorIndexStore.loadIvfPq(spark, dir2)
+    assert(canon(Similarity.ivfPqTopKWithIndex(df, "vec_id", lc, lb, lk, q,
+      k = 3, nProbe = 2, m = 4)) === ifresh)
+  }
+
   test("LSH results are a subset of brute-force candidates with correct cosines") {
     val brute = Similarity.bruteForceTopK(df, "vec_id", col("vec_id") < 5, k = 20)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
