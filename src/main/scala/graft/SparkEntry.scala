@@ -2001,6 +2001,27 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS oov_micros
         |FROM sc""".stripMargin)),
 
+    // ---- Zipf power-law fit over the top-100 tokens (corpus-health
+    //      diagnostic): integer-micros logs, exact integer OLS sums, one
+    //      boundary double per coefficient ----
+    ("q_zipf",
+      (s, d) => TextAnalysis.zipfSlope(Tables(s, d).documents, topN = 100),
+      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM top),
+        |m AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM m)
+        |SELECT n AS n_fit,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6, 6) AS zipf_intercept
+        |FROM a""".stripMargin)),
+
     // ---- distributed BPE merge learning (Sennrich subword units): 6
     //      rounds of corpus-wide top-pair count + greedy merge, each
     //      round one pair-count shuffle + one broadcast rewrite; oracle

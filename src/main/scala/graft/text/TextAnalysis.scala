@@ -369,6 +369,50 @@ object TextAnalysis {
       .withColumn("top_token_share",
         round(col("top_token_count").cast("double") / col("n_tokens"), 6))
 
+  /** Zipf power-law fit over the top-`topN` corpus tokens — the standard
+    * corpus-health diagnostic (natural text has log-log slope ≈ −1;
+    * boilerplate-heavy or templated corpora flatten, deduplicated
+    * near-uniform corpora steepen). Ordinary least squares of
+    * ln(count) on ln(rank), computed the engine-portable way: per-row
+    * logs as integer micros (floor(ln·10⁶ + 0.5)), ALL sums exact
+    * integer arithmetic, and the closed-form slope/intercept each one
+    * double division at the boundary — exact-int inputs, so the doubles
+    * compare bit-identically across engines.
+    *
+    * Scale shape: one token-count shuffle, a TakeOrdered(topN) cut
+    * (never a global sort), then a model-sized (topN-row) unpartitioned
+    * window and a 1-row aggregate.
+    *
+    * Output: one row (n_fit, zipf_slope, zipf_intercept).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, "topN must be >= 2")
+    val top = withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .withColumn("x", expr("CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n").as("n_fit"),
+        round(expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"), 6)
+          .as("zipf_slope"),
+        // intercept via means (ȳ − slope·x̄): the direct closed form's
+        // sy·sxx term overflows 64-bit; every operand here is an exact
+        // ≤2⁶³ integer and the double expression tree is identical on
+        // both engines, so the result still compares bit-exactly
+        round(expr("((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+          "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Top-`vocabSize` corpus tokens by frequency — the tokenizer-vocab
     * selection step. Deterministic tie-break (count desc, token asc) so
     * the vocabulary is reproducible across runs and engines. The sort is

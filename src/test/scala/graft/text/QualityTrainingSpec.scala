@@ -57,6 +57,27 @@ class QualityTrainingSpec extends SparkSpec {
       s"trained $trained should clearly beat stand-in $standin")
   }
 
+  test("zipfSlope recovers the planted exponent on an exact power-law corpus") {
+    // token t_i planted with frequency floor(6000 / i^1.0): slope ≈ -1
+    val words = (1 to 100).flatMap(i => Seq.fill(6000 / i)(f"t$i%03d"))
+    val docs = words.grouped(500).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(docs, topN = 100).collect().head
+    assert(r.getAs[Long]("n_fit") === 100L)
+    val slope = r.getAs[Double]("zipf_slope")
+    // floor() quantization of counts biases the tail slightly steep;
+    // the fit must still land in a tight band around -1
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope")
+    // intercept ≈ ln(6000) ≈ 8.7 in natural-log units
+    val icpt = r.getAs[Double]("zipf_intercept")
+    assert(icpt > 8.0 && icpt < 9.3, s"intercept $icpt")
+    // a uniform corpus (all counts equal) fits slope ≈ 0
+    val flatDocs = Seq((0L, (1 to 50).map(i => s"u$i u$i u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flat = TextAnalysis.zipfSlope(flatDocs, topN = 50).collect().head
+    assert(math.abs(flat.getAs[Double]("zipf_slope")) < 1e-6)
+  }
+
   test("weakQualityLabels flags repetitive and degenerate-length docs") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over a lazy dog tonight"), // diverse
