@@ -2001,6 +2001,20 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS oov_micros
         |FROM sc""".stripMargin)),
 
+    // ---- k-anonymity / l-diversity privacy gate over customer
+    //      metadata: quasi-IDs (nation, segment), sensitive = account-
+    //      balance thousand-bucket; a group is at risk below k=10
+    //      members or l=3 distinct sensitive values ----
+    ("q_kanon",
+      (s, d) => graft.quality.DataQuality.kAnonymityReport(
+        Tables(s, d).customer, Seq("c_nationkey", "c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), k = 10L, l = 3L),
+      Some("""SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS group_n,
+        | CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_diversity,
+        | count(*) < 10 OR count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin)),
+
     // ---- Zipf power-law fit over the top-100 tokens (corpus-health
     //      diagnostic): integer-micros logs, exact integer OLS sums, one
     //      boundary double per coefficient ----

@@ -151,4 +151,27 @@ object DataQuality {
 
   def quarantine(df: DataFrame, rowPredicate: Column): QualitySplit =
     QualitySplit(df.filter(rowPredicate), df.filter(!rowPredicate || rowPredicate.isNull))
+
+  /** k-anonymity / l-diversity re-identification risk report (Sweeney
+    * 2002; Machanavajjhala et al. 2007) — the privacy gate a dataset
+    * passes before its metadata columns ship with training data: every
+    * combination of the quasi-identifier columns must cover ≥ k rows
+    * (k-anonymity: an attacker matching a person on the quasi-IDs finds
+    * at least k candidates) AND carry ≥ l distinct sensitive values
+    * (l-diversity: the group must not leak the sensitive attribute by
+    * unanimity). One groupBy on the quasi-ID tuple; exact countDistinct
+    * for l — group counts are the whole point, so no sketches.
+    *
+    * Output: one row per quasi-ID group — (quasi cols..., group_n,
+    * l_diversity, at_risk).
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"bad thresholds: k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(sensitiveCol).as("l_diversity"))
+      .withColumn("at_risk", col("group_n") < k || col("l_diversity") < l)
+  }
 }

@@ -78,4 +78,24 @@ class DataQualitySpec extends SparkSpec {
     assert(split.clean.count() === 2)
     assert(split.quarantined.count() === 3) // two null-amount rows + 999
   }
+
+  test("kAnonymityReport flags small groups AND sensitive-unanimous groups") {
+    import spark.implicits._
+    val people = Seq(
+      // group (30, "a"): 3 members but only ONE sensitive value -> l fails
+      (30, "a", 100L), (30, "a", 100L), (30, "a", 100L),
+      // group (30, "b"): 3 members, 3 distinct sensitive values -> safe
+      (30, "b", 100L), (30, "b", 200L), (30, "b", 300L),
+      // group (40, "a"): singleton -> k fails (and l fails)
+      (40, "a", 100L))
+      .toDF("age", "zip", "salary")
+    val out = DataQuality.kAnonymityReport(people, Seq("age", "zip"),
+        col("salary"), k = 2L, l = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getAs[Long]("group_n"), r.getAs[Long]("l_diversity"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(out((30, "a")) === ((3L, 1L, true)))  // unanimity leak
+    assert(out((30, "b")) === ((3L, 3L, false)))
+    assert(out((40, "a")) === ((1L, 1L, true)))  // re-identifiable
+  }
 }
