@@ -388,18 +388,25 @@ object Similarity {
         .as("p"))
       .select(col("query_id"), col("cell"), col("p.subspace"), col("p.sv"))
       .join(broadcast(books), Seq("subspace"))
-      .withColumn("_d2", expr(
-        s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
-      .select("query_id", "cell", "subspace", "code", "_d2")
+      // per-term exact double quantized to integer micros: the ADC sum
+      // becomes exact long arithmetic, so ranking is partition-order and
+      // plan independent (a plain double sum's last ulp depends on
+      // accumulation order — a fresh vs loaded index produced different
+      // 16th digits and, near ties, could flip ranks)
+      .withColumn("_d2m", expr(
+        s"CAST(floor((${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} " +
+          s"+ ${dot("centroid", "centroid")}) * 1e6 + 0.5D) AS BIGINT)"))
+      .select("query_id", "cell", "subspace", "code", "_d2m")
     codes.toDF("neighbor_id", "subspace", "code", "cell")
       .join(broadcast(dtab), Seq("cell", "subspace", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("_d2")).as("adc_dist"))
+      .agg(sum(col("_d2m")).as("_adc_micros"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("adc_dist").asc, col("neighbor_id"))).cast("long"))
+          .orderBy(col("_adc_micros").asc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)
+      .withColumn("adc_dist", col("_adc_micros").cast("double") / 1e6)
       .select("query_id", "neighbor_id", "adc_dist", "rank")
   }
 
@@ -437,19 +444,23 @@ object Similarity {
           s"j -> struct(j AS subspace, slice(v, j * (size(v) div $m) + 1, size(v) div $m) AS sv))"))
         .as("p"))
       .select(col("query_id"), col("p.subspace"), col("p.sv"))
+    // integer-micros lookup terms — exact long sum, partition-order
+    // independent ranking (see ivfPqTopKWithIndex)
     val dtab = qsubs.join(broadcast(books), Seq("subspace"))
-      .withColumn("_d2", expr(
-        s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} + ${dot("centroid", "centroid")}"))
-      .select("query_id", "subspace", "code", "_d2")
+      .withColumn("_d2m", expr(
+        s"CAST(floor((${dot("sv", "sv")} - 2.0D * ${dot("sv", "centroid")} " +
+          s"+ ${dot("centroid", "centroid")}) * 1e6 + 0.5D) AS BIGINT)"))
+      .select("query_id", "subspace", "code", "_d2m")
     codes.toDF("neighbor_id", "subspace", "code")
       .join(broadcast(dtab), Seq("subspace", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("_d2")).as("adc_dist"))
+      .agg(sum(col("_d2m")).as("_adc_micros"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("adc_dist").asc, col("neighbor_id"))).cast("long"))
+          .orderBy(col("_adc_micros").asc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)
+      .withColumn("adc_dist", col("_adc_micros").cast("double") / 1e6)
       .select("query_id", "neighbor_id", "adc_dist", "rank")
   }
 }
