@@ -1273,6 +1273,37 @@ object SparkEntry {
     // score): a planted partner shares its query's coarse cell (the two
     // vectors are near-identical), lands in the first probed cell, and
     // its residual codes equal the query's — ADC floor, top-5 guaranteed.
+    // ---- semantic decontamination: eval items (vec_id % 3 == 0 — a
+    //      modulus NOT dividing the planted +10M id offset, so planted
+    //      copies land on the OPPOSITE side from their originals) checked
+    //      against the train side at cosine >= 0.95 via the incremental
+    //      batch-vs-corpus LSH path (16 tables — the planted-guarantee
+    //      zone); oracle is the exact eval×train scan ----
+    ("q_semcontam",
+      (s, d) => {
+        val emb = plantedEmbeddings(s, d)
+        val evalSet = emb.filter(col("vec_id") % 3 === 0)
+        val train = emb.filter(col("vec_id") % 3 =!= 0)
+        val matches = Dedup.incrementalEmbeddingNearDups(evalSet, train,
+          "vec_id", minCosine = PlantedHiCosine, nPlanes = 4, numTables = 16)
+          .filter(col("source") === "corpus")
+        evalSet.agg(count(lit(1)).as("n_eval"))
+          .crossJoin(broadcast(matches.agg(
+            countDistinct(col("new_id")).as("contaminated"),
+            count(lit(1)).as("n_matches"))))
+      },
+      Some(s"""WITH $AugEmbSql,
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS nrm FROM aug),
+        |e AS (SELECT * FROM n WHERE vec_id % 3 = 0),
+        |t AS (SELECT * FROM n WHERE vec_id % 3 != 0),
+        |p AS (SELECT e.vec_id AS eid, t.vec_id AS tid
+        |  FROM e, t
+        |  WHERE list_sum(list_transform(list_zip(e.v, t.v), z -> z[1] * z[2])) / (e.nrm * t.nrm) >= 0.95)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_eval,
+        |  CAST(count(DISTINCT eid) AS BIGINT) AS contaminated,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM p""".stripMargin)),
+
     ("q_ann_ivfpq",
       (s, d) => {
         val emb = plantedEmbeddings(s, d)
@@ -2358,6 +2389,26 @@ object SparkEntry {
         |j AS (SELECT fold, day,
         |    CASE WHEN day >= (fold * span) // 5 AND day < ((fold + 1) * span) // 5 THEN 'test'
         |         WHEN day < (fold * span) // 5 - 30 THEN 'train' END AS split
+        |  FROM dd CROSS JOIN f CROSS JOIN b)
+        |SELECT fold, split, count(*) AS n,
+        |  CAST(min(day) AS BIGINT) AS first_day, CAST(max(day) AS BIGINT) AS last_day
+        |FROM j WHERE split IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    // ---- purged K-fold with embargo (de Prado ch.7): train on BOTH
+    //      sides of each test window, minus the purge gap before and the
+    //      embargo gap after — leakage control for serially-correlated
+    //      labels/features ----
+    ("q_purgesplit",
+      (s, d) => MlFeatures.purgedKFoldSplits(Tables(s, d).orders,
+        "o_orderdate", k = 4, purgeDays = 10, embargoDays = 20),
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |    date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) + 1 AS span
+        |  FROM orders),
+        |dd AS (SELECT date_diff('day', b.d0, CAST(o_orderdate AS DATE)) AS day FROM orders, b),
+        |f AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS fold),
+        |j AS (SELECT fold, day,
+        |    CASE WHEN day >= (fold * span) // 4 AND day < ((fold + 1) * span) // 4 THEN 'test'
+        |         WHEN day < (fold * span) // 4 - 10 OR day >= ((fold + 1) * span) // 4 + 20 THEN 'train' END AS split
         |  FROM dd CROSS JOIN f CROSS JOIN b)
         |SELECT fold, split, count(*) AS n,
         |  CAST(min(day) AS BIGINT) AS first_day, CAST(max(day) AS BIGINT) AS last_day

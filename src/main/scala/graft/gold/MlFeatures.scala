@@ -207,6 +207,40 @@ object MlFeatures {
         max(col("_day")).cast("long").as("last_day"))
   }
 
+  /** Purged K-fold with embargo (López de Prado, "Advances in Financial
+    * Machine Learning", ch. 7) — cross-validation for serially-correlated
+    * data where train samples may sit on BOTH sides of the test window:
+    * leakage is controlled by PURGING the `purgeDays` immediately before
+    * the test window (labels there overlap test information) and
+    * EMBARGOING the `embargoDays` immediately after (test information
+    * leaks forward into features). Same summary output shape as
+    * [[timeSeriesSplits]] — one row per (fold, split) with counts and
+    * day bounds; day arithmetic is exact integer, folds are equal
+    * day-range slices.
+    */
+  def purgedKFoldSplits(df: DataFrame, tsCol: String, k: Int = 5,
+      purgeDays: Int = 0, embargoDays: Int = 0): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(purgeDays >= 0 && embargoDays >= 0, "gaps must be non-negative")
+    val bounds = df.agg(min(col(tsCol).cast("date")).as("_d0"),
+      (datediff(max(col(tsCol).cast("date")), min(col(tsCol).cast("date"))) + 1).as("_span"))
+    val folds = df.sparkSession.range(k).select(col("id").as("fold"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_day", datediff(col(tsCol).cast("date"), col("_d0")))
+      .crossJoin(folds)
+      .withColumn("_lo", (col("fold") * col("_span") / k).cast("long"))
+      .withColumn("_hi", ((col("fold") + 1) * col("_span") / k).cast("long"))
+      .withColumn("split",
+        when(col("_day") >= col("_lo") && col("_day") < col("_hi"), "test")
+          .when(col("_day") < col("_lo") - purgeDays ||
+            col("_day") >= col("_hi") + embargoDays, "train"))
+      .filter(col("split").isNotNull)
+      .groupBy("fold", "split")
+      .agg(count(lit(1)).as("n"),
+        min(col("_day")).cast("long").as("first_day"),
+        max(col("_day")).cast("long").as("last_day"))
+  }
+
   def hashEncode(df: DataFrame, column: String, buckets: Int = 100): DataFrame =
     df.withColumn(s"${column}_encoded", pmod(hash(col(column)), lit(buckets)))
 

@@ -101,6 +101,25 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("purgedKFoldSplits trains on BOTH sides of the test window minus " +
+      "the purge (before) and embargo (after) gaps") {
+    val days = (0 until 100).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)))
+      .toDF("ts")
+    val out = MlFeatures.purgedKFoldSplits(days, "ts", k = 5,
+      purgeDays = 5, embargoDays = 10)
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[String]("split")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("first_day"), r.getAs[Long]("last_day"))).toMap
+    // fold 2 tests days 40-59: train = 0-34 (purge 35-39) + 70-99
+    // (embargo 60-69) -> 65 train days spanning 0..99
+    assert(out((2L, "test")) === (20L, 40L, 59L))
+    assert(out((2L, "train")) === (65L, 0L, 99L))
+    // fold 0 (test 0-19): no left side exists, train = 30-99 (embargo 20-29)
+    assert(out((0L, "train")) === (70L, 30L, 99L))
+    // fold 4 (test 80-99): no right side, train = 0-74 (purge 75-79)
+    assert(out((4L, "train")) === (75L, 0L, 74L))
+  }
+
   test("winsorize clips exactly the tail mass and leaves the body untouched") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val out = MlFeatures.winsorize(df, "x", lo = 0.05, hi = 0.95).collect()
