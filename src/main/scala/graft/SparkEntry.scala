@@ -901,6 +901,39 @@ object SparkEntry {
         |lab AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM r GROUP BY s)
         |SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1""".stripMargin)),
 
+    // ---- modularity of the near-dup clustering (Newman-Girvan): exact
+    //      integer numerator 4m·e_c − d_c² over 4m², one boundary double
+    //      per cluster — the "is this clustering better than chance"
+    //      check on the same shared pair graph ----
+    ("q_modularity",
+      (s, d) => {
+        val pairs = graft.dedup.PairGraph.documentsPairs(s, d, n = 3)
+        graft.graph.Graph.modularityMicros(pairs, Dedup.dedupClusters(pairs))
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS st, doc_b AS en FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT st, en FROM e UNION SELECT r.st, e.en FROM r, e WHERE r.en = e.st),
+        |lab AS (SELECT st AS id, least(st, min(en)) AS cluster_id FROM r GROUP BY st),
+        |lb AS (SELECT coalesce(la.cluster_id, pr.doc_a) AS ca, coalesce(lc.cluster_id, pr.doc_b) AS cb
+        |  FROM pr LEFT JOIN lab la ON la.id = pr.doc_a LEFT JOIN lab lc ON lc.id = pr.doc_b),
+        |m AS (SELECT count(*) AS m FROM pr),
+        |ein AS (SELECT ca AS cluster_id, count(*) AS e_in FROM lb WHERE ca = cb GROUP BY 1),
+        |dt AS (SELECT cluster_id, count(*) AS d_tot
+        |  FROM (SELECT ca AS cluster_id FROM lb UNION ALL SELECT cb FROM lb) GROUP BY 1)
+        |SELECT dt.cluster_id, CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(dt.d_tot AS BIGINT) AS d_tot,
+        |  CAST(floor(CAST(4 * m.m * coalesce(ein.e_in, 0) - dt.d_tot * dt.d_tot AS DOUBLE)
+        |    / CAST(4 * m.m * m.m AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q_contrib_micros
+        |FROM dt LEFT JOIN ein USING (cluster_id) CROSS JOIN m""".stripMargin)),
+
     // ---- PII scrub + report ----
     // The synthetic corpus carries no PII, so the query injects a
     // deterministic email/phone/IP per doc (same construction on both

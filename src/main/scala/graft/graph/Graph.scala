@@ -204,6 +204,58 @@ object Graph {
       .filter(col("core_degree") >= k)
   }
 
+  /** Newman modularity of a node partition over an undirected graph —
+    * the standard "is this clustering better than chance" quality
+    * measure (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²] where
+    * e_c = intra-cluster edges, d_c = total degree of cluster c, m =
+    * total edges. Near-dup clusterings should score high (near-dups
+    * clique up); a near-zero Q flags a clustering no better than random
+    * assignment.
+    *
+    * Exact arithmetic: per-cluster contribution as the exact integer
+    * numerator 4m·e_c − d_c² over the common denominator 4m², one
+    * boundary double division per row, floor(·10⁶ + 0.5) micros — the
+    * engine's standard cross-engine determinism contract. Unassigned
+    * nodes (absent from `clusters`) keep their own id as a singleton
+    * cluster, matching [[graft.dedup.Dedup.dedupClusters]]'s canonical
+    * labels.
+    *
+    * Shape: edge canonicalization + two label joins + one cluster
+    * groupBy — all keyed, nothing corpus-broadcast.
+    *
+    * Output: (cluster_id, e_in, d_tot, q_contrib_micros), one row per
+    * cluster with ≥ 1 incident edge.
+    */
+  def modularityMicros(edges: DataFrame, clusters: DataFrame,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      idCol: String = "id", clusterCol: String = "cluster_id"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = clusters.select(col(idCol).as("_id"), col(clusterCol).as("_c"))
+    val m = und.agg(count(lit(1)).as("_m"))
+    val labeled = und
+      .join(lab.toDF("a", "_ca"), Seq("a"), "left")
+      .join(lab.toDF("b", "_cb"), Seq("b"), "left")
+      .select(coalesce(col("_ca"), col("a")).as("_ca"),
+        coalesce(col("_cb"), col("b")).as("_cb"))
+    val eIn = labeled.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("cluster_id"))
+      .agg(count(lit(1)).as("e_in"))
+    val dTot = labeled
+      .select(explode(array(col("_ca"), col("_cb"))).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("d_tot"))
+    dTot.join(eIn, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib_micros", expr(
+        "CAST(floor(CAST(4 * _m * e_in - d_tot * d_tot AS DOUBLE) " +
+          "/ CAST(4 * _m * _m AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"))
+      .select("cluster_id", "e_in", "d_tot", "q_contrib_micros")
+  }
+
   /** DuckDB oracle for [[kCore]]: the simultaneous peeling rounds replayed
     * as a recursive CTE carrying the surviving-node list; `edgesCte` must
     * produce the deduped undirected pair list (a, b), a < b — the same

@@ -125,6 +125,28 @@ class GraphSpec extends SparkSpec {
     assert(got === wantDeg)
   }
 
+  test("modularityMicros matches the hand-computed two-triangle partition " +
+      "and punishes the all-singletons partition") {
+    import spark.implicits._
+    // two triangles bridged by one edge: m = 7
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)).toDF("doc_a", "doc_b")
+    val good = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("id", "cluster_id")
+    val out = Graph.modularityMicros(edges, good).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("e_in"), r.getAs[Long]("d_tot"),
+        r.getAs[Long]("q_contrib_micros")))).toMap
+    // per triangle: e_in = 3, d_tot = 7 (6 internal slots + bridge end);
+    // contribution = (4*7*3 - 49)/196 = 35/196 = 0.178571
+    assert(out(0L) === ((3L, 7L, 178571L)))
+    assert(out(3L) === ((3L, 7L, 178571L)))
+    // singletons: every edge crosses clusters -> all e_in = 0, Q < 0
+    val singletons = (0L to 5L).map(i => (i, i)).toDF("id", "cluster_id")
+    val flat = Graph.modularityMicros(edges, singletons).collect()
+    assert(flat.forall(_.getAs[Long]("e_in") === 0L))
+    assert(flat.map(_.getAs[Long]("q_contrib_micros")).sum < 0L)
+  }
+
   test("kCore throws on round exhaustion instead of returning a truncated " +
       "peel, and an emptying round counts as converged") {
     import spark.implicits._
