@@ -3015,6 +3015,25 @@ object SparkEntry {
         | round(CAST(sum(conv) AS DOUBLE) / sum(did_a), 6) AS conversion_rate
         |FROM p""".stripMargin)),
 
+    // ---- k-step ordered funnel (view → click → purchase): earliest-
+    //      reach chaining, one keyed join+min per step, rates on the
+    //      k-row summary ----
+    ("q_funnelk",
+      (s, d) => graft.gold.Cohorts.funnelSteps(Tables(s, d).events,
+        Seq("view", "click", "purchase")),
+      Some("""WITH r1 AS (SELECT user_id, min(ts) AS r FROM events WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, min(e.ts) AS r FROM events e JOIN r1 ON e.user_id = r1.user_id AND e.ts >= r1.r
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |r3 AS (SELECT e.user_id, min(e.ts) AS r FROM events e JOIN r2 ON e.user_id = r2.user_id AND e.ts >= r2.r
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT 1 AS step_idx, 'view' AS step_type, CAST(count(*) AS BIGINT) AS users FROM r1
+        | UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM r2
+        | UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM r3)
+        |SELECT step_idx, step_type, users,
+        | round(CAST(users AS DOUBLE) / coalesce(lag(users) OVER (ORDER BY step_idx), users), 6) AS conv_from_prev,
+        | round(CAST(users AS DOUBLE) / first_value(users) OVER (ORDER BY step_idx), 6) AS conv_from_first
+        |FROM u""".stripMargin)),
+
     // ---- event transition matrix (user-flow / Markov-chain input):
     //      consecutive pairs per user ordered by (ts, event_id) ----
     ("q_transitions",

@@ -58,6 +58,44 @@ object Cohorts {
         round(col("converted_users").cast("double") / col("stepa_users"), 6))
   }
 
+  /** K-step ordered funnel — the general form of [[funnel]]: users reach
+    * step i when they have a step-i event at or after their EARLIEST
+    * reach of step i−1 (earliest-reach semantics make the chain
+    * deterministic and monotone: reached-user sets only shrink down the
+    * funnel). One keyed (filter → join → min-aggregate) per step — no
+    * windows over the event table, no per-user event collection; the
+    * rate arithmetic runs on the k-row summary (model-sized window).
+    *
+    * Output: one row per step — (step_idx, step_type, users,
+    * conv_from_prev, conv_from_first), rates as exact-int double
+    * divisions rounded to 6dp.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "need at least 2 steps")
+    val firstReach = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_r"))
+    val reaches = steps.tail.scanLeft(firstReach) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("_r").as("_pr")), Seq(userCol))
+        .filter(col(tsCol) >= col("_pr"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_r"))
+    }
+    val perStep = reaches.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("step_idx"))
+    perStep
+      .withColumn("conv_from_prev", round(col("users").cast("double") /
+        coalesce(lag(col("users"), 1).over(w), col("users")), 6))
+      .withColumn("conv_from_first", round(col("users").cast("double") /
+        first(col("users")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)), 6))
+  }
+
   /** [[funnel]] with a CONVERSION WINDOW: B counts only within
     * `windowSec` seconds of the user's first A (inclusive on both ends —
     * the product-analytics "converted within N days" question; the

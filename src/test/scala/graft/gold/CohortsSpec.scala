@@ -64,4 +64,32 @@ class CohortsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     assert(m2 === m.view.mapValues(_._1).toMap)
   }
+
+  test("funnelSteps chains earliest-reach order across k steps; " +
+      "out-of-order completions do not count") {
+    val ev = Seq(
+      // user 1 completes view -> click -> purchase in order
+      (1L, "2024-01-01 09:00:00", "view", 0.0),
+      (1L, "2024-01-01 10:00:00", "click", 0.0),
+      (1L, "2024-01-01 11:00:00", "purchase", 5.0),
+      // user 2: clicks BEFORE viewing — click must not count; then views
+      (2L, "2024-01-01 08:00:00", "click", 0.0),
+      (2L, "2024-01-01 09:00:00", "view", 0.0),
+      // user 3: view and click, purchase precedes the click -> depth 2
+      (3L, "2024-01-01 09:00:00", "view", 0.0),
+      (3L, "2024-01-01 09:30:00", "purchase", 2.0),
+      (3L, "2024-01-01 10:00:00", "click", 0.0),
+      // user 4: never views -> depth 0 (absent from every step)
+      (4L, "2024-01-01 10:00:00", "click", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Cohorts.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("step_idx") ->
+        ((r.getAs[String]("step_type"), r.getAs[Long]("users"),
+          r.getAs[Double]("conv_from_prev"), r.getAs[Double]("conv_from_first"))))
+      .toMap
+    assert(out(1) === (("view", 3L, 1.0, 1.0)))       // users 1, 2, 3
+    assert(out(2) === (("click", 2L, 0.666667, 0.666667))) // 1, 3 (2's click too early)
+    assert(out(3) === (("purchase", 1L, 0.5, 0.333333)))   // only user 1 in order
+  }
 }
