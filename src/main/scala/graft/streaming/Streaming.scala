@@ -137,6 +137,54 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming near-dup INGESTION — the nightly-crawl loop as a stream:
+    * every micro-batch of new documents is checked against the PERSISTED
+    * corpus with [[graft.dedup.Dedup.incrementalJaccardNearDups]]
+    * (batch-vs-corpus plus within-batch with the earlier key senior),
+    * novel documents are appended to the corpus parquet, and each
+    * dropped document's matches land in a ledger with their jaccard and
+    * source — the audit trail a curation pipeline keeps. Work per batch
+    * scales with the batch (the incremental contract), and the corpus
+    * is only ever appended to — it is never re-paired with itself.
+    * foreachBatch + checkpoint give effectively-once per batch id for
+    * AvailableNow runs; a transactional table format upgrades the
+    * appends to exactly-once, as with [[upsertStream]].
+    */
+  def dedupIngestStream(docs: DataFrame, corpusPath: String,
+      matchesPath: String, checkpoint: String, keyCol: String = "doc_id",
+      minJaccard: Double = 0.5): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupIngestBatch(batch, corpusPath, matchesPath, keyCol, minJaccard)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the dedup ingestion (public so batch jobs reuse
+    * the same loop): match against the current corpus, drop every doc
+    * with a corpus match or a senior within-batch mate, append the rest.
+    */
+  def dedupIngestBatch(batch: DataFrame, corpusPath: String,
+      matchesPath: String, keyCol: String, minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val corpus = try spark.read.parquet(corpusPath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val matches = graft.dedup.Dedup.incrementalJaccardNearDups(
+      batch, corpus, keyCol, minJaccard = minJaccard)
+      .localCheckpoint() // evaluated twice (ledger + anti-join) over two cached inputs
+    val accepted = batch.join(
+      matches.select(col("new_id").as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    if (!matches.isEmpty)
+      matches.write.mode("append").parquet(matchesPath)
+    if (!accepted.isEmpty)
+      accepted.write.mode("append").parquet(corpusPath)
+  }
+
   /** One micro-batch of the upsert: latest row per key within the batch,
     * merged over the current target state (batch wins on key collision).
     * Public so batch jobs can reuse the same merge.

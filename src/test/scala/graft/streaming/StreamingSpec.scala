@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     assert(state === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
   }
 
+  test("streaming dedup ingestion: corpus grows only by novel docs, the " +
+      "ledger records batch- and corpus-sourced matches") {
+    val in = java.nio.file.Files.createTempDirectory("ded-in").toString
+    val corpus = java.nio.file.Files.createTempDirectory("ded-c").toString + "/corpus"
+    val ledger = java.nio.file.Files.createTempDirectory("ded-l").toString + "/matches"
+    val ckpt = java.nio.file.Files.createTempDirectory("ded-k").toString
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // batch 1: A plus an in-batch duplicate B -> only A lands in the corpus
+    write(Seq((1L, phrase), (2L, phrase)))
+    val schema = spark.read.parquet(in).schema
+    Streaming.dedupIngestStream(Streaming.fileStream(spark, in, schema),
+      corpus, ledger, ckpt, "doc_id")
+    assert(spark.read.parquet(corpus).collect().map(_.getLong(0)).toSet === Set(1L))
+    // batch 2: C duplicates the CORPUS doc A, D is novel -> corpus gains D only
+    write(Seq((3L, phrase), (4L, "fresh novel content nothing matches this at all ever")))
+    Streaming.dedupIngestStream(Streaming.fileStream(spark, in, schema),
+      corpus, ledger, ckpt, "doc_id")
+    assert(spark.read.parquet(corpus).collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    val led = spark.read.parquet(ledger).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("match_id"),
+        r.getAs[String]("source"))).toSet
+    assert(led === Set((2L, 1L, "batch"), (3L, 1L, "corpus")))
+  }
+
   test("streaming drift monitor ledgers one PSI row per micro-batch, " +
       "flat for in-distribution batches and loud for a shifted one") {
     val in = java.nio.file.Files.createTempDirectory("drift-in").toString
