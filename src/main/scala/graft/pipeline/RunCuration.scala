@@ -11,23 +11,31 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *
   *   1. `curate_funnel`     language/quality/length gates + exact dedup
   *   2. `boilerplate_strip` CCNet-style shared-segment removal
-  *   3. `quality_filter`    hashed linear classifier threshold
-  *   4. `mixture_rebalance` temperature sampling toward language balance
-  *   5. `pack_and_shard`    sequence packing + deterministic epoch shards
-  *   6. `corpus_report`     per-stage accounting JSON
+  *   3. `gopher_gate`       rule-based quality filter (cheap rules first)
+  *   4. `quality_filter`    hashed linear classifier threshold
+  *   5. `mixture_rebalance` temperature sampling toward language balance
+  *   6. `tokenizer_learn`   BPE merge learning on the balanced corpus
+  *   7. `leak_split`        per-near-dup-cluster train/val/test split
+  *   8. `pack_and_shard`    packing by TOKENIZED length + epoch shards
+  *   9. `corpus_report`     per-stage accounting JSON
   *
   * — with every stage MATERIALIZED to parquet before the next reads it
   * (the restartable shape a multi-day 100 TB curation run needs: a
   * failed stage re-runs from the previous stage's output, not from the
   * raw crawl), orchestrated through the same DAG runner / retry /
-  * dead-letter control plane as [[RunPipeline]].
+  * dead-letter control plane as [[RunPipeline]]. `tokenizer_learn` and
+  * `leak_split` are independent branches off the balanced corpus — the
+  * DAG runner runs them in either order; packing waits on the merges.
   *
   * Stage outputs under `outRoot`:
   * {{{
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
+  *   gophered/    docs passing the rule gate
   *   kept/        classifier-approved docs
   *   balanced/    temperature-rebalanced corpus
+  *   merges/      learned BPE merge table
+  *   splits/      (doc_id, cluster_id, data_split) leakage-safe split
   *   packed/      (seq_id, n_docs, n_tokens) training sequences
   *   shards/      (doc_id, shard, pos) epoch order
   *   report/      single-file JSON: per-stage doc/token counts
@@ -39,10 +47,13 @@ object RunCuration {
   final case class Layout(root: String) {
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
+    def gophered: String = s"$root/gophered"
     def kept: String = s"$root/kept"
     def balanced: String = s"$root/balanced"
     def packed: String = s"$root/packed"
     def shards: String = s"$root/shards"
+    def merges: String = s"$root/merges"
+    def splits: String = s"$root/splits"
     def report: String = s"$root/report"
     def dlqPath: String = s"$root/_state/dlq.jsonl"
   }
@@ -58,7 +69,8 @@ object RunCuration {
   def run(spark: SparkSession, docsDir: String, outRoot: String,
       segTokens: Int = 12, classifierBuckets: Int = 256,
       thresholdMicros: Long = 450000L, alpha: Double = 0.5,
-      capacity: Long = 128L, nShards: Int = 8,
+      capacity: Long = 128L, nShards: Int = 8, bpeRounds: Int = 8,
+      gopherMinTokens: Long = 10L,
       policy: Pipeline.RetryPolicy = Pipeline.RetryPolicy()): CurationResult = {
     val lay = Layout(outRoot)
     val dlq = new Pipeline.DeadLetterQueue(lay.dlqPath)
@@ -82,8 +94,18 @@ object RunCuration {
         write(clean, lay.stripped)
         record("stripped", lay.stripped)
       }),
-      Pipeline.Job("quality_filter", dependsOn = Seq("boilerplate_strip"))(() => {
+      Pipeline.Job("gopher_gate", dependsOn = Seq("boilerplate_strip"))(() => {
+        // rule-based pre-filter BEFORE the learned classifier (the Gopher
+        // ordering: cheap deterministic rules first, model second)
         val docs = spark.read.parquet(lay.stripped)
+        val pass = CorpusCuration.gopherQualityRules(docs, "doc_id",
+          minTokens = gopherMinTokens)
+          .filter(col("keep")).select("doc_id")
+        write(docs.join(pass, Seq("doc_id")), lay.gophered)
+        record("gophered", lay.gophered)
+      }),
+      Pipeline.Job("quality_filter", dependsOn = Seq("gopher_gate"))(() => {
+        val docs = spark.read.parquet(lay.gophered)
         val scores = TextAnalysis.hashedQualityScore(docs, "doc_id",
           TextAnalysis.hashWeightTable(spark, classifierBuckets),
           nBuckets = classifierBuckets, biasMicros = 500000L,
@@ -97,10 +119,30 @@ object RunCuration {
           spark.read.parquet(lay.kept), "lang", alpha), lay.balanced)
         record("balanced", lay.balanced)
       }),
-      Pipeline.Job("pack_and_shard", dependsOn = Seq("mixture_rebalance"))(() => {
+      Pipeline.Job("tokenizer_learn", dependsOn = Seq("mixture_rebalance"))(() => {
+        // learn the BPE merge table ON the balanced corpus — the
+        // tokenizer trains on what the model will actually see
+        write(graft.text.BpeLearning.learnBpeMerges(
+          spark.read.parquet(lay.balanced), rounds = bpeRounds), lay.merges)
+        record("merges", lay.merges)
+      }),
+      Pipeline.Job("leak_split", dependsOn = Seq("mixture_rebalance"))(() => {
+        // train/val/test decided per near-dup CLUSTER so near-dups never
+        // straddle the boundary
         val docs = spark.read.parquet(lay.balanced)
-        val weights = TextAnalysis.withTokens(docs)
-          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        val pairs = graft.dedup.Dedup.jaccardPairsScalable(docs, "doc_id")
+        write(graft.dedup.Dedup.leakageSafeSplit(docs, pairs, "doc_id")
+          .select("doc_id", "cluster_id", "data_split"), lay.splits)
+        record("splits", lay.splits)
+      }),
+      Pipeline.Job("pack_and_shard",
+          dependsOn = Seq("tokenizer_learn", "leak_split"))(() => {
+        val docs = spark.read.parquet(lay.balanced)
+        // pack by TOKENIZED length (the learned tokenizer's counts), not
+        // whitespace words — sequence budgets are what the model consumes
+        val weights = graft.text.BpeLearning.applyBpeMerges(docs, "doc_id",
+            spark.read.parquet(lay.merges))
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
         write(CorpusCuration.packSequences(weights, capacity, "n_tokens"), lay.packed)
         write(CorpusCuration.shuffleShards(docs, nShards)
           .select("doc_id", "shard", "pos"), lay.shards)
@@ -108,7 +150,8 @@ object RunCuration {
       }),
       Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
         import spark.implicits._
-        val rows = Seq("curated", "stripped", "kept", "balanced", "sequences")
+        val rows = Seq("curated", "stripped", "gophered", "kept", "balanced",
+          "merges", "splits", "sequences")
           .map(s => (s, stageDocs.getOrElse(s, 0L)))
         graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)
       })

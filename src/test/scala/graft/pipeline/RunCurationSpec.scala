@@ -17,28 +17,42 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 6)
+    assert(r.run.succeeded.size === 9)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
     val d = r.stageDocs
     assert(d("curated") <= raw && d("curated") > 0)
     assert(d("stripped") <= d("curated"))
-    assert(d("kept") <= d("stripped") && d("kept") > 0)
+    assert(d("gophered") <= d("stripped") && d("gophered") > 0)
+    assert(d("kept") <= d("gophered") && d("kept") > 0)
     assert(d("balanced") <= d("kept"))
 
     // kept rows carry their classifier score, all above the threshold
     val kept = spark.read.parquet(s"$out/kept")
     assert(kept.filter(col("score_micros") < 450000L).count() === 0L)
 
-    // packed sequences account for every balanced token (+1 separator per
-    // doc — the packSequences contract), with no sequence over capacity
+    // packed sequences account for every balanced doc's TOKENIZED length
+    // under the learned merges (+1 separator per doc — the packSequences
+    // contract), with no sequence over capacity
     val balanced = spark.read.parquet(s"$out/balanced")
-    val totalTokens = graft.text.TextAnalysis.withTokens(balanced)
-      .agg(sum(size(col("tokens")).cast("long"))).head.getLong(0) + d("balanced")
+    val merges = spark.read.parquet(s"$out/merges")
+    assert(merges.count() > 0 && merges.count() <= 8)
+    val totalTokens = graft.text.BpeLearning
+      .applyBpeMerges(balanced, "doc_id", merges)
+      .agg(sum("n_bpe_tokens")).head.getLong(0) + d("balanced")
     val packed = spark.read.parquet(s"$out/packed")
     assert(packed.agg(sum("n_tokens")).head.getLong(0) === totalTokens)
     assert(packed.agg(max("n_tokens")).head.getLong(0) <= 128L)
+
+    // leakage-safe split covers every balanced doc exactly once, and no
+    // near-dup cluster straddles two splits
+    val splits = spark.read.parquet(s"$out/splits")
+    assert(splits.count() === d("balanced"))
+    assert(splits.select("doc_id").distinct().count() === d("balanced"))
+    assert(splits.groupBy("cluster_id")
+      .agg(countDistinct("data_split").as("ns"))
+      .filter(col("ns") > 1).count() === 0L)
 
     // shards: every balanced doc appears exactly once with a dense position
     val shards = spark.read.parquet(s"$out/shards")
