@@ -185,6 +185,64 @@ object Streaming {
       accepted.write.mode("append").parquet(corpusPath)
   }
 
+  /** Streaming SCD2 — slowly-changing-dimension maintenance driven by a
+    * change stream: each micro-batch MERGEs into the persisted dimension
+    * history with [[graft.operators.Scd2.merge]] (changed keys close
+    * their open version and open a new one, unchanged keys pass through,
+    * new keys open), with the batch's effective date taken from the max
+    * of `asOfCol` in the batch — deterministic per batch content, so a
+    * replayed batch produces the same history. In-batch duplicates per
+    * key resolve to the latest row first ([[graft.operators.Scd2.dedupKeepFirst]]
+    * inverse ordering), because SCD2 merge semantics need one incoming
+    * version per key per batch. Same effectively-once/foreachBatch
+    * contract as [[upsertStream]].
+    */
+  def scd2Stream(updates: DataFrame, targetPath: String, checkpoint: String,
+      key: String, trackedCols: Seq[String], asOfCol: String): Unit = {
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(batch, targetPath, key, trackedCols, asOfCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the SCD2 merge (public for batch reuse). */
+  def scd2Batch(batch: DataFrame, targetPath: String, key: String,
+      trackedCols: Seq[String], asOfCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Scd2
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val asOf = batch.agg(max(col(asOfCol).cast("date"))).head.getDate(0)
+    val conf = graft.core.GraftConf(asOfDate = asOf.toLocalDate)
+    // one incoming version per key: latest by asOfCol, ties to arbitrary
+    // deterministic order via the tracked columns
+    val latest = batch
+      .withColumn("_rn", row_number().over(Window.partitionBy(col(key))
+        .orderBy(col(asOfCol).desc,
+          struct(trackedCols.map(col): _*).desc)))
+      .filter(col("_rn") === 1).drop("_rn").drop(asOfCol)
+    val current = try spark.read.parquet(targetPath)
+      catch { case _: Exception =>
+        Scd2.withScd2Columns(latest.limit(0), conf) }
+    val merged = Scd2.merge(current, latest, key, trackedCols, conf)
+    // rewrite via temp dir (parquet cannot overwrite a path being read —
+    // the upsertBatch idiom)
+    val tmp = targetPath.stripSuffix("/") + "._scd2_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val t = java.nio.file.Paths.get(targetPath)
+    if (java.nio.file.Files.exists(t)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(t).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t)
+  }
+
   /** One micro-batch of the upsert: latest row per key within the batch,
     * merged over the current target state (batch wins on key collision).
     * Public so batch jobs can reuse the same merge.

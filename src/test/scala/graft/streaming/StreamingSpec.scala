@@ -116,6 +116,40 @@ class StreamingSpec extends SparkSpec {
     assert(led === Set((2L, 1L, "batch"), (3L, 1L, "corpus")))
   }
 
+  test("streaming SCD2: changed keys close their version and open a new " +
+      "one, history accumulates across micro-batches") {
+    val in = java.nio.file.Files.createTempDirectory("scd-in").toString
+    val target = java.nio.file.Files.createTempDirectory("scd-t").toString + "/dim"
+    val ckpt = java.nio.file.Files.createTempDirectory("scd-c").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("id", "segment", "ts").withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 1 (as-of 2024-01-01): two keys open their first version
+    write(Seq((1L, "bronze", "2024-01-01 10:00:00"),
+      (2L, "silver", "2024-01-01 10:00:00")))
+    val schema = spark.read.parquet(in).schema
+    Streaming.scd2Stream(Streaming.fileStream(spark, in, schema),
+      target, ckpt, "id", Seq("segment"), "ts")
+    // batch 2 (as-of 2024-02-01): key 1 changes (with an in-batch dup —
+    // latest wins), key 2 unchanged, key 3 new
+    write(Seq((1L, "gold", "2024-02-01 10:00:00"),
+      (1L, "iron", "2024-01-15 10:00:00"),
+      (2L, "silver", "2024-02-01 10:00:00"),
+      (3L, "bronze", "2024-02-01 10:00:00")))
+    Streaming.scd2Stream(Streaming.fileStream(spark, in, schema),
+      target, ckpt, "id", Seq("segment"), "ts")
+    val dim = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("segment"),
+        r.getAs[Boolean]("is_current"),
+        Option(r.getAs[java.sql.Date]("end_date")).map(_.toString)))
+    // key 1: bronze closed at 2024-02-01, gold open (iron never surfaced)
+    assert(dim.toSet === Set(
+      (1L, "bronze", false, Some("2024-02-01")),
+      (1L, "gold", true, None),
+      (2L, "silver", true, None),
+      (3L, "bronze", true, None)))
+  }
+
   test("streaming drift monitor ledgers one PSI row per micro-batch, " +
       "flat for in-distribution batches and loud for a shifted one") {
     val in = java.nio.file.Files.createTempDirectory("drift-in").toString
