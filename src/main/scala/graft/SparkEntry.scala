@@ -3183,6 +3183,10 @@ object SparkEntry {
       }
     }.toIndexedSeq: _*)
 
+  /** Pre-dedup registry length — lets a spec detect a duplicated query
+    * name, which `toMap` would otherwise swallow silently. */
+  def registrySize: Int = registry.size
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) =>
       n -> ((s: SparkSession, d: String) => noDec(f(s, d)))

@@ -37,4 +37,13 @@ class RegistrySchemaSpec extends SparkSpec {
     val inv = SparkEntry.queries("q_invidx")(spark, dir)
     assert(inv.schema.fieldNames.toSeq == Seq("token", "df", "postings_md5"))
   }
+
+  test("registry names are unique (a duplicate would silently drop a " +
+      "query at toMap) and every query carries an oracle") {
+    assert(SparkEntry.registrySize === SparkEntry.queries.size,
+      "duplicate query name in the registry Seq")
+    // the driver records a weaker rows-only check for oracle-less
+    // queries; this engine's contract is an oracle for EVERY query
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
 }
