@@ -2079,6 +2079,22 @@ object SparkEntry {
         | count(*) < 10 OR count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ---- Flesch reading ease per doc: exact word/sentence/vowel-group
+    //      counts, one identically-parenthesized double expression ----
+    ("q_readability",
+      (s, d) => TextAnalysis.readability(Tables(s, d).documents, "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(greatest(1, len(regexp_extract_all(token, '[aeiouyAEIOUY]+')))) AS BIGINT) AS n_syllables
+        |  FROM t GROUP BY 1),
+        |sn AS (SELECT doc_id,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences
+        |  FROM documents)
+        |SELECT w.doc_id, n_words, n_sentences, n_syllables,
+        | round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+        |FROM w JOIN sn ON sn.doc_id = w.doc_id""".stripMargin)),
+
     // ---- Zipf power-law fit over the top-100 tokens (corpus-health
     //      diagnostic): integer-micros logs, exact integer OLS sums, one
     //      boundary double per coefficient ----

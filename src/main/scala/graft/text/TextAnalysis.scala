@@ -369,6 +369,38 @@ object TextAnalysis {
       .withColumn("top_token_share",
         round(col("top_token_count").cast("double") / col("n_tokens"), 6))
 
+  /** Flesch reading-ease per document (Flesch 1948; the readability
+    * screen document-quality pipelines run alongside length/repetition
+    * gates): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Sentences = runs of terminal punctuation (min 1); syllables = vowel
+    * GROUPS per word (min 1) — the standard regex heuristic, applied
+    * identically on both engines. All counts are exact integers; the
+    * score is ONE double expression evaluated with the same
+    * parenthesization on both engines, so it compares bit-exactly.
+    *
+    * Shape: one token explode + per-doc aggregate, one projection for
+    * the sentence count, one key join.
+    */
+  def readability(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame = {
+    val syl = withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("token"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(greatest(lit(1L),
+          size(expr("regexp_extract_all(token, '[aeiouyAEIOUY]+', 0)")).cast("long")))
+          .as("n_syllables"))
+    docs.select(col(keyCol),
+        greatest(lit(1L),
+          size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"))
+          .as("n_sentences"))
+      .join(syl, Seq(keyCol))
+      .withColumn("flesch", expr(
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) " +
+          "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)"))
+      .select(keyCol, "n_words", "n_sentences", "n_syllables", "flesch")
+  }
+
   /** Zipf power-law fit over the top-`topN` corpus tokens — the standard
     * corpus-health diagnostic (natural text has log-log slope ≈ −1;
     * boilerplate-heavy or templated corpora flatten, deduplicated

@@ -78,6 +78,27 @@ class QualityTrainingSpec extends SparkSpec {
     assert(math.abs(flat.getAs[Double]("zipf_slope")) < 1e-6)
   }
 
+  test("readability: hand-computed Flesch on known sentences; polysyllabic " +
+      "prose scores below simple prose") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat."),                  // 6 words, 1 sent, 6 syl
+      (1L, "extraordinary considerations necessitate comprehensive reevaluation."),
+      (2L, "no terminal punctuation here at all"))      // sentence floor = 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"),
+        r.getAs[Double]("flesch")))).toMap
+    // doc 0: each word one vowel group ("the"=1, "cat"=1, ... "mat."=1)
+    assert(out(0L)._1 === 6L && out(0L)._2 === 1L && out(0L)._3 === 6L)
+    // 206.835 - 1.015*6 - 84.6*1 = 116.145
+    assert(math.abs(out(0L)._4 - 116.145) < 1e-6)
+    // the polysyllabic doc scores far lower
+    assert(out(1L)._4 < out(0L)._4 - 50)
+    // missing punctuation clamps to one sentence, not a division by zero
+    assert(out(2L)._2 === 1L)
+  }
+
   test("weakQualityLabels flags repetitive and degenerate-length docs") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over a lazy dog tonight"), // diverse
