@@ -97,7 +97,14 @@ object Dedup {
     // low-entropy corpus; here the shuffled row count IS the candidate
     // count. The inter > 0 filter preserves the omit-zero-overlap contract
     // at minJaccard = 0.0.
-    val sized = arr.select(col(keyCol), col("sh"), size(col("sh")).cast("long").as("sz"))
+    // shingle-less docs (< n tokens) are outside the contract ("never
+    // appear in the output") — and MUST be dropped before the division:
+    // a pair of two empty-shingle docs makes the denominator 0, and under
+    // ANSI mode the optimizer can merge the inter > 0 filter with the
+    // jaccard filter and evaluate the division first → DIVIDE_BY_ZERO
+    // (caught by the randomized property spec).
+    val sized = arr.filter(size(col("sh")) > 0)
+      .select(col(keyCol), col("sh"), size(col("sh")).cast("long").as("sz"))
     candidates.select("doc_a", "doc_b")
       .join(sized.toDF("doc_a", "sh_a", "size_a"), Seq("doc_a"))
       .join(sized.toDF("doc_b", "sh_b", "size_b"), Seq("doc_b"))
