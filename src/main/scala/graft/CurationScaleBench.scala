@@ -95,6 +95,22 @@ object CurationScaleBench {
       println(f"n=$n capped_setsim_pairs=$nJac sec=$tJ%.1f | " +
         f"capped_containment_pairs=$nCon sec=$tC%.1f")
     }
+
+    // ---- BPE merge learning: per-round cost is one pair-count shuffle
+    // (model-sized keys) + one broadcast rewrite over the word table, so
+    // wall time should track corpus size ~linearly at fixed rounds.
+    for (n <- sizes) {
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 40),
+          |  i -> concat('t', abs(xxhash64(id, CAST(i AS BIGINT))) % 500)))""".stripMargin)
+          .as("text"))
+      val t0 = System.nanoTime()
+      val merges = text.BpeLearning.learnBpeMerges(docs, rounds = 6).count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      println(f"n=$n bpe_merges=$merges sec=$tB%.1f")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
