@@ -2836,6 +2836,91 @@ object SparkEntry {
         |  CAST(CAST(sum(nll_micros) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
         |FROM per GROUP BY 1""".stripMargin)),
 
+    // ---- CCNet head/middle/tail perplexity tiering over the unigram-LM
+    //      NLL: global rank via the two-pass prefix-sum (no single-task
+    //      window); the oracle's row_number() replays the same
+    //      (mean_nll, doc_id) order because mean_nll derives from exact
+    //      integer micros identically on both engines ----
+    ("q_pplbuckets",
+      (s, d) => graft.text.ImportanceSampling.nllTiles(Tables(s, d).documents),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        |cnt AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt FROM b),
+        |per AS (SELECT doc_id,
+        |    CAST(floor(-ln(cb / CAST(tt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM b JOIN cnt USING (bucket) CROSS JOIN tot),
+        |doc AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_micros) AS BIGINT) AS nll_total_micros,
+        |    CAST(CAST(sum(nll_micros) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
+        |  FROM per GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY mean_nll, doc_id) AS BIGINT) AS ppl_rank,
+        |    count(*) OVER () AS n FROM doc)
+        |SELECT doc_id, n_tokens, nll_total_micros, mean_nll, ppl_rank,
+        |  CASE WHEN ppl_rank * 3 <= n THEN 'head'
+        |       WHEN ppl_rank * 3 <= 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin)),
+
+    // ---- per-domain frequency cap (anti-mega-domain curation): keep the
+    //      10 highest-n_chars docs per source; the engine's two-phase
+    //      salted ranking ≡ the oracle's single window by the contained-
+    //      top-cap argument in CorpusCuration.domainQuota's doc ----
+    ("q_domquota",
+      (s, d) => graft.text.CorpusCuration.domainQuota(
+        Tables(s, d).documents, "source", cap = 10, qualityCol = "n_chars"),
+      Some("""WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS quota_rank
+        |  FROM documents)
+        |SELECT doc_id, source, quota_rank FROM r WHERE quota_rank <= 10""".stripMargin)),
+
+    // ---- Johnson–Lindenstrauss ±1 random projection (64 → 8 dims):
+    //      integer-micros signed sums under a pure-md5 sign matrix, so
+    //      the oracle rebuilds the exact matrix from the same formula ----
+    ("q_rproj",
+      (s, d) => Similarity.randomProjection(
+        Tables(s, d).embeddings, "vec_id", dim = 64, k = 8),
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm FROM embeddings),
+        |sgn AS (SELECT ii.i, jj.j,
+        |    CASE WHEN substr(md5(CAST(ii.i AS VARCHAR) || '_' || CAST(jj.j AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(64)) AS i) ii, (SELECT unnest(range(8)) AS j) jj)
+        |SELECT e.vec_id, CAST(sgn.j AS BIGINT) AS j, CAST(sum(sgn.s * e.vm) AS BIGINT) AS proj_micros
+        |FROM e JOIN sgn ON sgn.i = e.i GROUP BY 1, 2""".stripMargin)),
+
+    // ---- snapshot reconciliation: diff two watermark cuts of orders
+    //      (old = before 1997, new = from 1995 with every 97th price
+    //      doubled) → added / removed / changed keys + which columns ----
+    ("q_diff",
+      (s, d) => {
+        val o = Tables(s, d).orders
+        def proj(df: DataFrame) =
+          df.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val vOld = proj(o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+        val vNew = proj(o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")))
+          .withColumn("o_totalprice", when(col("o_orderkey") % 97 === 0,
+            col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        graft.operators.SnapshotDiff.diff(vOld, vNew, Seq("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |n AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_o, n.o_orderkey IS NOT NULL AS in_n,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |    o.o_totalprice AS op, n.o_totalprice AS np
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed' ELSE 'changed' END AS change_type,
+        |  CASE WHEN in_o AND in_n THEN concat_ws(',',
+        |      CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+        |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
+        |    ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT in_o OR NOT in_n
+        |   OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np""".stripMargin)),
+
     // ---- interpolated bigram-LM NLL (λ = 0.75, both mix weights exactly
     //      representable): the KenLM-direction upgrade of q_unigram_ppl;
     //      fixed expression tree evaluated in the same IEEE op order on

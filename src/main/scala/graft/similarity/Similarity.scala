@@ -212,6 +212,47 @@ object Similarity {
     * verified or dequantized by another. Flat vectors (max = min) encode
     * as all-zero codes with qscale 1.
     */
+  /** Deterministic sign for the [[randomProjection]] matrix entry (i, j):
+    * +1 when the first hex digit of md5("i_j") is 0-7, else -1 — a formula
+    * any md5-bearing engine replays, so an oracle can rebuild the exact
+    * matrix without shipping it.
+    */
+  private[similarity] def projSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1 variant):
+    * k output coordinates, each the signed sum of the input coordinates
+    * under a deterministic ±1 matrix ([[projSign]]). Used to shrink
+    * embedding width before clustering / LSH while approximately
+    * preserving pairwise distances (within ±ε at k = O(ln n / ε²)).
+    *
+    * Determinism contract: inputs quantize to integer micros FIRST
+    * (floor(x·1e6 + 0.5)), so every projected coordinate is an exact
+    * 64-bit integer sum — partition-order independent and replayable by
+    * any engine (the matrix is a pure md5 formula, not shipped data).
+    *
+    * Scale shape: the k×dim sign matrix folds into the plan as literal
+    * arrays (model-sized, bounded-by-contract); the whole operator is ONE
+    * Project + Generate over the embedding scan — zero shuffle, no UDF.
+    * Output: (keyCol, j ∈ 0..k−1, proj_micros).
+    */
+  def randomProjection(df: DataFrame, keyCol: String, dim: Int, k: Int,
+      embCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && k > 0, s"dim and k must be positive: dim=$dim k=$k")
+    val terms = (0 until k).map { j =>
+      val signs = (0 until dim).map(i => s"${projSign(i, j)}L").mkString(", ")
+      s"""struct(${j}L AS j,
+         |  aggregate(zip_with($embCol, array($signs),
+         |      (x, s) -> s * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+         |    0L, (acc, t) -> acc + t) AS proj_micros)""".stripMargin
+    }.mkString(", ")
+    df.select(col(keyCol), explode(expr(s"array($terms)")).as("p"))
+      .select(col(keyCol), col("p.j").as("j"), col("p.proj_micros").as("proj_micros"))
+  }
+
   def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame =
     df.withColumn("_v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
       .withColumn("qmin", expr("array_min(_v)"))

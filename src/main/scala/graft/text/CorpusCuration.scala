@@ -580,6 +580,39 @@ object CorpusCuration {
     * top_share_micros, r_wordcount, r_mean_len, r_alpha, r_repetition,
     * keep).
     */
+  /** Per-domain frequency cap — the Common-Crawl curation step that stops
+    * a handful of mega-domains from dominating a pretraining mix: keep at
+    * most `cap` documents per domain, preferring high `qualityCol` (ties
+    * broken on `keyCol`). Returns the kept rows as (keyCol, domainCol,
+    * quota_rank ∈ 1..cap).
+    *
+    * Scale shape: a single `row_number().over(partitionBy(domain))` puts
+    * an entire mega-domain in ONE task — the exact skew this operator
+    * exists to fight. Instead, phase 1 ranks within (domain, salt) —
+    * `preSalt` shards per domain — and keeps ≤ cap per shard, shrinking
+    * every domain to ≤ preSalt·cap rows regardless of its raw size;
+    * phase 2 ranks those survivors exactly. Correct because the global
+    * per-domain top-cap is contained in the union of per-shard top-caps
+    * (any row beaten by ≥ cap rows in its own shard is beaten by ≥ cap
+    * rows in the domain). Two shuffles, both bounded.
+    */
+  def domainQuota(docs: DataFrame, domainCol: String, cap: Int,
+      qualityCol: String, keyCol: String = "doc_id", preSalt: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"cap must be positive: $cap")
+    require(preSalt > 0, s"preSalt must be positive: $preSalt")
+    val ord = Seq(col(qualityCol).desc, col(keyCol).asc)
+    val pre = docs.select(col(keyCol), col(domainCol), col(qualityCol))
+      .withColumn("_salt", pmod(hash(col(keyCol)), lit(preSalt)))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col(domainCol), col("_salt")).orderBy(ord: _*)))
+      .filter(col("_pr") <= cap)
+    pre.withColumn("quota_rank", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(ord: _*)).cast("long"))
+      .filter(col("quota_rank") <= cap)
+      .select(col(keyCol), col(domainCol), col("quota_rank"))
+  }
+
   def gopherQualityRules(docs: DataFrame, keyCol: String,
       textCol: String = "text", minTokens: Long = 50L,
       maxTokens: Long = 100000L): DataFrame = {

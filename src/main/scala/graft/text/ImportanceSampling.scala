@@ -123,6 +123,56 @@ object ImportanceSampling {
         col("nll_total_micros").cast("double") / col("n_tokens") / lit(1e6))
   }
 
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020): every document
+    * ranked by its unigram-LM mean NLL ([[unigramNll]]) and cut into the
+    * head / middle / tail thirds CCNet feeds to downstream filtering —
+    * head = most-fluent-under-the-LM (boilerplate-leaning), tail = least
+    * fluent (gibberish-leaning). Returns the [[unigramNll]] columns plus
+    * (ppl_rank, ppl_bucket).
+    *
+    * The global rank is NOT a `row_number().over(Window.orderBy(...))`
+    * (which serializes the corpus through one task) — it is the two-pass
+    * prefix-sum of [[graft.quality.Drift]] / `tokenSpans`: a distributed
+    * range-sort on (mean_nll, key), one pass collecting numPartitions row
+    * counts (bounded by cluster size), then a second pass over the SAME
+    * sort lineage attaching offset-corrected ranks. mean_nll is derived
+    * from exact integer micros by two correctly-rounded divisions, so the
+    * sort key — and therefore the tiering — is engine-portable; ties
+    * break on the key column.
+    */
+  def nllTiles(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val sorted = unigramNll(docs, keyCol, textCol)
+      .select(col(keyCol).cast("long"), col("n_tokens"),
+        col("nll_total_micros"), col("mean_nll"))
+      .orderBy(col("mean_nll"), col(keyCol))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perPart = rdd.mapPartitionsWithIndex(
+        (i, it) => Iterator.single((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = offsets(i)
+      it.map { case (k, nt, tm, mean) =>
+        rank += 1
+        val bucket = if (rank * 3 <= n) "head"
+          else if (rank * 3 <= 2 * n) "middle" else "tail"
+        Row(k, nt, tm, mean, rank, bucket)
+      }
+    }
+    docs.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("nll_total_micros", LongType, nullable = false),
+      StructField("mean_nll", DoubleType, nullable = false),
+      StructField("ppl_rank", LongType, nullable = false),
+      StructField("ppl_bucket", StringType, nullable = false))))
+  }
+
   /** Interpolated bigram-LM negative log-likelihood per document — one
     * model order up from [[unigramNll]], toward the KenLM-style n-gram
     * filters of CCNet: each bigram position i ≥ 2 costs
