@@ -28,13 +28,19 @@ import org.apache.spark.sql.functions._
   *    multi-char symbols can never false-match inside a neighbor
   *    ("xab ab" has no ' ab ' hit inside 'xab').
   *
-  * Scale shape: one corpus-wide pair-count shuffle per round (keys =
-  * distinct adjacent pairs, model-sized) + one TakeOrdered(1) + one
-  * map-side broadcast-join rewrite of the word table; rounds are bounded
-  * by the caller. The word table is localCheckpoint-truncated per round
-  * so the plan does not re-embed all previous rounds (the kCore
-  * pattern). No driver collect of anything corpus-sized — the winning
-  * pair rides a broadcast 1-row crossJoin into the rewrite.
+  * Scale shape: the corpus collapses ONCE into the distinct-word
+  * frequency table (one shuffle over the full token stream), and every
+  * round thereafter runs on that table — pair counts are occurrence
+  * counts because each pair row is weighted by its word's frequency, so
+  * the numbers are identical to streaming the corpus, but the per-round
+  * cost is VOCABULARY-sized (Heaps' law: ~√corpus), not corpus-sized.
+  * Distinct raw words stay distinct under merging (the character
+  * sequence is recoverable from any encoding), so the table never needs
+  * re-grouping. Per round: one model-sized pair-count shuffle + one
+  * TakeOrdered(1) + one broadcast-1-row rewrite projection; the word
+  * table is localCheckpoint-truncated per round so the plan does not
+  * re-embed all previous rounds (the kCore pattern). No driver collect
+  * of anything corpus-sized.
   *
   * Output: (merge_round, lhs, rhs, pair_count) — `pair_count` is the pair's
   * corpus frequency at the START of its round. Named lhs/rhs because
@@ -50,20 +56,21 @@ object BpeLearning {
       .filter(length(col("tok")) > 0)
       .select(concat(lit(" "), concat_ws("  ", split(col("tok"), "")), lit(" "))
         .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
       .localCheckpoint()
     var out: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val top = words
-        .select(expr("split(trim(w), '  ')").as("s"))
+        .select(col("wc"), expr("split(trim(w), '  ')").as("s"))
         .filter(size(col("s")) >= 2)
-        .select(explode(expr(
+        .select(col("wc"), explode(expr(
           "transform(sequence(1, size(s) - 1), " +
             "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))
           .as("p"))
         .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(count(lit(1)).as("pair_count"))
+        .agg(sum(col("wc")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .withColumn("merge_round", lit(r))
@@ -74,7 +81,7 @@ object BpeLearning {
         words = words.crossJoin(broadcast(top))
           .select(expr(
             "replace(w, concat(' ', lhs, '  ', rhs, ' '), " +
-              "concat(' ', lhs, rhs, ' '))").as("w"))
+              "concat(' ', lhs, rhs, ' '))").as("w"), col("wc"))
           .localCheckpoint()
         out = Some(out.map(_.union(top)).getOrElse(top))
         r += 1
