@@ -2139,6 +2139,15 @@ object SparkEntry {
         Tables(s, d).documents, "doc_id", bpeMergesFor(s, d)),
       Some(graft.text.BpeLearning.bpeApplyOracleSql(6))),
 
+    // ---- tokenizer fertility by language (XLM-R §3.1's fairness
+    //      metric): chars-per-BPE-token and BPE-tokens-per-word per lang
+    //      under the learned merges, exact integer-micros floor
+    //      divisions (non-negative, so Spark div ≡ DuckDB //) ----
+    ("q_fertility",
+      (s, d) => graft.text.BpeLearning.tokenizerFertility(
+        Tables(s, d).documents, "doc_id", bpeMergesFor(s, d), "lang"),
+      Some(graft.text.BpeLearning.fertilityOracleSql(6))),
+
     // ---- Gopher-style composite quality gate (Rae et al. §A1.1):
     //      word-count / mean-length / alphabetic / repetition rules,
     //      all integer-micros exact — the standard pre-training filter

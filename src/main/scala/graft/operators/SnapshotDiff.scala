@@ -46,4 +46,24 @@ object SnapshotDiff {
       .filter(col("change_type") =!= "changed" || col("changed_cols") =!= "")
       .select(keyCols.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
   }
+
+  /** Schema-evolution report between two table versions: one row per
+    * column that was added, removed, or retyped — the metadata companion
+    * to [[diff]] a pipeline runs before attempting the row-level diff
+    * (a retyped key column makes the row diff meaningless). Pure
+    * driver-side metadata — no job is launched.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows: Seq[(String, String, String, String)] =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added", null: String, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed", o(c), null: String)) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "retyped", o(c), n(c))
+      }
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "change_type", "old_type", "new_type")
+  }
 }

@@ -165,6 +165,30 @@ object BpeLearning {
     s"WITH $w0,\n$roundsSql\n$unions"
   }
 
+  /** Tokenizer fertility by group (typically language) — the fairness
+    * metric tokenizer work reports (e.g. XLM-R §3.1: high fertility =
+    * the tokenizer fragments that language's words into many subwords,
+    * inflating its sequence lengths and training cost): apply the learned
+    * merges, then per `groupCol` aggregate chars-per-BPE-token and
+    * BPE-tokens-per-word as exact integer-micros floor divisions
+    * (non-negative, so Spark `div` ≡ DuckDB `//`). Scale shape: the
+    * [[applyBpeMerges]] projection + its per-doc aggregate, one broadcast
+    * join for the group column, one bounded-key aggregate.
+    */
+  def tokenizerFertility(docs: DataFrame, keyCol: String, mergeTable: DataFrame,
+      groupCol: String, textCol: String = "text"): DataFrame =
+    applyBpeMerges(docs, keyCol, mergeTable, textCol)
+      .join(docs.select(col(keyCol), col(groupCol)), Seq(keyCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("chars_per_token_micros",
+        expr("n_chars * 1000000L div n_bpe_tokens"))
+      .withColumn("tokens_per_word_micros",
+        expr("n_bpe_tokens * 1000000L div n_words"))
+
   /** DuckDB oracle for learn-then-[[applyBpeMerges]]: the same unrolled
     * round CTEs, but the word table carries (doc_id, pos) so the final
     * state w{rounds} — which IS the applied segmentation — can be
@@ -195,4 +219,18 @@ object BpeLearning {
        |  md5(string_agg(trim(w), ' | ' ORDER BY pos)) AS seg_hash
        |FROM w$rounds GROUP BY 1""".stripMargin
   }
+
+  /** DuckDB oracle for [[tokenizerFertility]]: the [[bpeApplyOracleSql]]
+    * per-doc table re-aggregated by the grouping column (DuckDB nests the
+    * inner WITH inside the CTE body).
+    */
+  def fertilityOracleSql(rounds: Int, groupCol: String = "lang"): String =
+    s"""WITH per AS (${bpeApplyOracleSql(rounds)})
+       |SELECT d.$groupCol AS $groupCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(per.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(per.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(per.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(per.n_chars) * 1000000 // sum(per.n_bpe_tokens) AS BIGINT) AS chars_per_token_micros,
+       |  CAST(sum(per.n_bpe_tokens) * 1000000 // sum(per.n_words) AS BIGINT) AS tokens_per_word_micros
+       |FROM per JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin
 }

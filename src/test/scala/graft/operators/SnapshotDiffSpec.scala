@@ -48,6 +48,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("schemaDiff reports added, removed, and retyped columns") {
+    val o = Seq((1L, "a", 1.0)).toDF("k", "status", "price")
+    val n = Seq((1L, 2, "x")).toDF("k", "price", "region")
+    val d = SnapshotDiff.schemaDiff(o, n)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(d == Set(
+      ("region", "added", None, Some("string")),
+      ("status", "removed", Some("string"), None),
+      ("price", "retyped", Some("double"), Some("int"))))
+  }
+
+  test("schemaDiff of identical schemas is empty") {
+    assert(SnapshotDiff.schemaDiff(oldDf, oldDf).isEmpty)
+  }
+
   test("mismatched schemas are rejected") {
     val bad = oldDf.withColumnRenamed("price", "amount")
     assertThrows[IllegalArgumentException] {

@@ -60,6 +60,25 @@ class BpeLearningSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bpe_tokens") === 4L) // every char its own token
   }
 
+  test("tokenizerFertility: the language whose words the merges cover " +
+      "fragments less") {
+    // merges learned on lang-A words: "abc" fully merges to one token;
+    // lang-B "xyz" stays three characters -> fertility (tokens/word)
+    // is 1.0 for A and 3.0 for B, chars/token 3.0 vs 1.0
+    val train = Seq((1L, "abc abc abc"), (2L, "ab")).toDF("doc_id", "text")
+    val mergeTable = BpeLearning.learnBpeMerges(train, rounds = 5)
+    val docs = Seq((10L, "abc abc", "A"), (11L, "xyz xyz", "B"))
+      .toDF("doc_id", "text", "lang")
+    val out = BpeLearning.tokenizerFertility(docs, "doc_id", mergeTable, "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("chars_per_token_micros"),
+          r.getAs[Long]("tokens_per_word_micros")))).toMap
+    assert(out("A") === ((1L, 2L, 2L, 3000000L, 1000000L)))
+    assert(out("B") === ((1L, 2L, 6L, 1000000L, 3000000L)))
+  }
+
   test("multi-char symbols never false-match inside a neighbor") {
     // after (a,b) merges, word xab holds symbol sequence [x, ab]; the
     // round-2 winner (x,ab) must come from THAT adjacency, never from a
