@@ -874,6 +874,33 @@ object SparkEntry {
         | md5(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233))) AS norm_hash
         |FROM documents""".stripMargin)),
 
+    // ---- encoding-anomaly detection (ftfy-direction): U+FFFD count,
+    //      UTF-8-read-as-Latin-1 mojibake pairs (Ã©-style), C0 controls.
+    //      The corpus is clean ASCII, so every 7th doc gets a planted
+    //      corruption tail (2 mojibake pairs, 1 replacement char, 1 BEL)
+    //      — the planted-oracle pattern of q_pii/q_nfc ----
+    ("q_mojibake",
+      (s, d) => {
+        val planted = Tables(s, d).documents.withColumn("text2",
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" caf\u00C3\u00A9 n\u00C2\u00A0b ok\uFFFD x\u0007y")))
+            .otherwise(col("text")))
+        graft.text.TextAnalysis.encodingAnomalies(planted, "doc_id", "text2")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169)
+        |      || ' n' || chr(194) || chr(160) || 'b ok' || chr(65533)
+        |      || ' x' || chr(7) || 'y' ELSE text END AS text2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text2, '\x{FFFD}')) AS BIGINT) AS n_repl,
+        |    CAST(len(regexp_extract_all(text2, '[\x{C2}\x{C3}][\x{80}-\x{BF}]')) AS BIGINT) AS n_moji,
+        |    CAST(len(regexp_extract_all(text2, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl
+        |  FROM t)
+        |SELECT doc_id, n_repl, n_moji, n_ctrl,
+        |  (n_repl = 0 AND n_moji = 0 AND n_ctrl = 0) AS enc_clean
+        |FROM c""".stripMargin)),
+
     // ---- near-dup clusters (connected components over pair graph) ----
     // Pairs come from the scale-safe banded path; the oracle rebuilds the
     // transitive closure with a recursive CTE over the exact pair set.
@@ -2949,6 +2976,30 @@ object SparkEntry {
         |  FROM bg JOIN c2 USING (pb, b) JOIN c1 p1 ON bg.pb = p1.b
         |  JOIN c1 w1 ON bg.b = w1.b CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_total_micros,
+        |  CAST(CAST(sum(nll) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
+        |FROM per GROUP BY 1""".stripMargin)),
+
+    // ---- interpolated Kneser–Ney bigram NLL (D = 0.75): the smoothing
+    //      KenLM ships — back-off mass from CONTINUATION counts (distinct
+    //      left-contexts), not raw frequency; corpus-as-own-model keeps
+    //      c2 ≥ 1 > D so the clamp-free fixed expression tree is exact ----
+    ("q_kn_ppl",
+      (s, d) => graft.text.ImportanceSampling.kneserNeyNll(Tables(s, d).documents),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, substr(md5(toks[i-1]), 1, 3) AS pb, substr(md5(toks[i]), 1, 3) AS b
+        |  FROM (SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+        |        FROM d WHERE len(toks) >= 2)),
+        |c2 AS (SELECT pb, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT pb, count(*) AS ctx FROM bg GROUP BY 1),
+        |n1l AS (SELECT pb, count(*) AS n1l FROM c2 GROUP BY 1),
+        |n1r AS (SELECT b, count(*) AS n1r FROM c2 GROUP BY 1),
+        |ty AS (SELECT count(*) AS ty FROM c2),
+        |per AS (SELECT doc_id, CAST(floor(-ln((CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+        |    + 0.75 * CAST(n1l AS DOUBLE) / CAST(ctx AS DOUBLE)
+        |      * (CAST(n1r AS DOUBLE) / CAST(ty AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS nll
+        |  FROM bg JOIN c2 USING (pb, b) JOIN ctx USING (pb) JOIN n1l USING (pb)
+        |  JOIN n1r USING (b) CROSS JOIN ty)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS kn_nll_micros,
         |  CAST(CAST(sum(nll) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS mean_nll
         |FROM per GROUP BY 1""".stripMargin)),
 

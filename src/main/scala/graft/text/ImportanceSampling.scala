@@ -221,4 +221,63 @@ object ImportanceSampling {
       .withColumn("mean_nll",
         col("nll_total_micros").cast("double") / col("n_bigrams") / lit(1e6))
   }
+
+  /** Interpolated Kneser–Ney bigram NLL — the smoothing KenLM actually
+    * ships (Kneser & Ney 1995; Chen & Goodman 1998), one rung above the
+    * naive interpolation of [[bigramNll]]: the unigram back-off weight is
+    * the CONTINUATION probability (in how many distinct left-contexts does
+    * this token appear?) rather than the raw frequency, so corpus-frequent
+    * but context-bound tokens ("Francisco") stop inflating the back-off
+    * mass. Per bigram position:
+    *
+    *   P(b|pb) = (c₂(pb,b) − D)/ctx(pb) + D·N₁₊(pb,·)/ctx(pb) · N₁₊(·,b)/T
+    *
+    * with D = 0.75 (exactly representable — the portability contract of
+    * [[bigramNll]]), ctx(pb) = bigram occurrences with left bucket pb
+    * (the exact normalizer: Σ_b P(b|pb) = 1), N₁₊ the distinct-neighbor
+    * counts and T the total distinct bigram types. Corpus-as-own-model
+    * means c₂ ≥ 1 > D, so the discounted term is always positive and the
+    * max(·,0) clamp of the general formula is vacuous — omitted so both
+    * engines evaluate the same fixed expression tree in the same IEEE
+    * order. Costs are integer micros summed exactly.
+    *
+    * Output (docs with ≥ 2 tokens): (keyCol, n_bigrams, kn_nll_micros,
+    * mean_nll).
+    *
+    * Scale shape: identical family to [[bigramNll]] — bigrams are an
+    * in-place array projection (no self-join, no window); the four model
+    * tables (c₂, ctx, N₁₊ left/right) are hash-keyed aggregates bounded by
+    * the 4096-bucket space (≤4096² pair rows, ≤4096 unary rows — AQE
+    * broadcasts them); the type total rides the 1-row broadcast idiom; one
+    * shuffle for the per-doc integer sum.
+    */
+  def kneserNeyNll(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1): $discount")
+    val bg = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) >= 2)
+      .select(col(keyCol), explode(expr(
+        """transform(sequence(2, size(tokens)),
+          |  i -> struct(substr(md5(element_at(tokens, i - 1)), 1, 3) AS pb,
+          |              substr(md5(element_at(tokens, i)), 1, 3) AS b))""".stripMargin)).as("g"))
+      .select(col(keyCol), col("g.pb").as("pb"), col("g.b").as("b"))
+    val c2 = bg.groupBy("pb", "b").agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy("pb").agg(count(lit(1)).as("ctx"))
+    val n1l = c2.groupBy("pb").agg(count(lit(1)).as("n1l"))
+    val n1r = c2.groupBy("b").agg(count(lit(1)).as("n1r"))
+    val ty = c2.agg(count(lit(1)).as("ty"))
+    bg.join(c2, Seq("pb", "b"))
+      .join(ctx, Seq("pb"))
+      .join(n1l, Seq("pb"))
+      .join(n1r, Seq("b"))
+      .crossJoin(broadcast(ty))
+      .withColumn("nll_micros", expr(
+        s"""CAST(floor(-ln((CAST(c2 AS DOUBLE) - $discount) / CAST(ctx AS DOUBLE)
+           |  + $discount * CAST(n1l AS DOUBLE) / CAST(ctx AS DOUBLE)
+           |    * (CAST(n1r AS DOUBLE) / CAST(ty AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micros")).as("kn_nll_micros"))
+      .withColumn("mean_nll",
+        col("kn_nll_micros").cast("double") / col("n_bigrams") / lit(1e6))
+  }
 }

@@ -252,6 +252,37 @@ object TextAnalysis {
       PiiPatterns.map { case (c, _) => col(s"n_$c") }.reduce(_ + _))
   }
 
+  /** Encoding-anomaly diagnostics — the ftfy-direction health check a
+    * web-scraped corpus runs before any text op (mojibake is invisible to
+    * token statistics but poisons tokenizers and dedup shingles). Three
+    * codepoint signatures, each a pure counted regex (no UDF, codegen'd,
+    * zero shuffle):
+    *
+    *  - `n_repl`: U+FFFD replacement characters — a decoder already gave
+    *    up on those bytes upstream;
+    *  - `n_moji`: the UTF-8-read-as-Latin-1 signature — a lead byte
+    *    0xC2/0xC3 (“Â”/“Ã”) followed by a continuation codepoint in
+    *    U+0080–U+00BF, the two-char shape every Latin-1-range mis-decode
+    *    collapses to (“é” → “Ã©”, NBSP → “Â ”);
+    *  - `n_ctrl`: C0 control characters other than tab/newline/CR —
+    *    binary junk masquerading as text.
+    *
+    * `enc_clean` = all three are zero. Counting (not repairing): repair
+    * is a lossy byte-level round-trip that belongs upstream of the lake;
+    * the pipeline's job is to quarantine, which this flag drives.
+    */
+  def encodingAnomalies(df: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    df.select(col(keyCol),
+        n("\uFFFD").as("n_repl"),
+        n("[\u00C2\u00C3][\u0080-\u00BF]").as("n_moji"),
+        n("[\u0000-\u0008\u000B\u000C\u000E-\u001F]").as("n_ctrl"))
+      .withColumn("enc_clean",
+        col("n_repl") === 0L && col("n_moji") === 0L && col("n_ctrl") === 0L)
+  }
+
   /** Bigram collocations scored by pointwise mutual information — phrase
     * mining for a training corpus (PMI >> 0 marks token pairs that
     * co-occur far above chance: named entities, fixed phrases, tokenizer

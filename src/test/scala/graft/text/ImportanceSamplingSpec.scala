@@ -86,4 +86,35 @@ class ImportanceSamplingSpec extends SparkSpec {
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_total_micros")).toMap
     assert(totals(docs) === totals(docs.repartition(7)))
   }
+
+  test("Kneser-Ney backs off by continuation count: the Francisco effect") {
+    // 'francisco' is corpus-frequent but appears after exactly one context
+    // ('san'); 'common' is equally frequent but follows many different
+    // contexts. Two probe docs pair each with the same fresh context 'zz'
+    // (both probe bigrams have c2 = 1 and share ctx/n1l for 'zz'), so the
+    // ONLY difference is the continuation count — KN must charge the
+    // context-bound token more. Plain interpolation (bigramNll) can't see
+    // this: both tokens have identical unigram frequency.
+    val contexts = Seq("alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta")
+    val docs = ((1L to 8L).map(i => (i, "san francisco")) ++
+      contexts.zipWithIndex.map { case (c, i) => (11L + i, s"$c common") } ++
+      Seq((98L, "zz francisco"), (99L, "zz common"))).toDF("doc_id", "text")
+    val out = ImportanceSampling.kneserNeyNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(98L).getAs[Double]("mean_nll") > out(99L).getAs[Double]("mean_nll"))
+    assert(out(98L).getAs[Long]("n_bigrams") === 1L)
+    // under plain interpolation the two probes are indistinguishable
+    val interp = ImportanceSampling.bigramNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_total_micros")).toMap
+    assert(interp(98L) === interp(99L))
+    // docs with < 2 tokens contribute no row; integer totals are
+    // partition-order independent
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    assert(ImportanceSampling.kneserNeyNll(tiny).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      ImportanceSampling.kneserNeyNll(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kn_nll_micros")).toMap
+    assert(totals(docs) === totals(docs.repartition(7)))
+  }
 }
