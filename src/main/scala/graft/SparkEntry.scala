@@ -14,7 +14,7 @@ import graft.quality.{DataQuality, QualityReport}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.{Retrieval, Similarity}
-import graft.text.{CorpusCuration, TextAnalysis}
+import graft.text.{CorpusCuration, CorpusSketches, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
@@ -723,6 +723,37 @@ object SparkEntry {
       Some("""SELECT token, CAST(count(*) AS BIGINT) AS total_tf
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY 1 ORDER BY total_tf DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- Count–Min sketch as a relational artifact: depth×width cell
+    //      table (one groupBy, map-side-combined to ≤ depth·width cells
+    //      per task), md5 row hashes so the oracle replays the cells
+    //      bit-for-bit; probes = the exact top-20 tokens, est = min over
+    //      the probe's depth cells — the overestimate-only guarantee
+    //      (est ≥ exact, spec-pinned) is visible in the output ----
+    ("q_cms",
+      (s, d) => {
+        val toks = TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(explode(col("tokens")).as("token"))
+        val probes = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+        CorpusSketches.cmsEstimate(
+            CorpusSketches.cmsCells(toks, "token", depth = 4, width = 512),
+            probes, "token", depth = 4, width = 512)
+          .withColumnRenamed("item", "token")
+          .join(probes, Seq("token"))
+          .select("token", "exact_cnt", "est")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |p AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20),
+        |cells AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 512 AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 5)) AS d) GROUP BY 1, 2),
+        |pc AS (SELECT token, d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 512 AS w
+        |  FROM p CROSS JOIN (SELECT unnest(range(1, 5)) AS d))
+        |SELECT token, exact_cnt, min(coalesce(cnt, 0)) AS est
+        |FROM pc LEFT JOIN cells USING (d, w) JOIN p USING (token)
+        |GROUP BY 1, 2""".stripMargin)),
 
     ("q_tfidf",
       // N is a lazily-broadcast 1-row count inside the plan — one composed
@@ -2012,6 +2043,32 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS boiler_micros
         |FROM a""".stripMargin)),
 
+    // ---- sentence-level exact dedup (CCNet/RefinedWeb line dedup):
+    //      corpus-global first occurrence per sentence hash wins —
+    //      groupBy-min first-owner (map-side combinable; no hot-key
+    //      window), keyed join marks survivors, per-doc rebuild. The
+    //      kept text is registered as an md5 digest (driver comparator
+    //      contract); the string form stays the library API ----
+    ("q_sentdedup",
+      (s, d) => CorpusCuration.sentenceDedup(Tables(s, d).documents, "doc_id")
+        .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+          md5(col("kept_text")).as("kept_md5")),
+      Some("""WITH s0 AS (SELECT doc_id, i, trim(arr[i]) AS sentence
+        |  FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr,
+        |        unnest(range(1, len(string_split_regex(text, '[.!?]+')) + 1)) AS i
+        |      FROM documents)),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, sentence, md5(sentence) AS h
+        |  FROM s0 WHERE sentence != ''),
+        |f AS (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep
+        |  FROM s),
+        |k AS (SELECT s.doc_id, s.idx, s.sentence, f.keep
+        |  FROM s JOIN f ON s.doc_id = f.doc_id AND s.idx = f.idx)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  md5(coalesce(array_to_string(list(sentence ORDER BY idx) FILTER (WHERE keep), '. '), '')) AS kept_md5
+        |FROM k GROUP BY 1""".stripMargin)),
+
     // ---- fastText-style hashed linear quality classifier: 256 buckets,
     //      deterministic stand-in weights (md5 of the bucket id — a
     //      trained model's coefficients slot into the same table), score =
@@ -2343,6 +2400,26 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE vec_id NOT IN (SELECT dropped FROM p)) AS BIGINT) AS n_kept,
         |  CAST(count(*) FILTER (WHERE vec_id IN (SELECT dropped FROM p)) AS BIGINT) AS n_dropped
         |FROM e GROUP BY 1""".stripMargin)),
+
+    // ---- per-cluster embedding diversity: EXACT mean pairwise cosine in
+    //      O(n·d) via the centroid identity Σᵢ≠ⱼuᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖²
+    //      over micro-quantized unit vectors — no pair is materialized;
+    //      the oracle replays the same exact integer sums in DuckDB
+    //      (HUGEINT there, DECIMAL(38,0) here) ----
+    ("q_diversity",
+      (s, d) => graft.similarity.Similarity.meanPairwiseCosine(
+        Tables(s, d).embeddings, "label"),
+      Some("""WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n0 AS (SELECT label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM v),
+        |q AS (SELECT label, list_transform(v, x -> CAST(floor(x / norm * 1e6 + 0.5) AS BIGINT)) AS q
+        |  FROM n0 WHERE norm > 0),
+        |r AS (SELECT label, q, list_sum(list_transform(q, x -> x * x)) AS rowsq FROM q),
+        |c AS (SELECT label, k, sum(q[k]) AS s
+        |  FROM (SELECT label, q, unnest(range(1, len(q) + 1)) AS k FROM q) GROUP BY 1, 2),
+        |ss AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS ssum FROM c GROUP BY 1),
+        |b AS (SELECT label, CAST(count(*) AS BIGINT) AS n, sum(CAST(rowsq AS HUGEINT)) AS sumsq FROM r GROUP BY 1)
+        |SELECT label, n, CAST(ssum - sumsq AS DOUBLE) / n / (n - 1) / 1e12 AS mean_cosine
+        |FROM b JOIN ss USING (label) WHERE n >= 2""".stripMargin)),
 
     // ---- metric drift detection: trailing-7-day z-score of daily revenue
     //      vs the PRIOR window (current day excluded); mean/var/z derived

@@ -50,6 +50,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Exact mean pairwise cosine per group in O(n·d) — the corpus
+    * diversity statistic (SemDeDup-style collapse detection: a cluster
+    * whose embeddings all point the same way has nothing left to teach)
+    * computed WITHOUT the O(n²) pairwise scan, via the centroid identity
+    *
+    *   Σ_{i≠j} uᵢ·uⱼ = ‖Σᵢ uᵢ‖² − Σᵢ ‖uᵢ‖²
+    *
+    * over unit-normalized vectors u. The engine never materializes a
+    * pair: one per-component exact integer sum (d rows per group) and
+    * one per-row squared-norm sum. Determinism: components are
+    * unit-normalized in sequential double folds, micro-quantized to
+    * BIGINT (the repo-wide portable-exactness contract), so every sum is
+    * an exact integer; the only doubles are the final decimal→double
+    * cast and a fixed left-associated division chain — bit-equal across
+    * engines and partitionings. Micro-quantization puts the statistic
+    * within ~2·d·1e-6 of the float-exact value, a bias the spec pins.
+    *
+    * At 100 TB: linear scan, two keyed aggregations (both map-side
+    * combinable — per-task state is d counters per group), no window,
+    * no collect. Output: (groupCol, n, mean_cosine), groups with n ≥ 2.
+    */
+  def meanPairwiseCosine(df: DataFrame, groupCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    val q = withNorm(df, embCol)
+      .filter(col("norm") > 0)
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x / norm * 1e6 + 0.5) AS BIGINT))"))
+      .select(col(groupCol), col("q"),
+        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("_rowsq"))
+    val comp = q
+      .select(col(groupCol), posexplode(col("q")).as(Seq("_k", "_qk")))
+      .groupBy(col(groupCol), col("_k"))
+      .agg(sum(col("_qk")).as("_s"))
+    val ssum = comp.groupBy(groupCol)
+      .agg(sum(col("_s").cast("decimal(19,0)") * col("_s").cast("decimal(19,0)"))
+        .as("_ssum"))
+    q.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("_rowsq").cast("decimal(19,0)")).as("_sumsq"))
+      .join(ssum, Seq(groupCol))
+      .filter(col("n") >= 2)
+      .withColumn("mean_cosine",
+        expr("CAST(_ssum - _sumsq AS DOUBLE) / n / (n - 1) / 1e12"))
+      .select(col(groupCol), col("n"), col("mean_cosine"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes. */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[(Int, Seq[Double])] = {
     val rnd = new scala.util.Random(seed)

@@ -253,6 +253,53 @@ object CorpusCuration {
         "concat_ws(' ', transform(array_sort(_kept), x -> x.chunk))"))
       .drop("_kept")
 
+  /** Sentence-level exact deduplication — the line-dedup pass CCNet and
+    * RefinedWeb run over web crawls (Wenzek 2020 §3.1; Penedo 2023 §4.2):
+    * a sentence seen anywhere before in the corpus is dropped, keeping
+    * ONLY its first occurrence in (keyCol, position) order, so repeated
+    * chrome ("click here to subscribe") vanishes while its first carrier
+    * keeps one copy. Document-grain dedup cannot see this duplication
+    * (the surrounding text differs); segment-grain boilerplate
+    * ([[boilerplateSummary]]) uses fixed token windows — this is the
+    * punctuation-grain exact pass between them.
+    *
+    * Sentences = `[.!?]+`-delimited spans, trimmed, empties dropped; the
+    * identity key is md5 of the trimmed span. First occurrence per key is
+    * a groupBy-min (map-side combinable — the reduce state per key is ONE
+    * (doc, idx) pair no matter how many million copies stream through,
+    * exactly where a window row_number over a hot boilerplate key would
+    * funnel a single task), then one keyed join marks survivors. Kept
+    * text is rebuilt in original sentence order (doc-bounded
+    * collect_list).
+    *
+    * Output: (keyCol, n_sentences, n_kept, kept_text) — docs whose every
+    * sentence was seen earlier keep n_kept = 0 and an empty kept_text.
+    */
+  def sentenceDedup(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame = {
+    val sent = docs
+      .select(col(keyCol), posexplode(split(col(textCol), "[.!?]+"))
+        .as(Seq("idx", "raw")))
+      .withColumn("sentence", trim(col("raw")))
+      .filter(col("sentence") =!= "")
+      .select(col(keyCol), col("idx").cast("long").as("idx"),
+        col("sentence"), md5(col("sentence")).as("h"))
+    val firstOcc = sent
+      .groupBy("h")
+      .agg(min(struct(col(keyCol).as("_k"), col("idx").as("_i"))).as("_f"))
+      .select(col("h"), col("_f._k").as("_k"), col("_f._i").as("_i"))
+    val kept = sent.join(firstOcc, Seq("h"))
+      .withColumn("_keep", col(keyCol) === col("_k") && col("idx") === col("_i"))
+    kept.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("_keep"),
+          struct(col("idx"), col("sentence"))))).as("_ks"))
+      .withColumn("kept_text",
+        expr("concat_ws('. ', transform(_ks, x -> x.sentence))"))
+      .drop("_ks")
+  }
+
   /** Deterministic stratified sampling: exactly `quota` documents per
     * stratum, chosen by a portable hash order (md5 of the doc key) —
     * reproducible across runs, partitionings and engines, unlike

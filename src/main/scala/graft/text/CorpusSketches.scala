@@ -64,4 +64,68 @@ object CorpusSketches {
   def mergeDistinctSketches(sketches: DataFrame, groupCol: String): DataFrame =
     sketches.groupBy(groupCol)
       .agg(expr("hll_sketch_estimate(hll_union_agg(hll))").as("est_distinct_tokens"))
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) as a RELATIONAL
+    * artifact: `depth` hash rows × `width` buckets, each cell the exact
+    * count of items hashed into it. One explode (×depth) + one groupBy —
+    * map-side partial aggregation collapses the stream to ≤ depth·width
+    * cells per task before any shuffle, so the sketch costs O(depth·width)
+    * state no matter how many items flow through (the frequency-summary
+    * primitive a 100 TB token stream needs where an exact token groupBy
+    * would shuffle the vocabulary).
+    *
+    * Unlike opaque binary sketch state, the cell TABLE round-trips through
+    * parquet and any engine: the row hash is md5-based
+    * (`conv(substr(md5(d:item),1,8))` — 32-bit, non-negative), so the
+    * DuckDB oracle replays cells bit-for-bit. Merge = cellwise SUM
+    * ([[cmsMerge]]); the estimate for an item is min over its depth cells
+    * ([[cmsEstimate]]) — an OVERESTIMATE with P(err > 2N/width per row) ≤
+    * 1/2, so P(all depth rows high) ≤ 2^-depth (the classic ε=e/width,
+    * δ=e^-depth bound up to constants).
+    *
+    * Output: (d, w, cnt) — only nonzero cells (absent cell ≡ 0).
+    */
+  def cmsCells(items: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2, s"width >= 2: $width")
+    items
+      .select(explode(expr(
+        s"""transform(sequence(1, $depth), d -> struct(
+           |  CAST(d AS BIGINT) AS d,
+           |  CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', $itemCol)), 1, 8), 16, 10) AS BIGINT) % $width AS w))""".stripMargin)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge Count–Min cell tables built with the SAME (depth, width):
+    * cellwise sum. sketch(A) ⊕ sketch(B) ≡ sketch(A ∪ B) exactly —
+    * the property that lets per-shard/per-day sketches roll up without
+    * rescanning (spec-pinned).
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("d", "w").agg(sum("cnt").as("cnt"))
+
+  /** Point estimates from a Count–Min cell table for a bounded probe set:
+    * min over the item's depth cells (missing cell = 0 via the left join).
+    * Output: (item, est). The probe side re-derives the same md5 row
+    * hashes, joins the (≤ depth·width)-row cell table — broadcast-sized
+    * by construction — and takes one min per item.
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probeCells = probes
+      .select(col(itemCol).as("item"))
+      .distinct()
+      .select(col("item"), explode(expr(
+        s"""transform(sequence(1, $depth), d -> struct(
+           |  CAST(d AS BIGINT) AS d,
+           |  CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', item)), 1, 8), 16, 10) AS BIGINT) % $width AS w))""".stripMargin)).as("c"))
+      .select(col("item"), col("c.d").as("d"), col("c.w").as("w"))
+    probeCells
+      .join(broadcast(cells), Seq("d", "w"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -173,4 +173,41 @@ class SimilaritySpec extends SparkSpec {
       assert(brute(key) === r.getAs[Double]("cosine"))
     }
   }
+
+  test("mean pairwise cosine: centroid identity matches the explicit O(n^2) scan") {
+    // group a: 3 copies of one direction -> mean 1; group b: +x, -x -> -1;
+    // group c: orthogonal axes -> 0; group d: the random fixture vectors
+    val grouped =
+      Seq(("a", Seq(1f, 0f, 0f, 0f)), ("a", Seq(2f, 0f, 0f, 0f)), ("a", Seq(5f, 0f, 0f, 0f)),
+        ("b", Seq(1f, 1f, 0f, 0f)), ("b", Seq(-3f, -3f, 0f, 0f)),
+        ("c", Seq(1f, 0f, 0f, 0f)), ("c", Seq(0f, 2f, 0f, 0f)), ("c", Seq(0f, 0f, 3f, 0f)))
+        .toDF("grp", "embedding")
+    val out = Similarity.meanPairwiseCosine(grouped, "grp")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("mean_cosine")).toMap
+    assert(math.abs(out("a") - 1.0) < 1e-4)
+    assert(math.abs(out("b") + 1.0) < 1e-4)
+    assert(math.abs(out("c")) < 1e-4)
+    // identity vs explicit pairwise mean on the 21 random fixture vectors
+    def unit(v: Seq[Float]): Seq[Double] = {
+      val d = v.map(_.toDouble); val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val us = vecs.map { case (_, v) => unit(v) }
+    val pairs = for (i <- us.indices; j <- us.indices if i < j)
+      yield us(i).zip(us(j)).map { case (x, y) => x * y }.sum
+    val expected = pairs.sum * 2 / (us.size.toDouble * (us.size - 1))
+    val got = Similarity.meanPairwiseCosine(df.withColumn("grp", lit("g")), "grp")
+      .collect().head.getAs[Double]("mean_cosine")
+    // micro-quantization bias is bounded by ~2*d*1e-6
+    assert(math.abs(got - expected) < 2 * 16 * 1e-6, s"$got vs $expected")
+    // n = 1 groups produce no row (no pair exists); zero vectors are dropped
+    val tiny = Seq(("solo", Seq(1f, 2f, 3f, 4f)), ("z", Seq(0f, 0f, 0f, 0f)),
+      ("z", Seq(1f, 0f, 0f, 0f))).toDF("grp", "embedding")
+    assert(Similarity.meanPairwiseCosine(tiny, "grp").count() === 0L)
+    // partitioning independence: exact integer sums underneath
+    val rep = Similarity.meanPairwiseCosine(
+      df.withColumn("grp", lit("g")).repartition(7), "grp")
+      .collect().head.getAs[Double]("mean_cosine")
+    assert(rep === got)
+  }
 }

@@ -376,4 +376,32 @@ class CorpusCurationSpec extends SparkSpec {
     val totalChars = (1 to 60).map(i => s"word$i".length.toLong).sum
     assert(cleanRow.getAs[Long]("mean_len_micros") === totalChars * 1000000L / 60L)
   }
+
+  test("sentence dedup keeps only the corpus-global first occurrence") {
+    val corpus = Seq(
+      (1L, "Alpha beta gamma. Click here to subscribe! Unique one."),
+      // doc 2: repeats doc 1's chrome sentence AND repeats its own twice
+      (2L, "Click here to subscribe. Own sentence here. Own sentence here."),
+      // doc 3: every sentence already seen -> nothing kept
+      (3L, "Click here to subscribe? Own sentence here."),
+      // doc 4: punctuation runs and whitespace do not change identity
+      (4L, "Fresh content!!!   Alpha beta gamma.")
+    ).toDF("doc_id", "text")
+    val out = CorpusCuration.sentenceDedup(corpus, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) === ((3L, 3L, "Alpha beta gamma. Click here to subscribe. Unique one")))
+    assert(out(2L) === ((3L, 1L, "Own sentence here")))
+    assert(out(3L) === ((2L, 0L, "")))
+    assert(out(4L) === ((2L, 1L, "Fresh content")))
+    // sentence conservation: kept + dropped = total, one keeper per hash
+    val totals = out.values.map(_._1).sum
+    val kepts = out.values.map(_._2).sum
+    assert(totals === 10L && kepts === 5L) // 5 distinct sentences corpus-wide
+    // first-occurrence choice is partitioning-independent (groupBy-min)
+    val rep = CorpusCuration.sentenceDedup(corpus.repartition(5), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kept_text")).toMap
+    assert(rep === out.map { case (k, v) => k -> v._3 })
+  }
 }

@@ -41,6 +41,59 @@ class CorpusSketchesSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min estimates never undercount and hit exact counts at ample width") {
+    val toks = TextAnalysis.withTokens(docs)
+      .select(explode(col("tokens")).as("token"))
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("count")).toMap
+    val probes = exact.keys.toSeq.toDF("token")
+    // tight sketch: collisions certain (60 tokens, width 16) -> est >= exact
+    val tight = CorpusSketches.cmsEstimate(
+      CorpusSketches.cmsCells(toks, "token", depth = 3, width = 16),
+      probes, "token", depth = 3, width = 16)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est")).toMap
+    exact.foreach { case (t, c) =>
+      assert(tight(t) >= c, s"CMS undercounted $t: ${tight(t)} < $c")
+    }
+    // CM error bound: est <= exact + 2N/width must hold for SOME of the
+    // depth rows whp; with depth 3 the min is inside the bound here
+    val n = exact.values.sum
+    exact.foreach { case (t, c) =>
+      assert(tight(t) <= c + 2 * n / 16, s"CMS blew the error bound on $t")
+    }
+    // ample width: no collisions -> estimates are exactly the counts
+    val wide = CorpusSketches.cmsEstimate(
+      CorpusSketches.cmsCells(toks, "token", depth = 4, width = 65536),
+      probes, "token", depth = 4, width = 65536)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est")).toMap
+    assert(wide === exact)
+    // a never-seen probe estimates 0 at ample width (absent cells = 0)
+    val ghost = CorpusSketches.cmsEstimate(
+      CorpusSketches.cmsCells(toks, "token", depth = 4, width = 65536),
+      Seq("never-seen-token").toDF("token"), "token", depth = 4, width = 65536)
+      .collect().head.getAs[Long]("est")
+    assert(ghost === 0L)
+  }
+
+  test("Count-Min cell tables merge cellwise: sketch(A) + sketch(B) = sketch(A u B)") {
+    val toks = TextAnalysis.withTokens(docs)
+      .select(col("source"), explode(col("tokens")).as("token"))
+    def cells(src: String) = CorpusSketches.cmsCells(
+      toks.filter(col("source") === src).select("token"), "token",
+      depth = 3, width = 64)
+    val merged = CorpusSketches.cmsMerge(cells("a"), cells("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    val whole = CorpusSketches.cmsCells(toks.select("token"), "token",
+      depth = 3, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(merged === whole)
+    // partitioning never changes a cell (exact integer counts)
+    val repart = CorpusSketches.cmsCells(
+      toks.select("token").repartition(7), "token", depth = 3, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(repart === whole)
+  }
+
   test("materialized HLL sketches merge to the global estimate") {
     val sk = CorpusSketches.distinctTokenSketches(docs, "source")
       .withColumn("source", lit("all")) // collapse groups -> union all sketches
