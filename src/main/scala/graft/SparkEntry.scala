@@ -724,6 +724,35 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY 1 ORDER BY total_tf DESC, token LIMIT 20""".stripMargin)),
 
+    // ---- log₂-histogram quantile sketch: per-lang p50/p90/p99 of doc
+    //      length from a ≤64-cell-per-group cell table — one pass, no
+    //      sort; type-1 rank + in-bucket linear interpolation over exact
+    //      integers, bucket-width-bounded error; the oracle replays
+    //      cells, ranks and the interpolation bit-for-bit ----
+    ("q_loghist",
+      (s, d) => CorpusSketches.logHistogramQuantiles(
+        CorpusSketches.logHistogram(Tables(s, d).documents, "lang", "n_chars"),
+        "lang", Seq(0.5, 0.9, 0.99)),
+      Some("""WITH h AS (SELECT lang,
+        |    CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |e AS (SELECT lang, bucket, cnt, cum, cum - cnt AS cum_before, n,
+        |    unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+        |  FROM c),
+        |f AS (SELECT *, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r FROM e)
+        |SELECT lang, q,
+        |  CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST((1::BIGINT << CAST(bucket - 1 AS INT)) AS DOUBLE)
+        |      + CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |        * CAST((1::BIGINT << CAST(bucket - 1 AS INT)) AS DOUBLE)
+        |  END AS est
+        |FROM f WHERE r > cum_before AND r <= cum""".stripMargin)),
+
     // ---- Count–Min sketch as a relational artifact: depth×width cell
     //      table (one groupBy, map-side-combined to ≤ depth·width cells
     //      per task), md5 row hashes so the oracle replays the cells
@@ -754,6 +783,34 @@ object SparkEntry {
         |SELECT token, exact_cnt, min(coalesce(cnt, 0)) AS est
         |FROM pc LEFT JOIN cells USING (d, w) JOIN p USING (token)
         |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- portable relational HyperLogLog: per-lang distinct-token
+    //      estimate from a (lang, bucket, rho) register TABLE — md5 row
+    //      hash, arithmetic leading-zero count, Σ2^−M as the exact
+    //      integer Σ2^(40−M) — so the oracle replays registers AND the
+    //      estimate bit-for-bit (the Datasketches binary form stays the
+    //      library's compact path, spec-verified; this is the
+    //      engine-portable artifact). Raw estimate only — the libm ln()
+    //      range corrections are deliberately omitted (Scaladoc) ----
+    ("q_hll",
+      (s, d) => {
+        val toks = TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(col("lang"), explode(col("tokens")).as("token"))
+        CorpusSketches.hllEstimate(
+          CorpusSketches.hllRegisters(toks, "lang", "token", m = 256),
+          "lang", m = 256)
+      },
+      Some(s"""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+        |h AS (SELECT lang, ('0x' || substr(md5('hll:' || token), 1, 8))::BIGINT AS h FROM tok),
+        |r AS (SELECT lang, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 25 ELSE 25 - length(bin(h // 256)) END AS rho0 FROM h),
+        |m AS (SELECT lang, bucket, max(rho0) AS rho FROM r GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets_set,
+        |    CAST(sum(1::BIGINT << CAST(40 - rho AS INT)) AS BIGINT) AS sumP FROM m GROUP BY 1)
+        |SELECT lang, n_buckets_set,
+        |  CAST('${CorpusSketches.hllScale(256)}' AS DOUBLE)
+        |    / ((256 - n_buckets_set) * 1099511627776 + sumP) AS est_distinct
+        |FROM a""".stripMargin)),
 
     ("q_tfidf",
       // N is a lazily-broadcast 1-row count inside the plan — one composed

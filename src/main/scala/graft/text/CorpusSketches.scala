@@ -65,6 +65,130 @@ object CorpusSketches {
     sketches.groupBy(groupCol)
       .agg(expr("hll_sketch_estimate(hll_union_agg(hll))").as("est_distinct_tokens"))
 
+  /** HyperLogLog registers (Flajolet 2007) as a RELATIONAL artifact — the
+    * portable sibling of [[distinctTokenSketches]]: where the Datasketches
+    * binary is opaque engine state, this register TABLE (groupCol, bucket,
+    * rho) round-trips through parquet and replays bit-for-bit in any
+    * engine (the DuckDB oracle recomputes it from the same md5 hashes).
+    * One groupBy-max over ≤ m rows of state per group — map-side
+    * combinable, so a 100 TB token stream reduces to m counters per task
+    * before the shuffle.
+    *
+    * Hash = 32-bit md5 prefix; low log2(m) bits pick the bucket, the
+    * remaining 32−log2(m) bits feed rho = leading-zero count + 1,
+    * computed arithmetically (`bin()` string length — no engine-specific
+    * popcount, no libm). Merge = max per register ([[hllMergeRegisters]]):
+    * registers(A) ⊔ registers(B) ≡ registers(A ∪ B) exactly.
+    */
+  def hllRegisters(items: DataFrame, groupCol: String, itemCol: String,
+      m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16: $m")
+    val restBits = 32 - Integer.numberOfTrailingZeros(m)
+    items
+      .withColumn("_h", expr(
+        s"CAST(conv(substr(md5(concat('hll:', $itemCol)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", col("_h") % m)
+      .withColumn("_rest", expr(s"_h div $m"))
+      .withColumn("_rho", expr(
+        s"CASE WHEN _rest = 0 THEN ${restBits + 1} " +
+          s"ELSE ${restBits + 1} - length(bin(_rest)) END"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("_rho")).cast("long").as("rho"))
+  }
+
+  /** Max-merge HLL register tables built with the same m — the union side
+    * of [[hllRegisters]] (yesterday's registers ⊔ today's batch =
+    * today's totals, no rescan).
+    */
+  def hllMergeRegisters(regs: DataFrame*): DataFrame =
+    regs.reduce(_ unionByName _)
+      .groupBy(col(regs.head.columns(0)), col("bucket"))
+      .agg(max("rho").as("rho"))
+
+  /** Raw HyperLogLog estimate from a register table: αₘ·m²/Σⱼ2^−Mⱼ with
+    * empty registers contributing 2⁰. DETERMINISTIC across engines and
+    * partitionings: Σ2^−Mⱼ is computed as the exact integer Σ2^(40−Mⱼ)
+    * (Mⱼ ≤ 33 < 40, so every term and the sum are exact BIGINTs), and the
+    * final double is one fixed left-associated literal expression — no
+    * libm calls (the small/large-range ln() corrections are deliberately
+    * omitted; raw-regime bias is the documented price of portability,
+    * spec-pinned against exact counts).
+    *
+    * Output: (groupCol, n_buckets_set, est_distinct).
+    */
+  /** αₘ·m²·2⁴⁰ as ONE Scala-computed double, so engines divide by the
+    * identical constant (a plain `0.7213 / …` SQL chain parses as DECIMAL
+    * in both Spark and DuckDB, with engine-specific scale rules). The
+    * shortest-round-trip decimal string parses back to this exact double
+    * in any IEEE engine.
+    */
+  def hllScale(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m * m * 1099511627776.0
+
+  def hllEstimate(registers: DataFrame, groupCol: String,
+      m: Int = 256): DataFrame = {
+    require(m >= 128, s"alpha constant assumes m >= 128: $m")
+    registers.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_buckets_set"),
+        sum(expr("shiftleft(1L, CAST(40 - rho AS INT))")).as("_sumPresent"))
+      .withColumn("_sumInt",
+        (lit(m.toLong) - col("n_buckets_set")) * lit(1099511627776L) + col("_sumPresent"))
+      .withColumn("est_distinct",
+        expr(s"CAST('${hllScale(m)}' AS DOUBLE) / _sumInt"))
+      .select(col(groupCol), col("n_buckets_set"), col("est_distinct"))
+  }
+
+  /** Log₂ histogram sketch over a non-negative BIGINT measure — the
+    * third leg of the relational sketch suite (frequency → [[cmsCells]],
+    * distinct → [[hllRegisters]], quantiles → this): (groupCol, bucket,
+    * cnt) where bucket = bit-length of the value (0 stays bucket 0, so
+    * bucket b ≥ 1 covers [2^(b−1), 2^b)). ≤ 64 cells per group however
+    * many rows stream through, map-side combinable, merge = cellwise sum,
+    * and the arithmetic (`length(bin(x))`) replays in any engine — no
+    * sort, which is the whole point: exact percentiles of a 100 TB
+    * column need a global sort or two passes; this is one pass with a
+    * guaranteed ≤ 2× relative error (bucket width).
+    */
+  def logHistogram(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol),
+        expr(s"CASE WHEN $valueCol <= 0 THEN 0L " +
+          s"ELSE CAST(length(bin($valueCol)) AS BIGINT) END").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a [[logHistogram]] cell table: for each q,
+    * the type-1 rank r = max(1, ceil(q·n)) lands in a bucket by
+    * cumulative count; the estimate interpolates linearly inside the
+    * bucket's [2^(b−1), 2^b) span. The windows run over ≤ 64 rows per
+    * group (the sketch, not the data); every input to the one double
+    * expression is an exact integer, so results are bit-stable across
+    * engines and partitionings. Output: (groupCol, q, est).
+    */
+  def logHistogramQuantiles(hist: DataFrame, groupCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1))
+    val w = Window.partitionBy(groupCol).orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val qs = quantiles.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    cum
+      .select(col(groupCol), col("bucket"), col("cnt"), col("cum"),
+        col("cum_before"), col("n"), explode(expr(s"array($qs)")).as("q"))
+      .withColumn("r", expr("greatest(1L, CAST(ceil(q * n) AS BIGINT))"))
+      .filter(col("r") > col("cum_before") && col("r") <= col("cum"))
+      .withColumn("est", expr(
+        """CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(shiftleft(1L, CAST(bucket - 1 AS INT)) AS DOUBLE)
+          |  + CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE)
+          |    * CAST(shiftleft(1L, CAST(bucket - 1 AS INT)) AS DOUBLE)
+          |END""".stripMargin))
+      .select(col(groupCol), col("q"), col("est"))
+  }
+
   /** Count–Min sketch (Cormode & Muthukrishnan 2005) as a RELATIONAL
     * artifact: `depth` hash rows × `width` buckets, each cell the exact
     * count of items hashed into it. One explode (×depth) + one groupBy —

@@ -356,4 +356,38 @@ class StreamingSpec extends SparkSpec {
     // click 1 -> purchase 3 only; click 2 and user-102 purchase never pair
     assert(pairs === Set((1L, 3L)))
   }
+
+  test("streaming sketch accumulation: CMS cells and HLL registers over a " +
+      "stream equal the batch sketch of the whole corpus") {
+    import graft.text.CorpusSketches
+    // the sketch aggregations are plain groupBy-aggs, so they run
+    // unmodified as Complete-mode streaming queries — the incremental
+    // corpus-accounting path: each micro-batch revises the cell/register
+    // table, no rescan of earlier batches
+    val dir = java.nio.file.Files.createTempDirectory("stream-sk").toString
+    def append(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("lang", "token").write.mode("append").parquet(dir)
+    append(Seq.tabulate(300)(i => ("en", s"tok${i % 90}")): _*)
+    append(Seq.tabulate(200)(i => ("fr", s"mot${i % 60}")): _*)
+    val schema = spark.read.parquet(dir).schema
+    val cmsStream = Streaming.runToMemory(
+      CorpusSketches.cmsCells(
+        Streaming.fileStream(spark, dir, schema).select("token"),
+        "token", depth = 3, width = 64),
+      "cms_stream", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    val cmsBatch = CorpusSketches.cmsCells(
+      spark.read.parquet(dir).select("token"), "token", depth = 3, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(cmsStream === cmsBatch)
+    val hllStream = Streaming.runToMemory(
+      CorpusSketches.hllRegisters(
+        Streaming.fileStream(spark, dir, schema), "lang", "token"),
+      "hll_stream", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) -> r.getAs[Long]("rho")).toMap
+    val hllBatch = CorpusSketches.hllRegisters(
+      spark.read.parquet(dir), "lang", "token")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) -> r.getAs[Long]("rho")).toMap
+    assert(hllStream === hllBatch)
+  }
 }

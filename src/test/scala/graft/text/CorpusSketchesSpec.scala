@@ -94,6 +94,67 @@ class CorpusSketchesSpec extends SparkSpec {
     assert(repart === whole)
   }
 
+  test("relational HLL: raw estimate lands in the error envelope, registers max-merge") {
+    // raw-regime fixture: 5000/3000 distinct items per group (n >> 2.5m,
+    // where the omitted linear-counting correction would not kick in)
+    val items = ((1 to 5000).map(i => ("a", s"item$i")) ++
+      (2001 to 5000).map(i => ("b", s"item$i"))).toDF("grp", "item")
+    val est = CorpusSketches.hllEstimate(
+      CorpusSketches.hllRegisters(items, "grp", "item"), "grp")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("est_distinct")).toMap
+    // m=256 -> relative standard error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est("a") - 5000) / 5000.0 < 0.20, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 3000) / 3000.0 < 0.20, s"b: ${est("b")}")
+    // merge: registers(A) max registers(B) == registers(A u B), exactly
+    def regs(g: String) = CorpusSketches.hllRegisters(
+      items.filter(col("grp") === g).withColumn("grp", lit("all")), "grp", "item")
+    val merged = CorpusSketches.hllMergeRegisters(regs("a"), regs("b"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("rho")).toMap
+    val whole = CorpusSketches.hllRegisters(
+      items.withColumn("grp", lit("all")).select("grp", "item").distinct(), "grp", "item")
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("rho")).toMap
+    assert(merged === whole)
+    // estimates are insensitive to duplication (distinct-count semantics)
+    val dup = CorpusSketches.hllEstimate(
+      CorpusSketches.hllRegisters(items.union(items).repartition(7), "grp", "item"), "grp")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("est_distinct")).toMap
+    assert(dup === est)
+  }
+
+  test("log histogram quantiles: bucket-bounded error, exact merge, rank edges") {
+    // group a: 1..1000 (p50 exact = 500, inside bucket [512,1024) boundary
+    // cases around it); group b: constant 8s
+    val vals = ((1 to 1000).map(i => ("a", i.toLong)) ++
+      Seq.fill(10)(("b", 8L))).toDF("grp", "v")
+    val hist = CorpusSketches.logHistogram(vals, "grp", "v")
+    val est = CorpusSketches.logHistogramQuantiles(hist, "grp", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("q")) -> r.getAs[Double]("est")).toMap
+    // exactly one estimate per (group, q)
+    assert(est.size === 6)
+    // bucket-width guarantee: est within 2x of the exact percentile
+    val exact = Map(("a", 0.5) -> 500.0, ("a", 0.9) -> 900.0, ("a", 0.99) -> 990.0,
+      ("b", 0.5) -> 8.0, ("b", 0.9) -> 8.0, ("b", 0.99) -> 8.0)
+    exact.foreach { case (k, x) =>
+      assert(est(k) >= x / 2 && est(k) <= x * 2, s"$k: ${est(k)} vs exact $x")
+    }
+    // cellwise merge == whole-corpus histogram
+    def h(g: String) = CorpusSketches.logHistogram(
+      vals.filter(col("grp") === g).withColumn("grp", lit("all")), "grp", "v")
+    val merged = h("a").unionByName(h("b")).groupBy("grp", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    val whole = CorpusSketches.logHistogram(
+      vals.withColumn("grp", lit("all")), "grp", "v")
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    assert(merged === whole)
+    // zero and negative values collapse into bucket 0 and estimate 0
+    val z = Seq(("z", 0L), ("z", -5L), ("z", 3L)).toDF("grp", "v")
+    val zq = CorpusSketches.logHistogramQuantiles(
+      CorpusSketches.logHistogram(z, "grp", "v"), "grp", Seq(0.5))
+      .collect().head.getAs[Double]("est")
+    assert(zq === 0.0) // rank 2 of (0, 0, 3) sits in bucket 0
+  }
+
   test("materialized HLL sketches merge to the global estimate") {
     val sk = CorpusSketches.distinctTokenSketches(docs, "source")
       .withColumn("source", lit("all")) // collapse groups -> union all sketches
