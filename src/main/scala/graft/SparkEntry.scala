@@ -784,6 +784,94 @@ object SparkEntry {
         |FROM pc LEFT JOIN cells USING (d, w) JOIN p USING (token)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- per-language dataset card: volume + HLL vocabulary estimate +
+    //      log-histogram length quantiles + corpus-global duplicated-
+    //      sentence rate + PII totals, five keyed aggregates joined on
+    //      the language — each component independently oracle-proven by
+    //      its own query; this row pins the COMPOSITION ----
+    ("q_report",
+      (s, d) => graft.text.CorpusReport.perLanguage(Tables(s, d).documents),
+      Some(s"""WITH base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY 1),
+        |tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+        |hh AS (SELECT lang, ('0x' || substr(md5('hll:' || token), 1, 8))::BIGINT AS h FROM tok),
+        |hr AS (SELECT lang, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 25 ELSE 25 - length(bin(h // 256)) END AS rho0 FROM hh),
+        |hm AS (SELECT lang, bucket, max(rho0) AS rho FROM hr GROUP BY 1, 2),
+        |ha AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(1::BIGINT << CAST(40 - rho AS INT)) AS BIGINT) AS sumP FROM hm GROUP BY 1),
+        |vocab AS (SELECT lang, CAST('${CorpusSketches.hllScale(256)}' AS DOUBLE)
+        |    / ((256 - nb) * 1099511627776 + sumP) AS est_distinct_tokens FROM ha),
+        |lh AS (SELECT lang,
+        |    CAST(CASE WHEN length(text) <= 0 THEN 0 ELSE length(bin(length(text))) END AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2),
+        |lc AS (SELECT lang, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n FROM lh),
+        |le AS (SELECT lang, bucket, cnt, cum, cum - cnt AS cum_before, n,
+        |    unnest([CAST(0.5 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q FROM lc),
+        |lf AS (SELECT *, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r FROM le),
+        |lq AS (SELECT lang, q,
+        |    CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST((1::BIGINT << CAST(bucket - 1 AS INT)) AS DOUBLE)
+        |        + CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |          * CAST((1::BIGINT << CAST(bucket - 1 AS INT)) AS DOUBLE)
+        |    END AS est
+        |  FROM lf WHERE r > cum_before AND r <= cum),
+        |lens AS (SELECT lang, max(CASE WHEN q = 0.5 THEN est END) AS p50_chars,
+        |    max(CASE WHEN q = 0.99 THEN est END) AS p99_chars FROM lq GROUP BY 1),
+        |s0 AS (SELECT doc_id, i, trim(arr[i]) AS sentence
+        |  FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr,
+        |        unnest(range(1, len(string_split_regex(text, '[.!?]+')) + 1)) AS i
+        |      FROM documents)),
+        |s1 AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, md5(sentence) AS h
+        |  FROM s0 WHERE sentence != ''),
+        |sf AS (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep FROM s1),
+        |sd AS (SELECT dd.lang, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept
+        |  FROM s1 JOIN sf USING (doc_id, idx) JOIN documents dd USING (doc_id) GROUP BY 1),
+        |sent AS (SELECT lang, CAST(floor(CAST(total - kept AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS dup_sent_micros FROM sd),
+        |pii AS (SELECT lang, CAST(sum(
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+        |    + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) ) AS BIGINT) AS pii_total
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, total_chars, est_distinct_tokens, p50_chars, p99_chars,
+        |  dup_sent_micros, pii_total
+        |FROM base LEFT JOIN vocab USING (lang) LEFT JOIN lens USING (lang)
+        |LEFT JOIN sent USING (lang) LEFT JOIN pii USING (lang)""".stripMargin)),
+
+    // ---- CM inner-product join-size estimate: |orders ⋈ customer| on
+    //      custkey from the two key sketches alone (min over hash rows of
+    //      Σ_w cntA·cntB) next to the exact join count — the plan-time
+    //      sizing primitive; overestimate-only, spec-pinned ----
+    ("q_joinsize",
+      (s, d) => {
+        val t = Tables(s, d)
+        val co = CorpusSketches.cmsCells(
+          t.orders.select(col("o_custkey").as("k")), "k", depth = 4, width = 1024)
+        val cc = CorpusSketches.cmsCells(
+          t.customer.select(col("c_custkey").as("k")), "k", depth = 4, width = 1024)
+        CorpusSketches.cmsJoinSize(co, cc)
+          .crossJoin(broadcast(
+            t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+              .agg(count(lit(1)).as("exact_join_size"))))
+      },
+      Some("""WITH dd AS (SELECT unnest(range(1, 5)) AS d),
+        |co AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM orders CROSS JOIN dd GROUP BY 1, 2),
+        |cc AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM customer CROSS JOIN dd GROUP BY 1, 2),
+        |ip AS (SELECT d, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS ip
+        |  FROM co JOIN cc USING (d, w) GROUP BY 1)
+        |SELECT CAST(min(ip) AS BIGINT) AS est_join_size,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS exact_join_size
+        |FROM ip""".stripMargin)),
+
     // ---- portable relational HyperLogLog: per-lang distinct-token
     //      estimate from a (lang, bucket, rho) register TABLE — md5 row
     //      hash, arithmetic leading-zero count, Σ2^−M as the exact

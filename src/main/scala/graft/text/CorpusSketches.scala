@@ -231,6 +231,24 @@ object CorpusSketches {
     sketches.reduce(_ unionByName _)
       .groupBy("d", "w").agg(sum("cnt").as("cnt"))
 
+  /** Equi-join cardinality estimate from two Count–Min cell tables built
+    * with the same (depth, width) over the two join keys: the CM inner
+    * product (Cormode & Muthukrishnan 2005 §4.2) — per hash row d,
+    * Σ_w cntA(d,w)·cntB(d,w); the estimate is the min over rows. Always
+    * an OVERESTIMATE of |A ⋈ B| (colliding keys only add), within
+    * εNₐN_b of exact with the standard CM probability. This is the
+    * plan-time primitive: size a prospective 100 TB join from two
+    * depth×width tables without touching either input again — the
+    * sketches having been banked at ingest ([[cmsMerge]] keeps them
+    * current). Output: one row, (est_join_size).
+    */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.toDF("d", "w", "cnt_a")
+      .join(cellsB.toDF("d", "w", "cnt_b"), Seq("d", "w"))
+      .groupBy("d")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+
   /** Point estimates from a Count–Min cell table for a bounded probe set:
     * min over the item's depth cells (missing cell = 0 via the left join).
     * Output: (item, est). The probe side re-derives the same md5 row

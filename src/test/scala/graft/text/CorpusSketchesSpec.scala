@@ -121,6 +121,19 @@ class CorpusSketchesSpec extends SparkSpec {
     assert(dup === est)
   }
 
+  test("CM inner product overestimates join size, exactly at ample width") {
+    // keys 1..50 on side A (key k appears k times), 1..30 unique on side B:
+    // exact |A join B| = sum_{k=1..30} k = 465
+    val a = (1 to 50).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 30).map(_.toLong).toDF("k")
+    def est(width: Int) = CorpusSketches.cmsJoinSize(
+      CorpusSketches.cmsCells(a, "k", depth = 3, width = width),
+      CorpusSketches.cmsCells(b, "k", depth = 3, width = width))
+      .collect().head.getAs[Long]("est_join_size")
+    assert(est(65536) === 465L)          // no collisions: exact
+    assert(est(16) >= 465L)              // collisions only ever add
+  }
+
   test("log histogram quantiles: bucket-bounded error, exact merge, rank edges") {
     // group a: 1..1000 (p50 exact = 500, inside bucket [512,1024) boundary
     // cases around it); group b: constant 8s
