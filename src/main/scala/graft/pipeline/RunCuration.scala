@@ -9,15 +9,17 @@ import graft.text.{CorpusCuration, TextAnalysis}
 /** The end-to-end LLM training-data curation pipeline: one invocation
   * takes a raw document corpus through the full funnel —
   *
-  *   1. `curate_funnel`     language/quality/length gates + exact dedup
-  *   2. `boilerplate_strip` CCNet-style shared-segment removal
-  *   3. `gopher_gate`       rule-based quality filter (cheap rules first)
-  *   4. `quality_filter`    hashed linear classifier threshold
-  *   5. `mixture_rebalance` temperature sampling toward language balance
-  *   6. `tokenizer_learn`   BPE merge learning on the balanced corpus
-  *   7. `leak_split`        per-near-dup-cluster train/val/test split
-  *   8. `pack_and_shard`    packing by TOKENIZED length + epoch shards
-  *   9. `corpus_report`     per-stage accounting JSON
+  *   1. `encoding_gate`    mojibake / replacement-char / C0 quarantine
+  *   2. `curate_funnel`     language/quality/length gates + exact dedup
+  *   3. `boilerplate_strip` CCNet-style shared-segment removal
+  *   4. `sentence_dedup`    corpus-global duplicated-sentence removal
+  *   5. `gopher_gate`       rule-based quality filter (cheap rules first)
+  *   6. `quality_filter`    hashed linear classifier threshold
+  *   7. `mixture_rebalance` temperature sampling toward language balance
+  *   8. `tokenizer_learn`   BPE merge learning on the balanced corpus
+  *   9. `leak_split`        per-near-dup-cluster train/val/test split
+  *  10. `pack_and_shard`    packing by TOKENIZED length + epoch shards
+  *  11. `corpus_report`     per-stage accounting JSON
   *
   * — with every stage MATERIALIZED to parquet before the next reads it
   * (the restartable shape a multi-day 100 TB curation run needs: a
@@ -29,8 +31,10 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *
   * Stage outputs under `outRoot`:
   * {{{
+  *   encoded/     docs whose text decodes cleanly (enc_clean)
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
+  *   sentded/     duplicated sentences removed (first occurrence kept)
   *   gophered/    docs passing the rule gate
   *   kept/        classifier-approved docs
   *   balanced/    temperature-rebalanced corpus
@@ -45,8 +49,10 @@ import graft.text.{CorpusCuration, TextAnalysis}
 object RunCuration {
 
   final case class Layout(root: String) {
+    def encoded: String = s"$root/encoded"
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
+    def sentded: String = s"$root/sentded"
     def gophered: String = s"$root/gophered"
     def kept: String = s"$root/kept"
     def balanced: String = s"$root/balanced"
@@ -80,8 +86,17 @@ object RunCuration {
       stageDocs(stage) = spark.read.parquet(path).count()
 
     val jobs = Seq(
-      Pipeline.Job("curate_funnel")(() => {
-        write(CorpusCuration.curate(Tables(spark, docsDir).documents), lay.curated)
+      Pipeline.Job("encoding_gate")(() => {
+        // encoding health FIRST: mojibake is invisible to every token
+        // statistic downstream but poisons shingles and the tokenizer
+        val docs = Tables(spark, docsDir).documents
+        val clean = TextAnalysis.encodingAnomalies(docs, "doc_id")
+          .filter(col("enc_clean")).select("doc_id")
+        write(docs.join(clean, Seq("doc_id")), lay.encoded)
+        record("encoded", lay.encoded)
+      }),
+      Pipeline.Job("curate_funnel", dependsOn = Seq("encoding_gate"))(() => {
+        write(CorpusCuration.curate(spark.read.parquet(lay.encoded)), lay.curated)
         record("curated", lay.curated)
       }),
       Pipeline.Job("boilerplate_strip", dependsOn = Seq("curate_funnel"))(() => {
@@ -94,10 +109,22 @@ object RunCuration {
         write(clean, lay.stripped)
         record("stripped", lay.stripped)
       }),
-      Pipeline.Job("gopher_gate", dependsOn = Seq("boilerplate_strip"))(() => {
+      Pipeline.Job("sentence_dedup", dependsOn = Seq("boilerplate_strip"))(() => {
+        // corpus-global line dedup between segment-grain boilerplate and
+        // the quality gates: the CCNet/RefinedWeb ordering (dedup before
+        // quality, so repeated chrome can't drag scores)
+        val docs = spark.read.parquet(lay.stripped)
+        val sd = CorpusCuration.sentenceDedup(docs, "doc_id")
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("kept_text").as("text"))
+        write(sd.join(docs.select("doc_id", "lang", "source"), Seq("doc_id")),
+          lay.sentded)
+        record("sentdeduped", lay.sentded)
+      }),
+      Pipeline.Job("gopher_gate", dependsOn = Seq("sentence_dedup"))(() => {
         // rule-based pre-filter BEFORE the learned classifier (the Gopher
         // ordering: cheap deterministic rules first, model second)
-        val docs = spark.read.parquet(lay.stripped)
+        val docs = spark.read.parquet(lay.sentded)
         val pass = CorpusCuration.gopherQualityRules(docs, "doc_id",
           minTokens = gopherMinTokens)
           .filter(col("keep")).select("doc_id")
@@ -150,8 +177,8 @@ object RunCuration {
       }),
       Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
         import spark.implicits._
-        val rows = Seq("curated", "stripped", "gophered", "kept", "balanced",
-          "merges", "splits", "sequences")
+        val rows = Seq("encoded", "curated", "stripped", "sentdeduped",
+          "gophered", "kept", "balanced", "merges", "splits", "sequences")
           .map(s => (s, stageDocs.getOrElse(s, 0L)))
         graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)
       })

@@ -17,14 +17,16 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 9)
+    assert(r.run.succeeded.size === 11)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
     val d = r.stageDocs
-    assert(d("curated") <= raw && d("curated") > 0)
+    assert(d("encoded") <= raw && d("encoded") > 0)
+    assert(d("curated") <= d("encoded") && d("curated") > 0)
     assert(d("stripped") <= d("curated"))
-    assert(d("gophered") <= d("stripped") && d("gophered") > 0)
+    assert(d("sentdeduped") <= d("stripped") && d("sentdeduped") > 0)
+    assert(d("gophered") <= d("sentdeduped") && d("gophered") > 0)
     assert(d("kept") <= d("gophered") && d("kept") > 0)
     assert(d("balanced") <= d("kept"))
 

@@ -81,4 +81,32 @@ class CurationPropertySpec extends SparkSpec {
       assert(picked.distinct.length === picked.length)
     }
   }
+
+  test("sentence dedup invariants hold for random duplicated corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha beta", "gamma delta", "epsilon zeta", "eta theta",
+      "iota kappa", "lambda mu", "nu xi", "omicron pi", "rho sigma", "tau upsilon")
+    for (_ <- 1 to 6) {
+      val nDocs = 5 + rnd.nextInt(30)
+      val docs = (1L to nDocs).map { i =>
+        val k = 1 + rnd.nextInt(6)
+        (i, Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(". ") + ".")
+      }.toDF("doc_id", "text")
+      val out = CorpusCuration.sentenceDedup(docs, "doc_id").collect()
+      // conservation: every emitted sentence instance is counted once
+      val totalInstances = out.map(_.getAs[Long]("n_sentences")).sum
+      val totalKept = out.map(_.getAs[Long]("n_kept")).sum
+      // corpus-wide, kept count == number of DISTINCT sentences
+      val distinctSentences = docs.collect().flatMap(
+        _.getString(1).split("[.!?]+").map(_.trim).filter(_.nonEmpty)).toSet
+      assert(totalKept === distinctSentences.size.toLong)
+      assert(totalKept <= totalInstances)
+      // first-owner rule: doc 1 (smallest id with sentences) keeps ALL its
+      // distinct sentences (nothing can precede it)
+      val d1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+      val d1Distinct = docs.filter($"doc_id" === 1L).collect().head.getString(1)
+        .split("[.!?]+").map(_.trim).filter(_.nonEmpty).toSet
+      assert(d1.getAs[Long]("n_kept") === d1Distinct.size.toLong)
+    }
+  }
 }
