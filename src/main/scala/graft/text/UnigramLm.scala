@@ -1,0 +1,205 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SentencePiece-style UNIGRAM-LM tokenizer (Kudo, "Subword
+  * Regularization", ACL'18) — the second of the two tokenizer-learning
+  * algorithms a training-data pipeline ships (the BPE merge learner is
+  * [[BpeLearning]]): pieces carry probabilities, EM refines them against
+  * the corpus, and segmentation is the Viterbi-best path rather than a
+  * greedy merge replay.
+  *
+  * Distribution shape: the corpus collapses ONCE into the distinct-word
+  * frequency table (the [[BpeLearning]] argument — per-round cost is
+  * vocabulary-sized, not corpus-sized). Candidate generation and count
+  * aggregation are relational; the per-word lattice DP (forward-backward
+  * for EM, Viterbi for apply) is genuinely imperative per row, so it runs
+  * as a scalar function over the word table with the MODEL-SIZED piece
+  * table broadcast — the documented `mapPartitions`-as-last-resort case:
+  * no shuffle is introduced, the model is bounded by `maxVocab`, and the
+  * expensive object (the piece map) is built once per executor.
+  *
+  * Determinism contract:
+  *  - model state is integer micros end-to-end: piece probabilities
+  *    (Σ ≈ 1e6) and per-word expected counts are quantized to micros
+  *    BEFORE the cross-word sum, so aggregation is exact long arithmetic
+  *    — partitioning cannot move a result by an ulp;
+  *  - inside one word the DP is a fixed sequential double loop (same
+  *    order everywhere);
+  *  - every selection (candidate cut, EM renormalization, Viterbi
+  *    tie-break) carries a total order: candidates by (count DESC, piece
+  *    ASC); Viterbi ties prefer the LONGER last piece, then the
+  *    lexicographically smaller one.
+  */
+object UnigramLm {
+
+  /** Distinct-word frequency table: (word, wc). */
+  private[text] def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Candidate piece inventory: every substring of length ≤ `maxPieceLen`
+    * of every corpus word, weighted by word frequency; ALL single
+    * characters are kept unconditionally (the cover guarantee — every
+    * word stays segmentable), multi-char candidates are cut to the
+    * `maxVocab` most frequent with the (count DESC, piece ASC) total
+    * order. Initial probabilities ∝ occurrence count, in micros (≥ 1).
+    * Output: (piece, cnt, p_micros).
+    */
+  def candidatePieces(docs: DataFrame, maxPieceLen: Int = 4,
+      maxVocab: Int = 200, textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1 && maxVocab >= 1)
+    val words = wordTable(docs, textCol)
+    val subs = words.select(col("wc"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)),
+         |  i -> transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})),
+         |    j -> substr(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(maxVocab)
+    val kept = chars.unionByName(multi)
+    val total = kept.agg(sum("cnt").as("_t"))
+    kept.crossJoin(broadcast(total))
+      .withColumn("p_micros", greatest(lit(1L), expr("cnt * 1000000L div _t")))
+      .select("piece", "cnt", "p_micros")
+  }
+
+  /** One EM round over the word table: E-step runs forward–backward on
+    * each word's segmentation lattice against the broadcast piece model,
+    * quantizes the word's per-piece expected counts to micros and weights
+    * by word frequency (exact long sums across the corpus); M-step
+    * renormalizes to probabilities in micros. Pieces whose expected count
+    * rounds to zero keep p_micros = 1 if single-char (cover guarantee)
+    * and drop otherwise — the Kudo prune, driven by the data.
+    * Output: (piece, ec_micros, p_micros).
+    */
+  def emRound(words: DataFrame, pieces: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pieces)
+    val maxLen = pieces.keys.map(_.length).max
+    val ec = words.select(col("word"), col("wc")).as[(String, Long)]
+      .flatMap { case (w, wc) =>
+        val m = bc.value
+        val L = w.length
+        val alpha = new Array[Double](L + 1); alpha(0) = 1.0
+        val beta = new Array[Double](L + 1); beta(L) = 1.0
+        for (i <- 1 to L; l <- 1 to math.min(maxLen, i)) {
+          m.get(w.substring(i - l, i)).foreach { p =>
+            alpha(i) += alpha(i - l) * (p / 1e6)
+          }
+        }
+        for (i <- L - 1 to 0 by -1; l <- 1 to math.min(maxLen, L - i)) {
+          m.get(w.substring(i, i + l)).foreach { p =>
+            beta(i) += (p / 1e6) * beta(i + l)
+          }
+        }
+        val z = alpha(L)
+        if (z <= 0) Iterator.empty
+        else {
+          val acc = scala.collection.mutable.Map.empty[String, Double]
+          for (i <- 0 until L; l <- 1 to math.min(maxLen, L - i)) {
+            val s = w.substring(i, i + l)
+            m.get(s).foreach { p =>
+              val e = alpha(i) * (p / 1e6) * beta(i + l) / z
+              if (e > 0) acc(s) = acc.getOrElse(s, 0.0) + e
+            }
+          }
+          acc.iterator.map { case (s, e) =>
+            (s, math.floor(e * 1e6 + 0.5).toLong * wc)
+          }
+        }
+      }
+      .toDF("piece", "ec")
+      .groupBy("piece").agg(sum("ec").as("ec_micros"))
+    val total = ec.agg(sum("ec_micros").as("_t"))
+    ec.crossJoin(broadcast(total))
+      .withColumn("p_micros", expr("ec_micros * 1000000L div _t"))
+      .withColumn("p_micros",
+        when(length(col("piece")) === 1, greatest(lit(1L), col("p_micros")))
+          .otherwise(col("p_micros")))
+      .filter(col("p_micros") >= 1L)
+      .select("piece", "ec_micros", "p_micros")
+  }
+
+  /** Train: candidate init + `rounds` EM refinements. Returns the final
+    * (piece, ec_micros, p_micros) model table. The piece map collected to
+    * the driver between rounds is MODEL-sized (≤ maxVocab + alphabet),
+    * the bounded-by-contract collect this package already uses for merge
+    * tables and centroids.
+    */
+  def trainUnigram(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
+      maxVocab: Int = 200, textCol: String = "text"): DataFrame = {
+    require(rounds >= 1)
+    val words = wordTable(docs, textCol).localCheckpoint()
+    var model = candidatePieces(docs, maxPieceLen, maxVocab, textCol)
+      .select("piece", "p_micros")
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val m = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out = emRound(words, m).localCheckpoint()
+      model = out.select("piece", "p_micros")
+    }
+    out
+  }
+
+  /** Viterbi-best segmentation of each document under a trained model:
+    * per word, the min-NLL path (piece NLL = −ln(p) in micros, computed
+    * once on the driver from the exact integer model — identical on every
+    * executor). Output: (keyCol, n_words, n_pieces, fertility_micros,
+    * seg_hash) where seg_hash digests the full in-order piece stream.
+    */
+  def viterbiSegment(docs: DataFrame, model: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val pieces = model.select("piece", "p_micros").collect()
+      .map(r => r.getString(0) ->
+        math.floor(-math.log(r.getLong(1) / 1e6) * 1e6 + 0.5).toLong).toMap
+    val bc = spark.sparkContext.broadcast(pieces)
+    val maxLen = pieces.keys.map(_.length).max
+    val seg = udf { (w: String) =>
+      val m = bc.value
+      val L = w.length
+      val best = Array.fill(L + 1)(Long.MaxValue); best(0) = 0L
+      val from = new Array[Int](L + 1)
+      val via = new Array[String](L + 1)
+      for (i <- 1 to L; l <- 1 to math.min(maxLen, i)) {
+        val s = w.substring(i - l, i)
+        m.get(s).foreach { nll =>
+          if (best(i - l) != Long.MaxValue) {
+            val c = best(i - l) + nll
+            // total order on ties: longer last piece, then lex smaller
+            val better = c < best(i) || (c == best(i) &&
+              (via(i) == null || l > via(i).length ||
+                (l == via(i).length && s < via(i))))
+            if (better) { best(i) = c; from(i) = i - l; via(i) = s }
+          }
+        }
+      }
+      if (best(L) == Long.MaxValue) Seq.empty[String]
+      else {
+        var i = L
+        var acc = List.empty[String]
+        while (i > 0) { acc = via(i) :: acc; i = from(i) }
+        acc
+      }
+    }
+    TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), posexplode(col("tokens")).as(Seq("_ord", "word")))
+      .withColumn("_pieces", seg(col("word")))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("_pieces")).cast("long")).as("n_pieces"),
+        sort_array(collect_list(struct(col("_ord"), col("_pieces")))).as("_ps"))
+      .withColumn("seg_hash",
+        md5(expr("concat_ws(' ', flatten(transform(_ps, x -> x._pieces)))")))
+      .withColumn("fertility_micros", expr(
+        "CAST(floor(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"))
+      .select(keyCol, "n_words", "n_pieces", "fertility_micros", "seg_hash")
+  }
+}
