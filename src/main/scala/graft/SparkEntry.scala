@@ -784,6 +784,27 @@ object SparkEntry {
         |FROM pc LEFT JOIN cells USING (d, w) JOIN p USING (token)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- blocklist safety screen: exact lowercased-token JOIN against
+    //      the term table (scale-safe where a 10k-term rlike alternation
+    //      is not), per-doc instance + distinct-term counts, gate at
+    //      > 1 distinct terms (single stray hits are noise) ----
+    ("q_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val terms = Seq("merge", "vacuum", "skew").toDF("term")
+        CorpusCuration.blocklistScreen(Tables(s, d).documents, terms,
+          "doc_id", maxDistinctTerms = 1L)
+      },
+      Some("""WITH tok AS (SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS t FROM documents),
+        |bl AS (SELECT unnest(['merge', 'vacuum', 'skew']) AS t),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_terms
+        |  FROM tok JOIN bl USING (t) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_distinct_terms, 0) AS n_distinct_terms,
+        |  coalesce(n_distinct_terms, 0) > 1 AS blocked
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
+
     // ---- per-language dataset card: volume + HLL vocabulary estimate +
     //      log-histogram length quantiles + corpus-global duplicated-
     //      sentence rate + PII totals, five keyed aggregates joined on
@@ -1168,6 +1189,39 @@ object SparkEntry {
         |     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_hash
         |FROM t""".stripMargin)),
+
+    // ---- consistent PII pseudonymization: same value → same
+    //      CAT_<md5-prefix> token corpus-wide with NO lookup table or
+    //      shuffle (the pseudonym is a pure hash); per-doc sequential
+    //      replace fold, identical left fold in the DuckDB oracle ----
+    ("q_pseudo",
+      (s, d) => {
+        val injected = Tables(s, d).documents.withColumn("text2",
+          concat(col("text"), lit(" reach user"), (col("doc_id") % 50).cast("string"),
+            lit("@mail.example.com or user"), (col("doc_id") % 50).cast("string"),
+            lit("@mail.example.com again")))
+        TextAnalysis.pseudonymizePii(injected, "text2")
+          .select(col("doc_id"), col("n_pseudo"),
+            md5(col("text_pseudo")).as("pseudo_hash"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id % 50 AS VARCHAR) || '@mail.example.com or user'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '@mail.example.com again' AS text2
+        | FROM documents),
+        |p AS (SELECT doc_id, text2,
+        |  list_reduce(list_prepend(
+        |    list_reduce(list_prepend(text2, regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+        |      (acc, m) -> replace(acc, m, 'EMAIL_' || substr(md5(m), 1, 8))),
+        |    regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')),
+        |   (acc, m) -> replace(acc, m, 'PHONE_' || substr(md5(m), 1, 8))) AS s2
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(list_distinct(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+        |   + len(list_distinct(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))
+        |   + len(list_distinct(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_pseudo,
+        | md5(list_reduce(list_prepend(s2, regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')),
+        |   (acc, m) -> replace(acc, m, 'IP_' || substr(md5(m), 1, 8)))) AS pseudo_hash
+        |FROM p""".stripMargin)),
 
     // ---- embedding mean-pooling (label centroids) ----
     // Long format (label, dim): decimal sums -> double at the boundary per

@@ -300,6 +300,37 @@ object CorpusCuration {
       .drop("_ks")
   }
 
+  /** Blocklist screening — the safety-filter stage every released corpus
+    * runs (badword/domain lists à la the C4 cleanup): count, per doc, how
+    * many token instances and how many DISTINCT blocked terms appear, and
+    * gate on a distinct-hit threshold (single stray hits are usually
+    * noise; multiple distinct terms are signal). Matching is exact
+    * lowercased-token equality via a JOIN against the blocklist table —
+    * scale-safe where a `rlike` alternation of ten thousand terms is not
+    * (the regex NFA grows with the list; the join does not), and the
+    * list-side build stays AQE's choice (broadcast while it measures
+    * small, shuffle join when a mega-list doesn't). Docs with no hits
+    * keep zero counts via the left join.
+    *
+    * Output: (keyCol, n_hits, n_distinct_terms, blocked).
+    */
+  def blocklistScreen(docs: DataFrame, terms: DataFrame, keyCol: String,
+      textCol: String = "text", maxDistinctTerms: Long = 1L): DataFrame = {
+    val toks = TextAnalysis.withTokens(docs, textCol)
+      .select(col(keyCol), explode(col("tokens")).as("_tok"))
+      .withColumn("_tok", lower(col("_tok")))
+    val hits = toks
+      .join(terms.select(lower(col(terms.columns.head)).as("_tok")).distinct(),
+        Seq("_tok"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("_tok")).as("n_distinct_terms"))
+    docs.select(col(keyCol))
+      .join(hits, Seq(keyCol), "left")
+      .na.fill(0L, Seq("n_hits", "n_distinct_terms"))
+      .withColumn("blocked", col("n_distinct_terms") > maxDistinctTerms)
+  }
+
   /** Deterministic stratified sampling: exactly `quota` documents per
     * stratum, chosen by a portable hash order (md5 of the doc key) —
     * reproducible across runs, partitionings and engines, unlike

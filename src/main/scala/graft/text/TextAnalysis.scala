@@ -252,6 +252,43 @@ object TextAnalysis {
       PiiPatterns.map { case (c, _) => col(s"n_$c") }.reduce(_ + _))
   }
 
+  /** Consistent PII pseudonymization — the referential-integrity-
+    * preserving alternative to [[piiScrub]]'s flat `[EMAIL]` tags: every
+    * occurrence of the SAME value maps to the SAME `CAT_<md5-prefix>`
+    * token corpus-wide (same user ⇒ same pseudonym across documents, so
+    * joins and dedup still work on the scrubbed corpus), without any
+    * shared lookup table — the pseudonym is a pure hash of the value, so
+    * consistency needs NO shuffle, no state, no coordination between
+    * executors or even between runs. Per category the doc's matches fold
+    * over the text as a sequential `aggregate(...)`/`list_reduce`
+    * replace chain (codegen'd, same left fold both engines).
+    *
+    * Documented edge: literal replacement is global, so a PII value that
+    * is a strict substring of ANOTHER PII value appearing later in the
+    * same document rewrites inside the longer match too (both engines
+    * identically — the fold order is appearance order).
+    *
+    * Output: original columns + n_pseudo (distinct values rewritten) +
+    * `text_pseudo`.
+    */
+  def pseudonymizePii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // Column API throughout: an expr() SQL literal would re-parse the
+    // regex string and strip its backslash escapes.
+    val withPseudo = PiiPatterns.foldLeft(
+      df.withColumn("text_pseudo", col(textCol))) { case (d, (cat, pat)) =>
+      val tag = cat.toUpperCase
+      d.withColumn("text_pseudo", aggregate(
+        regexp_extract_all(col(textCol), lit(pat), lit(0)),
+        col("text_pseudo"),
+        (acc, m) => replace(acc, m, concat(lit(s"${tag}_"), substring(md5(m), 1, 8)))))
+    }
+    withPseudo.withColumn("n_pseudo",
+      PiiPatterns.map { case (_, pat) =>
+        size(array_distinct(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+          .cast("long")
+      }.reduce(_ + _))
+  }
+
   /** Encoding-anomaly diagnostics — the ftfy-direction health check a
     * web-scraped corpus runs before any text op (mojibake is invisible to
     * token statistics but poisons tokenizers and dedup shingles). Three

@@ -377,6 +377,29 @@ class CorpusCurationSpec extends SparkSpec {
     assert(cleanRow.getAs[Long]("mean_len_micros") === totalChars * 1000000L / 60L)
   }
 
+  test("blocklist screen counts hits case-insensitively and gates on distinct terms") {
+    val corpus = Seq(
+      (1L, "clean text with nothing flagged"),
+      (2L, "one BADWORD here"),                       // 1 distinct -> not blocked
+      (3L, "badword and EVILTERM together"),          // 2 distinct -> blocked
+      (4L, "badword badword badword")                 // repeats, still 1 distinct
+    ).toDF("doc_id", "text")
+    val terms = Seq("badword", "evilterm").toDF("term")
+    val out = CorpusCuration.blocklistScreen(corpus, terms, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_distinct_terms"),
+          r.getAs[Boolean]("blocked")))).toMap
+    assert(out(1L) === ((0L, 0L, false)))
+    assert(out(2L) === ((1L, 1L, false)))
+    assert(out(3L) === ((2L, 2L, true)))
+    assert(out(4L) === ((3L, 1L, false)))
+    // zero-tolerance mode: any distinct hit blocks
+    val strict = CorpusCuration.blocklistScreen(corpus, terms, "doc_id",
+      maxDistinctTerms = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked")).toMap
+    assert(strict === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
   test("sentence dedup keeps only the corpus-global first occurrence") {
     val corpus = Seq(
       (1L, "Alpha beta gamma. Click here to subscribe! Unique one."),

@@ -276,4 +276,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](2).toSeq).toMap
     assert(rep("echo") === Seq(7L))
   }
+
+  test("pseudonymization: same value -> same token across docs, distinct values differ") {
+    val docs = Seq(
+      (1L, "mail a@b.co and phone 555-123-4567 ok"),
+      (2L, "again a@b.co plus c@d.org here"),
+      (3L, "nothing sensitive")).toDF("doc_id", "text")
+    val out = TextAnalysis.pseudonymizePii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pseudo"), r.getAs[String]("text_pseudo")))).toMap
+    assert(out(1L)._1 === 2L && out(2L)._1 === 2L && out(3L)._1 === 0L)
+    assert(out(3L)._2 === "nothing sensitive") // untouched
+    // referential integrity: the a@b.co pseudonym is IDENTICAL in docs 1, 2
+    val tok1 = out(1L)._2.split(" ").find(_.startsWith("EMAIL_")).get
+    assert(out(2L)._2.split(" ").contains(tok1))
+    // distinct values get distinct tokens
+    val toks2 = out(2L)._2.split(" ").filter(_.startsWith("EMAIL_")).toSet
+    assert(toks2.size === 2)
+    // no raw PII survives
+    assert(!out.values.exists(v => v._2.contains("@b.co") || v._2.contains("555-123")))
+  }
 }
