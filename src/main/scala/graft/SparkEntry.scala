@@ -2620,6 +2620,36 @@ object SparkEntry {
         |SELECT label, n, CAST(ssum - sumsq AS DOUBLE) / n / (n - 1) / 1e12 AS mean_cosine
         |FROM b JOIN ss USING (label) WHERE n >= 2""".stripMargin)),
 
+    // ---- additive seasonal decomposition of daily revenue: centered
+    //      7-day MA trend (full windows only) + per-weekday seasonal
+    //      index + residual — all exact integer micros with DuckDB-`//`
+    //      floor division, so the decomposition replays bit-for-bit;
+    //      feed the control charts residuals, not raw values ----
+    ("q_seasonal",
+      (s, d) => {
+        val daily = Tables(s, d).orders
+          .groupBy(col("o_orderdate").cast("date").as("order_day"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("_cents"))
+          .select(col("order_day"), (col("_cents") * 10000L).as("rev_micros"))
+        quality.Drift.seasonalDecompose(daily, "order_day", "rev_micros")
+      },
+      Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 10000 AS rev_micros
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT order_day, rev_micros,
+        |    CAST(count(*) OVER win AS BIGINT) AS cnt,
+        |    CAST(sum(rev_micros) OVER win AS BIGINT) AS s
+        |  FROM d WINDOW win AS (ORDER BY order_day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT order_day, rev_micros, s // 7 AS trend_micros,
+        |    rev_micros - s // 7 AS det, dayofweek(order_day) AS slot
+        |  FROM t WHERE cnt = 7),
+        |si AS (SELECT slot, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal_micros
+        |  FROM f GROUP BY 1)
+        |SELECT order_day, rev_micros, trend_micros, seasonal_micros,
+        |  det - seasonal_micros AS residual_micros
+        |FROM f JOIN si USING (slot)""".stripMargin)),
+
     // ---- metric drift detection: trailing-7-day z-score of daily revenue
     //      vs the PRIOR window (current day excluded); mean/var/z derived
     //      from exact decimal window sums in one fixed IEEE sequence ----
@@ -3541,6 +3571,35 @@ object SparkEntry {
         |SELECT touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
         | CAST(sum(value_micros // touches) AS BIGINT) AS credit_micros
         |FROM n GROUP BY 1""".stripMargin)),
+
+    // ---- time-decay attribution: a touch's share halves per half-life
+    //      of age — weights are exact longs 2^(kmax−k) (never libm pow),
+    //      credit floor(value·w/Σw) with the linear model's floor-div
+    //      correction; 6 h half-life inside the 24 h lookback ----
+    ("q_attrib_decay",
+      // every 13th purchase flipped to a REFUND so the negative-value
+      // division semantics (both engines truncate toward zero) is pinned
+      // by the driver gate, not latent until refund data shows up
+      (s, d) => graft.gold.Attribution.timeDecay(
+        Tables(s, d).events.withColumn("value",
+          when(col("event_id") % 13 === 0, -col("value")).otherwise(col("value"))),
+        "purchase", "click", lookbackSec = 86400L, halflifeSec = 21600L),
+      Some("""WITH p AS (SELECT user_id, event_id AS conv_id, ts AS p_ts,
+        |   CAST(floor((CASE WHEN event_id % 13 = 0 THEN -value ELSE value END) * 1e6 + 0.5) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS touch_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.conv_id, p.value_micros, c.touch_id,
+        |   (CAST(floor(epoch(p.p_ts)) AS BIGINT) - CAST(floor(epoch(c.c_ts)) AS BIGINT)) // 21600 AS k
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts),
+        |n AS (SELECT conv_id, value_micros, touch_id,
+        |   (1::BIGINT << CAST(max(k) OVER (PARTITION BY conv_id) - k AS INT)) AS w
+        |  FROM j),
+        |m AS (SELECT conv_id, touch_id, value_micros * w AS num,
+        |   CAST(sum(w) OVER (PARTITION BY conv_id) AS BIGINT) AS sw FROM n)
+        |SELECT touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
+        | CAST(sum(num // sw) AS BIGINT) AS credit_micros
+        |FROM m GROUP BY 1""".stripMargin)),
 
     // ---- leakage-safe split: train/val/test decided per near-dup
     //      CLUSTER (salted md5 of the cluster id), so near-duplicates

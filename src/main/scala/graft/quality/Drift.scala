@@ -579,4 +579,44 @@ object Drift {
           |) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
       .select("cat", "ref_cnt", "cur_cnt", "contrib_micros")
   }
+
+  /** Classic additive seasonal decomposition of a daily series:
+    * value = trend + seasonal + residual, with trend the centered
+    * `period`-point moving average (FULL windows only — edges drop),
+    * seasonal the per-weekday-slot mean of the detrended series, and the
+    * residual what's left — the decomposition the control charts
+    * (CUSUM/EWMA/[[holtForecast]]) want run on residuals rather than raw
+    * values when the metric has a weekly shape. ALL integer micros:
+    * window sums are exact and both divisions truncate toward zero —
+    * the shared semantics of Spark `div` and DuckDB `//` — so the
+    * decomposition is bit-identical across engines and partitionings.
+    *
+    * The unpartitioned ORDER BY window is over the DAILY series — one
+    * row per day, model-sized, the same documented bound as [[zScores]].
+    *
+    * Output: (dayCol, value, trend, seasonal, residual — all micros).
+    */
+  def seasonalDecompose(daily: DataFrame, dayCol: String,
+      valueMicrosCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window: $period")
+    val half = period / 2
+    val w = Window.orderBy(dayCol).rowsBetween(-half, half)
+    def truncDiv(num: String, den: String) = expr(s"$num div $den")
+    val t = daily
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_sum", sum(col(valueMicrosCol)).over(w))
+      .filter(col("_cnt") === period)
+      .withColumn("trend_micros", truncDiv("_sum", period.toString))
+      .withColumn("_det", col(valueMicrosCol) - col("trend_micros"))
+      .withColumn("_slot", dayofweek(col(dayCol)))
+    val sidx = t.groupBy("_slot")
+      .agg(sum("_det").as("_s"), count(lit(1)).as("_n"))
+      .withColumn("seasonal_micros", truncDiv("_s", "_n"))
+      .select("_slot", "seasonal_micros")
+    t.join(sidx, Seq("_slot"))
+      .withColumn("residual_micros", col("_det") - col("seasonal_micros"))
+      .select(col(dayCol), col(valueMicrosCol), col("trend_micros"),
+        col("seasonal_micros"), col("residual_micros"))
+  }
 }

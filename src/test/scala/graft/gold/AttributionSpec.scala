@@ -59,8 +59,8 @@ class AttributionSpec extends SparkSpec {
       "purchase", "click", 86400L).count() === 0L)
   }
 
-  test("refunds (negative values) FLOOR-divide like DuckDB's //, not " +
-      "truncate toward zero") {
+  test("refunds (negative values) truncate toward zero — the division " +
+      "semantics Spark div and DuckDB // share") {
     val events = ev(
       (1L, 1L, "2024-01-01 01:00:00", "click", 0.0),
       (1L, 2L, "2024-01-01 02:00:00", "click", 0.0),
@@ -69,9 +69,33 @@ class AttributionSpec extends SparkSpec {
     val out = Attribution.linear(events, "purchase", "click", 86400L)
       .collect().map(r => r.getAs[Long]("touch_id") -> r.getAs[Long]("credit_micros"))
       .toMap
-    // floor(-10.0*1e6 + 0.5) = -10_000_000; floor(-10_000_000 / 3) =
-    // -3_333_334 (Spark's `div` alone would give -3_333_333 and diverge
-    // from the DuckDB oracle's // on refund rows)
-    assert(out === Map(1L -> -3333334L, 2L -> -3333334L, 3L -> -3333334L))
+    // floor(-10.0*1e6 + 0.5) = -10_000_000; -10_000_000 div 3 =
+    // -3_333_333 — TRUNCATING division, the semantics Spark `div` and
+    // DuckDB 1.0 `//` share (both truncate toward zero on refunds)
+    assert(out === Map(1L -> -3333333L, 2L -> -3333333L, 3L -> -3333333L))
+  }
+
+  test("time-decay halves a touch's share per half-life, exact power-of-two weights") {
+    // touches at ages 0h, 1h, 2h with a 1h half-life: weights 4, 2, 1
+    val events = ev(
+      (1L, 1L, "2024-01-01 08:00:00", "click", 0.0),    // age 2h -> w=1
+      (1L, 2L, "2024-01-01 09:00:00", "click", 0.0),    // age 1h -> w=2
+      (1L, 3L, "2024-01-01 10:00:00", "click", 0.0),    // age 0h -> w=4
+      (1L, 4L, "2024-01-01 10:00:00", "purchase", 7.0))
+    val out = Attribution.timeDecay(events, "purchase", "click",
+      lookbackSec = 86400L, halflifeSec = 3600L)
+      .collect().map(r => r.getAs[Long]("touch_id") -> r.getAs[Long]("credit_micros"))
+      .toMap
+    // 7_000_000 * w / 7: exactly 1_000_000 per weight unit
+    assert(out === Map(1L -> 1000000L, 2L -> 2000000L, 3L -> 4000000L))
+    // equal ages inside one bucket degenerate to the linear split
+    val flat = ev(
+      (1L, 1L, "2024-01-01 09:59:00", "click", 0.0),
+      (1L, 2L, "2024-01-01 09:58:00", "click", 0.0),
+      (1L, 3L, "2024-01-01 10:00:00", "purchase", 10.0))
+    val f = Attribution.timeDecay(flat, "purchase", "click", 86400L, 3600L)
+      .collect().map(r => r.getAs[Long]("touch_id") -> r.getAs[Long]("credit_micros"))
+      .toMap
+    assert(f === Map(1L -> 5000000L, 2L -> 5000000L))
   }
 }
