@@ -2622,8 +2622,8 @@ object SparkEntry {
 
     // ---- additive seasonal decomposition of daily revenue: centered
     //      7-day MA trend (full windows only) + per-weekday seasonal
-    //      index + residual — all exact integer micros with DuckDB-`//`
-    //      floor division, so the decomposition replays bit-for-bit;
+    //      index + residual — all exact integer micros with truncating
+    //      division (Spark div ≡ DuckDB //), replays bit-for-bit;
     //      feed the control charts residuals, not raw values ----
     ("q_seasonal",
       (s, d) => {

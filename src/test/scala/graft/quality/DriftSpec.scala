@@ -270,4 +270,33 @@ class DriftSpec extends SparkSpec {
       .map(r => (r.getAs[String]("seg"), r.getAs[Int]("day"))).toSet
     assert(out === Set(("a", 15), ("b", 15)))
   }
+
+  test("seasonal decomposition recovers a planted weekly pattern exactly") {
+    import java.time.LocalDate
+    // value = 7_000_000 base + weekday bump: +600_000 on slot 0, -100_000
+    // on the other six (zero-mean weekly pattern, constant trend)
+    val start = LocalDate.parse("2024-01-01")
+    val series = (0 until 28).map { d =>
+      val bump = if (d % 7 == 0) 600000L else -100000L
+      (java.sql.Date.valueOf(start.plusDays(d)), 7000000L + bump)
+    }.toDF("day", "v_micros")
+    val out = Drift.seasonalDecompose(series, "day", "v_micros").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("trend_micros"), r.getAs[Long]("seasonal_micros"),
+          r.getAs[Long]("residual_micros")))).toMap
+    // edges drop: 28 days - 3 head - 3 tail
+    assert(out.size === 22)
+    // the 7-day MA of a zero-mean weekly pattern is the flat base exactly
+    assert(out.values.forall(_._1 === 7000000L))
+    // seasonal index reproduces the planted bumps; residuals vanish
+    assert(out("2024-01-08")._2 === 600000L)
+    assert(out("2024-01-09")._2 === -100000L)
+    assert(out.values.forall(_._3 === 0L))
+    // value = trend + seasonal + residual identically
+    val rows = Drift.seasonalDecompose(series, "day", "v_micros")
+      .withColumn("_recon",
+        col("trend_micros") + col("seasonal_micros") + col("residual_micros"))
+      .filter(col("_recon") =!= col("v_micros")).count()
+    assert(rows === 0L)
+  }
 }
