@@ -784,6 +784,47 @@ object SparkEntry {
         |FROM pc LEFT JOIN cells USING (d, w) JOIN p USING (token)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- Wilson-lower-bound source trust: rank crawl sources by their
+    //      quality-gate pass rate with the small-n-safe bound (3/3 must
+    //      not outrank 480/500); z² inlined as ONE Scala-printed double
+    //      on both sides, exact counts underneath ----
+    ("q_trust",
+      (s, d) => DataQuality.wilsonTrust(Tables(s, d).documents, "source",
+        col("n_chars") >= 800L),
+      Some(s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE n_chars >= 800) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n, k,
+        |  ((CAST(k AS DOUBLE) / n + CAST('${DataQuality.wilsonZ2(1.96)}' AS DOUBLE) / (2.0 * n))
+        |    - CAST('1.96' AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / n
+        |        * (1.0 - CAST(k AS DOUBLE) / n)
+        |        + CAST('${DataQuality.wilsonZ2(1.96)}' AS DOUBLE) / (4.0 * n * n)) / n))
+        |  / (1.0 + CAST('${DataQuality.wilsonZ2(1.96)}' AS DOUBLE) / n) AS wilson_lb
+        |FROM g""".stripMargin)),
+
+    // ---- Benford leading-digit screen on order totals: exact digit
+    //      counts (string ops, no log anywhere at runtime) vs the
+    //      Scala-precomputed log10(1+1/d) shares; per-digit deviation
+    //      in integer micros ----
+    ("q_benford",
+      (s, d) => DataQuality.benfordCheck(Tables(s, d).orders, "o_totalprice"),
+      Some({
+        val cases = DataQuality.benfordExpectedMicros.toSeq.sortBy(_._1)
+          .map { case (dd, m) => s"WHEN digit = $dd THEN $m" }
+          .mkString("CASE ", " ", " END")
+        s"""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |c2 AS (SELECT digit, obs FROM c WHERE digit >= 1),
+        |sp AS (SELECT unnest(range(1, 10)) AS digit),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c2)
+        |SELECT sp.digit, coalesce(obs, 0) AS obs, (SELECT n FROM t) AS n,
+        |  CAST($cases AS BIGINT) AS expected_micros,
+        |  abs(CAST(floor(CAST(coalesce(obs, 0) AS DOUBLE) / CAST((SELECT n FROM t) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    - CAST($cases AS BIGINT)) AS dev_micros
+        |FROM sp LEFT JOIN c2 USING (digit)""".stripMargin
+      })),
+
     // ---- blocklist safety screen: exact lowercased-token JOIN against
     //      the term table (scale-safe where a 10k-term rlike alternation
     //      is not), per-doc instance + distinct-term counts, gate at
@@ -947,6 +988,39 @@ object SparkEntry {
         | array_to_string(list_slice(toks, s, s + 15), ' ') AS chunk,
         | md5(array_to_string(list_slice(toks, s, s + 15), ' ')) AS chunk_hash
         |FROM u""".stripMargin)),
+
+    // ---- chunk-level dedup (RAG-ingest grain): non-overlapping token
+    //      chunks, corpus-global first (doc, idx) owner per chunk hash —
+    //      same groupBy-MIN first-owner shape as q_sentdedup at the
+    //      retrieval-chunk grain; per-doc kept/dropped accounting ----
+    ("q_chunkdedup",
+      (s, d) => {
+        val ch = TextAnalysis.tokenChunks(Tables(s, d).documents, "doc_id",
+          chunkSize = 16, stride = 16)
+        val firstOcc = ch.groupBy("chunk_hash")
+          .agg(min(struct(col("doc_id").as("_d"), col("chunk_idx").as("_i"))).as("_f"))
+          .select(col("chunk_hash"), col("_f._d").as("_d"), col("_f._i").as("_i"))
+        ch.join(firstOcc, Seq("chunk_hash"))
+          .withColumn("_keep", col("doc_id") === col("_d") && col("chunk_idx") === col("_i"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("dup_chunk_micros", expr(
+            """CAST(floor(CAST(n_chunks - n_kept AS DOUBLE)
+              |  / CAST(n_chunks AS DOUBLE) * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS ci,
+        |    md5(array_to_string(list_slice(toks, s, s + 15), ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 16)) AS s FROM d)),
+        |f AS (SELECT doc_id, ci,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) = 1 AS keep FROM u),
+        |k AS (SELECT u.doc_id, f.keep FROM u JOIN f ON u.doc_id = f.doc_id AND u.ci = f.ci)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(floor(CAST(count(*) - count(*) FILTER (WHERE keep) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_chunk_micros
+        |FROM k GROUP BY 1""".stripMargin)),
 
     // ---- within-document repetition / type-token stats (corpus quality) ----
     ("q_repetition",

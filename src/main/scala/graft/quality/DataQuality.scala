@@ -174,4 +174,74 @@ object DataQuality {
         countDistinct(sensitiveCol).as("l_diversity"))
       .withColumn("at_risk", col("group_n") < k || col("l_diversity") < l)
   }
+
+  /** The z² constant a [[wilsonTrust]] expression embeds, computed ONCE
+    * in Scala so both engines divide by the identical double (the
+    * [[graft.text.CorpusSketches.hllScale]] pattern).
+    */
+  def wilsonZ2(z: Double): Double = z * z
+
+  /** Per-group success-rate ranking by the Wilson score lower bound
+    * (Wilson 1927; the "how not to sort by average rating" fix): a group
+    * with 3/3 passing stops outranking one with 480/500 — the bound
+    * shrinks toward 0 for tiny n. Counts are exact longs; the bound is
+    * one fixed left-parenthesized double expression over (k, n) with the
+    * z² constant inlined as a Scala-printed literal, so results are
+    * bit-identical across engines and partitionings. The canonical use:
+    * trust-rank crawl SOURCES by their quality-gate pass rate before
+    * assigning mixture weights.
+    *
+    * Output: (groupCol, n, k, wilson_lb).
+    */
+  def wilsonTrust(df: DataFrame, groupCol: String, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val z2 = wilsonZ2(z)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+      .withColumn("wilson_lb", expr(
+        s"""((CAST(k AS DOUBLE) / n + CAST('$z2' AS DOUBLE) / (2.0 * n))
+           |  - CAST('$z' AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / n
+           |      * (1.0 - CAST(k AS DOUBLE) / n)
+           |      + CAST('$z2' AS DOUBLE) / (4.0 * n * n)) / n))
+           |/ (1.0 + CAST('$z2' AS DOUBLE) / n)""".stripMargin))
+  }
+
+  /** Expected Benford leading-digit shares log₁₀(1 + 1/d) in micros,
+    * computed once in Scala — no engine libm in any expression.
+    */
+  def benfordExpectedMicros: Map[Int, Long] =
+    (1 to 9).map(d =>
+      d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
+
+  /** Benford's-law conformance of a positive numeric column — the
+    * classic fabricated-data / unit-mixup screen for financial columns:
+    * leading-digit counts (exact, via the integer part's first decimal
+    * digit — pure string ops, no log) against the expected
+    * log₁₀(1 + 1/d) shares (Scala-precomputed constants). Deviation per
+    * digit in integer micros; Σ|dev|/2 is the total-variation distance.
+    *
+    * Output: one row per digit 1-9 — (digit, obs, n, expected_micros,
+    * dev_micros).
+    */
+  def benfordCheck(df: DataFrame, valueCol: String): DataFrame = {
+    val expectedCase = benfordExpectedMicros.toSeq.sortBy(_._1)
+      .map { case (d, m) => s"WHEN digit = $d THEN ${m}L" }
+      .mkString("CASE ", " ", " END")
+    val counts = df
+      .filter(col(valueCol) > 0)
+      .withColumn("digit", expr(
+        s"CAST(substr(CAST(CAST(floor($valueCol) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val total = counts.agg(sum("obs").as("n"))
+    spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(total))
+      .withColumn("expected_micros", expr(expectedCase))
+      .withColumn("dev_micros", expr(
+        """abs(CAST(floor(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+          |  AS BIGINT) - expected_micros)""".stripMargin))
+  }
 }

@@ -98,4 +98,41 @@ class DataQualitySpec extends SparkSpec {
     assert(out((30, "b")) === ((3L, 3L, false)))
     assert(out((40, "a")) === ((1L, 1L, true)))  // re-identifiable
   }
+
+  test("Wilson lower bound: small perfect groups stop outranking large near-perfect ones") {
+    val rows = (Seq.fill(3)(("tiny", true)) ++
+      Seq.fill(480)(("big", true)) ++ Seq.fill(20)(("big", false))).toDF("src", "ok")
+    val out = DataQuality.wilsonTrust(rows, "src", col("ok")).collect()
+      .map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Double]("wilson_lb")))).toMap
+    assert(out("tiny") === ((3L, 3L, out("tiny")._3)))
+    assert(out("big")._1 === 500L && out("big")._2 === 480L)
+    // raw rates: tiny 1.0 > big 0.96 — the bound must invert that
+    assert(out("big")._3 > out("tiny")._3)
+    // bound stays below the point estimate and above zero
+    assert(out("big")._3 < 0.96 && out("big")._3 > 0.9)
+    assert(out("tiny")._3 < 1.0 && out("tiny")._3 > 0.0)
+  }
+
+  test("Benford screen: digit spine complete, expected shares sum to ~1, " +
+      "a Benford-conforming sample shows small deviation") {
+    // sample 9 values per expected-millionths weight via repetition:
+    // value d*1000 appears round(P(d)*100) times
+    val rows = DataQuality.benfordExpectedMicros.toSeq.flatMap { case (d, m) =>
+      Seq.fill(math.round(m / 10000.0).toInt)(d * 1000.0)
+    }.toDF("v")
+    val out = DataQuality.benfordCheck(rows, "v").collect()
+      .map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("obs"), r.getAs[Long]("expected_micros"),
+          r.getAs[Long]("dev_micros")))).toMap
+    assert(out.keySet === (1L to 9L).toSet)
+    assert(DataQuality.benfordExpectedMicros.values.sum === 1000000L)
+    // ~1% granularity sampling: every digit within 1.1% of expectation
+    assert(out.values.forall(_._3 < 11000L), s"$out")
+    // non-positive and sub-1 values are excluded; absent digits keep 0 rows
+    val skew = Seq(0.0, -5.0, 0.4, 900.0, 950.0).toDF("v")
+    val sk = DataQuality.benfordCheck(skew, "v").collect()
+      .map(r => r.getAs[Long]("digit") -> r.getAs[Long]("obs")).toMap
+    assert(sk(9L) === 2L && (1L to 8L).forall(sk(_) === 0L))
+  }
 }
