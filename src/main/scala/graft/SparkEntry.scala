@@ -2674,6 +2674,24 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE vec_id IN (SELECT dropped FROM p)) AS BIGINT) AS n_dropped
         |FROM e GROUP BY 1""".stripMargin)),
 
+    // ---- mutual nearest neighbors (CCMatrix-direction mining): pairs
+    //      where EACH side is the other's cosine top-1 — the mutuality
+    //      join kills asymmetric hub matches; exact bounded form vs the
+    //      quadratic oracle (ANN composes the same join at scale) ----
+    ("q_mutual_nn",
+      (s, d) => graft.similarity.Similarity.mutualNearestNeighbors(
+        Tables(s, d).embeddings, "vec_id"),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS nm FROM e),
+        |p AS (SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) / (a.nm * b.nm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id),
+        |r AS (SELECT qa, nb, cosine,
+        |    row_number() OVER (PARTITION BY qa ORDER BY cosine DESC, nb) AS rk FROM p),
+        |t AS (SELECT qa, nb, cosine FROM r WHERE rk = 1)
+        |SELECT x.qa AS id_a, x.nb AS id_b, x.cosine AS cosine
+        |FROM t x JOIN t y ON x.qa = y.nb AND x.nb = y.qa AND x.qa < x.nb""".stripMargin)),
+
     // ---- per-cluster embedding diversity: EXACT mean pairwise cosine in
     //      O(n·d) via the centroid identity Σᵢ≠ⱼuᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖²
     //      over micro-quantized unit vectors — no pair is materialized;

@@ -50,6 +50,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Mutual nearest neighbors — the bitext/duplicate MINING primitive
+    * (CCMatrix-direction: a pair is trusted when each side is the
+    * OTHER's best match, which kills the asymmetric hub matches a
+    * one-directional top-1 keeps): pairs (a, b), a < b, where b is a's
+    * cosine top-1 and a is b's. This exact form broadcasts the corpus
+    * against itself through [[bruteForceTopK]] — right for bounded
+    * corpora and as the oracle-checkable contract; at 100 TB compose the
+    * same mutuality join over [[ivfTopKFor]]'s per-query candidates
+    * instead (the registered ANN path). Ties break (cosine DESC, id ASC)
+    * — deterministic. Output: (id_a, id_b, cosine).
+    */
+  def mutualNearestNeighbors(df: DataFrame, keyCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    val nn = bruteForceTopK(df, keyCol, lit(true), k = 1, embCol)
+      .filter(col("rank") === 1L)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    nn.as("x").join(nn.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Exact mean pairwise cosine per group in O(n·d) — the corpus
     * diversity statistic (SemDeDup-style collapse detection: a cluster
     * whose embeddings all point the same way has nothing left to teach)

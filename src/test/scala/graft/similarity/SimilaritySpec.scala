@@ -174,6 +174,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutual nearest neighbors: the planted near-copy pair is mutual, " +
+      "hub matches are not") {
+    val out = Similarity.mutualNearestNeighbors(df, "vec_id").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // vec 20 is the planted near-copy of vec 0: each is the other's top-1
+    assert(out.contains((0L, 20L)))
+    // mutuality: every emitted pair appears once, a < b, no self-pairs
+    assert(out.forall { case (a, b) => a < b })
+    // a one-directional top-1 exists for all 21 vectors; mutual pairs can
+    // cover at most half of them
+    assert(out.size <= 10)
+    // three-vector hand case: c is between a and b but closest to a; a's
+    // top-1 is c and c's top-1 is a -> exactly one mutual pair (a, c)
+    val tri = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),        // a
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),    // c: closest to a
+      (3L, Seq(0.5f, 0.6f, 0f, 0f)))    // b: top-1 is c, but c prefers a
+      .toDF("vec_id", "embedding")
+    val t = Similarity.mutualNearestNeighbors(tri, "vec_id").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(t === Set((1L, 2L)))
+  }
+
   test("mean pairwise cosine: centroid identity matches the explicit O(n^2) scan") {
     // group a: 3 copies of one direction -> mean 1; group b: +x, -x -> -1;
     // group c: orthogonal axes -> 0; group d: the random fixture vectors
