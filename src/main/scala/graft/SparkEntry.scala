@@ -1496,6 +1496,35 @@ object SparkEntry {
           |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)
         .replace("SELECT node, r AS rank_micros", "SELECT node AS doc_id, r AS rank_micros"))),
 
+    // ---- degree distribution of the near-dup graph as a log₂ histogram
+    //      — PairGraph (shared materialized edges) composed with the
+    //      quantile-sketch cells: hub detection without a sort; oracle
+    //      replays the exact pair scan + degrees + bit-length buckets ----
+    ("q_degdist",
+      (s, d) => {
+        val pairs = graft.dedup.PairGraph.documentsPairs(s, d, n = 5)
+          .select("doc_a", "doc_b")
+        val deg = pairs.select(col("doc_a").as("node"))
+          .unionByName(pairs.select(col("doc_b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .withColumn("g", lit("all"))
+        CorpusSketches.logHistogram(deg, "g", "deg").drop("g")
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT src, dst FROM pp JOIN sz sa ON sa.doc_id = pp.src JOIN sz sb ON sb.doc_id = pp.dst
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT src AS node FROM pr UNION ALL SELECT dst FROM pr) GROUP BY 1)
+        |SELECT CAST(CASE WHEN deg <= 0 THEN 0 ELSE length(bin(deg)) END AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM deg GROUP BY 1""".stripMargin)),
+
     // ---- EXACT directional containment join (asymmetric prefix
     //      filter): catches excerpt/boilerplate-wrapped copies whose
     //      Jaccard is low because the container is long; contained
@@ -2361,6 +2390,50 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(score_micros AS BIGINT) AS score_micros,
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
+
+    // ---- driver-checked classification report: the hashed quality
+    //      classifier scored AGAINST the weak labels that would train it
+    //      — exact tp/fp/fn/tn plus precision/recall/F1/accuracy as
+    //      single-division integer micros (F1 = 2tp/(2tp+fp+fn)) ----
+    ("q_confusion",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val pred = TextAnalysis.hashedQualityScore(docs, "doc_id",
+          TextAnalysis.hashWeightTable(s, 256), nBuckets = 256,
+          biasMicros = 500000L, thresholdMicros = 500000L)
+          .select(col("doc_id"), col("keep").as("_pred"))
+        val lab = graft.text.QualityTraining.weakQualityLabels(docs, "doc_id")
+          .select(col("doc_id"), (col("label") === 1.0).as("_label"))
+        graft.ml.MlPipeline.classificationReport(
+          pred.join(lab, Seq("doc_id")), col("_pred"), col("_label"))
+      },
+      Some("""WITH w AS (SELECT CAST(b AS BIGINT) AS bucket,
+        |  ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000 AS wm
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |bk AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket FROM t),
+        |sc AS (SELECT doc_id,
+        |    500000 + CAST(floor(CAST(sum(wm) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) >= 500000 AS pred
+        |  FROM bk JOIN w USING (bucket) GROUP BY 1),
+        |lb AS (SELECT doc_id,
+        |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.55
+        |     AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) >= 3.0
+        |     AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) <= 9.0) AS label
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) > 0),
+        |j AS (SELECT pred, label FROM sc JOIN lb USING (doc_id)),
+        |c AS (SELECT
+        |    CAST(count(*) FILTER (WHERE pred AND label) AS BIGINT) AS tp,
+        |    CAST(count(*) FILTER (WHERE pred AND NOT label) AS BIGINT) AS fp,
+        |    CAST(count(*) FILTER (WHERE NOT pred AND label) AS BIGINT) AS fn,
+        |    CAST(count(*) FILTER (WHERE NOT pred AND NOT label) AS BIGINT) AS tn
+        |  FROM j)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) AS BIGINT) END AS precision_micros,
+        |  CASE WHEN tp + fn > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) AS BIGINT) END AS recall_micros,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e6 + 0.5) AS BIGINT) END AS f1_micros,
+        |  CASE WHEN tp + fp + fn + tn > 0 THEN CAST(floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1e6 + 0.5) AS BIGINT) END AS accuracy_micros
+        |FROM c""".stripMargin)),
 
     // ---- inverted index: per-term df + sorted posting list, stopword-
     //      grade terms (df > 80% of docs) stop-listed like production

@@ -338,4 +338,31 @@ object MlPipeline {
     val best = history.zipWithIndex.maxBy { case (t, i) => (t.score, -i) }._1
     (best.params, history.toSeq)
   }
+
+  /** Binary classification report from boolean prediction/label columns:
+    * one exact-count pass (tp/fp/fn/tn) plus precision, recall, F1 and
+    * accuracy as integer micros — each a SINGLE division of exact longs
+    * (F1 as 2tp/(2tp+fp+fn), no intermediate p·r product), so the report
+    * is bit-identical across engines and partitionings; degenerate
+    * denominators yield null, not Infinity. The oracle-checkable
+    * complement to the spark.ml evaluator metrics (spec-verified M8) —
+    * run it wherever predictions and truth are both columns, e.g. a
+    * quality classifier against its weak labels.
+    */
+  def classificationReport(df: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def micros(num: String, den: String) = expr(
+      s"CASE WHEN $den > 0 THEN CAST(floor(CAST($num AS DOUBLE) / ($den) * 1e6 + 0.5) AS BIGINT) END")
+    df.agg(
+        sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && label, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_micros", micros("tp", "tp + fp"))
+      .withColumn("recall_micros", micros("tp", "tp + fn"))
+      .withColumn("f1_micros", micros("2 * tp", "2 * tp + fp + fn"))
+      .withColumn("accuracy_micros", micros("tp + tn", "tp + fp + fn + tn"))
+  }
 }

@@ -137,4 +137,26 @@ class MlSpec extends SparkSpec {
     assert(history2.map(_.score) === history.map(_.score))
     assert(history2.map(_.expectedImprovement) === history.map(_.expectedImprovement))
   }
+
+  test("classification report: hand-computed 2x2, degenerate denominators null") {
+    import org.apache.spark.sql.functions.col
+    // tp=3 fp=1 fn=2 tn=4: P=3/4, R=3/5, F1=6/9, acc=7/10
+    val rows = (Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("pred", "label")
+    val r = MlPipeline.classificationReport(rows, col("pred"), col("label"))
+      .collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((3L, 1L, 2L, 4L)))
+    assert(r.getAs[Long]("precision_micros") === 750000L)
+    assert(r.getAs[Long]("recall_micros") === 600000L)
+    assert(r.getAs[Long]("f1_micros") === 666667L) // floor(2/3*1e6+0.5)
+    assert(r.getAs[Long]("accuracy_micros") === 700000L)
+    // no positive predictions: precision null, not Infinity
+    val nopos = Seq((false, true), (false, false)).toDF("pred", "label")
+    val r2 = MlPipeline.classificationReport(nopos, col("pred"), col("label"))
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("precision_micros")))
+    assert(r2.getAs[Long]("recall_micros") === 0L)
+  }
 }
