@@ -63,9 +63,20 @@ object Similarity {
     */
   def mutualNearestNeighbors(df: DataFrame, keyCol: String,
       embCol: String = "embedding"): DataFrame = {
-    val nn = bruteForceTopK(df, keyCol, lit(true), k = 1, embCol)
-      .filter(col("rank") === 1L)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // top-1 as a groupBy-MAX over struct(cosine, −neighbor) rather than a
+    // row_number window: the same (cosine DESC, neighbor ASC) total order,
+    // but partial-aggregated map-side — each task reduces its pair block
+    // to one candidate per query before the shuffle, where the window
+    // form shuffles and sorts every pair row.
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    val nn = base.toDF("neighbor_id", "nv", "nnorm")
+      .join(broadcast(base.toDF("query_id", "qv", "qnorm")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("_nneg"))).as("_b"))
+      .select(col("query_id"), (-col("_b._nneg")).as("neighbor_id"),
+        col("_b.cosine").as("cosine"))
     nn.as("x").join(nn.as("y"),
         col("x.query_id") === col("y.neighbor_id") &&
           col("x.neighbor_id") === col("y.query_id") &&
