@@ -2391,6 +2391,87 @@ object SparkEntry {
         |  score_micros >= 500000 AS keep
         |FROM sc""".stripMargin)),
 
+    // ---- degree assortativity of the near-dup graph (Newman 2002):
+    //      hubs-with-hubs (template families) vs hubs-with-leaves (one
+    //      boilerplate source quoted everywhere) — exact long sums, the
+    //      shared PairGraph edges, oracle replays scan + formula ----
+    ("q_assort",
+      (s, d) => graft.graph.Graph.degreeAssortativity(
+        graft.dedup.PairGraph.documentsPairs(s, d, n = 5)
+          .select("doc_a", "doc_b")),
+      Some("""WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pp AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT src AS a, dst AS b FROM pp JOIN sz sa ON sa.doc_id = pp.src JOIN sz sb ON sb.doc_id = pp.dst
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |dir AS (SELECT a AS s, b AS t FROM pr UNION ALL SELECT b, a FROM pr),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY 1),
+        |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM dir JOIN deg dx ON dx.s = dir.s JOIN deg dy ON dy.s = dir.t),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy FROM j)
+        |SELECT m_directed,
+        |  CASE WHEN m_directed * sxx - sx * sx > 0 AND m_directed * syy - sy * sy > 0
+        |  THEN CAST(m_directed * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(m_directed * sxx - sx * sx AS DOUBLE)
+        |         * CAST(m_directed * syy - sy * sy AS DOUBLE))
+        |  END AS r
+        |FROM a""".stripMargin)),
+
+    // ---- source-pair vocabulary Jaccard: which crawl sources feed the
+    //      corpus the same text — exact distinct-token sets per source,
+    //      one token-keyed equi-join (never source×source×tokens), the
+    //      q_jaccard re-rank shape lifted from documents to SOURCES ----
+    ("q_srcsim",
+      (s, d) => {
+        val st = TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(col("source"), explode(col("tokens")).as("token"))
+          .distinct()
+        val sz = st.groupBy("source").agg(count(lit(1)).as("sz"))
+        st.toDF("src_a", "token")
+          .join(st.toDF("src_b", "token"), Seq("token"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+          .join(sz.toDF("src_a", "size_a"), Seq("src_a"))
+          .join(sz.toDF("src_b", "size_b"), Seq("src_b"))
+          .withColumn("jaccard", round(col("inter").cast("double")
+            / (col("size_a") + col("size_b") - col("inter")), 6))
+      },
+      Some("""WITH st AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM st GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.source = p.src_a JOIN sz sb ON sb.source = p.src_b""".stripMargin)),
+
+    // ---- vocabulary growth curve (Heaps' law diagnostic) at the 3-gram
+    //      shingle grain (the dedup unit — the token alphabet saturates
+    //      in the first docs, shingles keep arriving): a shingle is NEW
+    //      on the doc where it first appears (groupBy-MIN first owner,
+    //      map-side combinable); per-50-doc novelty slices read the
+    //      corpus's duplication decay directly ----
+    ("q_vocabgrowth",
+      (s, d) => {
+        Dedup.shingles(Tables(s, d).documents, "doc_id", n = 3)
+          .groupBy("shingle").agg(min("doc_id").as("_first"))
+          .groupBy(expr("_first div 50").as("doc_bucket"))
+          .agg(count(lit(1)).as("n_new_shingles"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM d WHERE len(toks) >= 3),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM s GROUP BY 1)
+        |SELECT first_doc // 50 AS doc_bucket, CAST(count(*) AS BIGINT) AS n_new_shingles
+        |FROM f GROUP BY 1""".stripMargin)),
+
     // ---- driver-checked classification report: the hashed quality
     //      classifier scored AGAINST the weak labels that would train it
     //      — exact tp/fp/fn/tn plus precision/recall/F1/accuracy as

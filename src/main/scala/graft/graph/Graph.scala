@@ -284,4 +284,43 @@ object Graph {
        |FROM (SELECT a AS node FROM surv UNION ALL SELECT b FROM surv)
        |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed edge listing (each undirected
+    * edge counted both ways) — positive when hubs attach to hubs
+    * (template-family duplication), negative when hubs attach to leaves
+    * (one boilerplate source quoted everywhere) — which of the two
+    * dedup-graph shapes the corpus has. Exact long sums end to end
+    * (Σx, Σx², Σxy over exact degree counts); the only doubles are the
+    * final fixed expression, so r is bit-stable across engines and
+    * partitionings. Shape: one degree aggregate + two keyed joins + one
+    * global sum — no window, no collect. Output: (m_directed, r).
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = und.select(col("a").as("s"), col("b").as("t"))
+      .unionByName(und.select(col("b").as("s"), col("a").as("t")))
+    val deg = dir.groupBy("s").agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.toDF("s", "dx"), Seq("s"))
+      .join(deg.toDF("t", "dy"), Seq("t"))
+      .agg(count(lit(1)).as("m_directed"),
+        sum(col("dx")).as("_sx"), sum(col("dy")).as("_sy"),
+        sum(col("dx") * col("dx")).as("_sxx"),
+        sum(col("dy") * col("dy")).as("_syy"),
+        sum(col("dx") * col("dy")).as("_sxy"))
+      .withColumn("r", expr(
+        """CASE WHEN m_directed * _sxx - _sx * _sx > 0
+          |  AND m_directed * _syy - _sy * _sy > 0
+          |THEN CAST(m_directed * _sxy - _sx * _sy AS DOUBLE)
+          |  / sqrt(CAST(m_directed * _sxx - _sx * _sx AS DOUBLE)
+          |       * CAST(m_directed * _syy - _sy * _sy AS DOUBLE))
+          |END""".stripMargin))
+      .select("m_directed", "r")
+  }
 }

@@ -166,4 +166,26 @@ class GraphSpec extends SparkSpec {
     // no confirming round needed)
     assert(Graph.kCore(chain, k = 2, maxRounds = 6).count() === 0L)
   }
+
+  test("degree assortativity: -1 on a star, null on a regular graph, " +
+      "repartition-independent") {
+    // star K1,3: center degree 3 against leaf degree 1 on every edge -> -1
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("doc_a", "doc_b")
+    val r1 = Graph.degreeAssortativity(star).collect().head
+    assert(r1.getAs[Long]("m_directed") === 6L)
+    assert(math.abs(r1.getAs[Double]("r") + 1.0) < 1e-12)
+    // triangle: every degree 2 -> zero variance -> r undefined (null)
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("doc_a", "doc_b")
+    val r2 = Graph.degreeAssortativity(tri).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("r")))
+    // two stars joined at their centers: still hub-leaf dominated -> r < 0;
+    // duplicate and reversed edge rows collapse before counting
+    val two = Seq(("c1", "l1"), ("c1", "l2"), ("c1", "c2"), ("c2", "c1"),
+      ("c2", "l3"), ("c2", "l4"), ("l1", "c1")).toDF("doc_a", "doc_b")
+    val r3 = Graph.degreeAssortativity(two).collect().head
+    assert(r3.getAs[Long]("m_directed") === 10L) // 5 undirected edges
+    assert(r3.getAs[Double]("r") < 0.0)
+    val r3b = Graph.degreeAssortativity(two.repartition(5)).collect().head
+    assert(r3b.getAs[Double]("r") === r3.getAs[Double]("r"))
+  }
 }
