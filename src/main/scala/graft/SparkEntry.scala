@@ -825,6 +825,36 @@ object SparkEntry {
         |FROM sp LEFT JOIN c2 USING (digit)""".stripMargin
       })),
 
+    // ---- T5-style span corruption: ∃-formulated span masking (no
+    //      sequential scan — overlap merge falls out of the exists),
+    //      sentinel id = span start position; inputs/targets registered
+    //      as md5 digests (long strings), counts exact ----
+    ("q_spancorrupt",
+      (s, d) => CorpusCuration.spanCorruption(Tables(s, d).documents, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+          md5(col("inputs")).as("inputs_md5"), md5(col("targets")).as("targets_md5")),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    list_transform(range(1, len(t) + 1), i ->
+        |      len(list_filter(range(greatest(1, i - 2), i + 1), s ->
+        |        ('0x' || substr(md5('sc0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT % 20 = 0)) > 0) AS mk
+        |  FROM d WHERE len(t) > 0),
+        |st AS (SELECT doc_id, t, mk,
+        |    list_transform(range(1, len(t) + 1), i -> mk[i] AND (i = 1 OR NOT mk[i - 1])) AS stt
+        |  FROM m)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+        |  CAST(len(list_filter(stt, x -> x)) AS BIGINT) AS n_spans,
+        |  md5(array_to_string(list_filter(list_transform(range(1, len(t) + 1),
+        |    i -> CASE WHEN NOT mk[i] THEN t[i]
+        |              WHEN stt[i] THEN '<extra_' || CAST(i AS VARCHAR) || '>' END),
+        |    x -> x IS NOT NULL), ' ')) AS inputs_md5,
+        |  md5(coalesce(array_to_string(list_filter(list_transform(range(1, len(t) + 1),
+        |    i -> CASE WHEN stt[i] THEN '<extra_' || CAST(i AS VARCHAR) || '> ' || t[i]
+        |              WHEN mk[i] THEN t[i] END),
+        |    x -> x IS NOT NULL), ' '), '')) AS targets_md5
+        |FROM st""".stripMargin)),
+
     // ---- blocklist safety screen: exact lowercased-token JOIN against
     //      the term table (scale-safe where a 10k-term rlike alternation
     //      is not), per-doc instance + distinct-term counts, gate at

@@ -300,6 +300,53 @@ object CorpusCuration {
       .drop("_ks")
   }
 
+  /** T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective data prep step: mask ~15% of tokens in short
+    * spans, replace each masked span in the INPUT with one sentinel, and
+    * emit the TARGET as the sentinel-prefixed dropped spans. Fully
+    * deterministic and engine-replayable, with NO sequential scan: a
+    * position i is masked iff SOME span start s ∈ [i−span+1, i] fires
+    * the salted hash gate (`md5(salt:key:s) % startMod == 0`) — overlap
+    * merging falls out of the ∃ formulation instead of a running state,
+    * and the sentinel id is the span's start POSITION (unique in-doc,
+    * order-preserving), so no prefix count is ever needed. One array
+    * projection per doc: no shuffle, no UDF, no window.
+    *
+    * With startMod=20 and span=3 the expected mask rate is ≈ 14% — the
+    * T5 default neighborhood. Output: (keyCol, n_tokens, n_masked,
+    * n_spans, inputs, targets).
+    */
+  def spanCorruption(docs: DataFrame, keyCol: String,
+      textCol: String = "text", span: Int = 3, startMod: Int = 20,
+      salt: String = "sc0"): DataFrame = {
+    require(span >= 1 && startMod >= 2)
+    val fire = (s: String) =>
+      s"CAST(conv(substr(md5(concat('$salt:', CAST($keyCol AS STRING), ':', CAST($s AS STRING))), 1, 8), 16, 10) AS BIGINT) % $startMod = 0"
+    TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .withColumn("_mk", expr(
+        s"""transform(sequence(1, size(tokens)),
+           |  i -> exists(sequence(greatest(1, i - ${span - 1}), i), s -> ${fire("s")}))""".stripMargin))
+      .withColumn("_st", expr(
+        """transform(sequence(1, size(tokens)),
+          |  i -> element_at(_mk, i) AND (i = 1 OR NOT element_at(_mk, i - 1)))""".stripMargin))
+      .select(col(keyCol),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(_mk, x -> x)) AS BIGINT)").as("n_masked"),
+        expr("CAST(size(filter(_st, x -> x)) AS BIGINT)").as("n_spans"),
+        expr(
+          """concat_ws(' ', filter(transform(sequence(1, size(tokens)),
+            |  i -> CASE WHEN NOT element_at(_mk, i) THEN element_at(tokens, i)
+            |            WHEN element_at(_st, i) THEN concat('<extra_', CAST(i AS STRING), '>')
+            |       END), x -> x IS NOT NULL))""".stripMargin).as("inputs"),
+        expr(
+          """concat_ws(' ', filter(transform(sequence(1, size(tokens)),
+            |  i -> CASE WHEN element_at(_st, i)
+            |         THEN concat('<extra_', CAST(i AS STRING), '> ', element_at(tokens, i))
+            |       WHEN element_at(_mk, i) THEN element_at(tokens, i)
+            |       END), x -> x IS NOT NULL))""".stripMargin).as("targets"))
+  }
+
   /** Blocklist screening — the safety-filter stage every released corpus
     * runs (badword/domain lists à la the C4 cleanup): count, per doc, how
     * many token instances and how many DISTINCT blocked terms appear, and

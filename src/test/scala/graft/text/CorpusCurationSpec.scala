@@ -377,6 +377,54 @@ class CorpusCurationSpec extends SparkSpec {
     assert(cleanRow.getAs[Long]("mean_len_micros") === totalChars * 1000000L / 60L)
   }
 
+  test("span corruption: masked spans round-trip, sentinels align, counts exact") {
+    val corpus = (1L to 40L)
+      .map(i => (i, (1 to 30).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusCuration.spanCorruption(corpus, "doc_id").collect()
+    assert(out.length === 40)
+    for (r <- out) {
+      val (n, masked, spans) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      val inputs = r.getAs[String]("inputs").split(" ").filter(_.nonEmpty)
+      val targets = r.getAs[String]("targets").split(" ").filter(_.nonEmpty)
+      assert(n === 30L && masked <= n && spans <= masked)
+      // conservation: unmasked tokens + one sentinel per span in inputs;
+      // masked tokens + one sentinel per span in targets
+      assert(inputs.length === (n - masked + spans))
+      assert(targets.length === (masked + spans))
+      // the sentinel sets agree between inputs and targets, in order
+      val sIn = inputs.filter(_.startsWith("<extra_")).toSeq
+      val sTg = targets.filter(_.startsWith("<extra_")).toSeq
+      assert(sIn === sTg)
+      // reconstruction: substituting each target span back at its
+      // sentinel recovers the original token stream
+      val spanMap = {
+        var cur: String = null
+        val m = scala.collection.mutable.Map.empty[String, List[String]]
+        for (t <- targets) {
+          if (t.startsWith("<extra_")) { cur = t; m(cur) = Nil }
+          else m(cur) = m(cur) :+ t
+        }
+        m.toMap
+      }
+      val rebuilt = inputs.flatMap(t =>
+        if (t.startsWith("<extra_")) spanMap(t) else Seq(t))
+      assert(rebuilt.toSeq === (1 to 30).map(t => s"w$t"))
+    }
+    // expected mask rate lands in the T5 neighborhood corpus-wide
+    val rate = out.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      out.map(_.getAs[Long]("n_tokens")).sum
+    assert(rate > 0.05 && rate < 0.30, s"mask rate $rate")
+    // deterministic per salt; a different salt moves the masks
+    val again = CorpusCuration.spanCorruption(corpus.repartition(7), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("inputs")).toMap
+    assert(again === out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("inputs")).toMap)
+    val salted = CorpusCuration.spanCorruption(corpus, "doc_id", salt = "other")
+      .collect().map(r => r.getAs[String]("inputs")).toSet
+    assert(salted !== out.map(_.getAs[String]("inputs")).toSet)
+  }
+
   test("blocklist screen counts hits case-insensitively and gates on distinct terms") {
     val corpus = Seq(
       (1L, "clean text with nothing flagged"),
