@@ -825,6 +825,43 @@ object SparkEntry {
         |FROM sp LEFT JOIN c2 USING (digit)""".stripMargin
       })),
 
+    // ---- DPO preference pairs: within (lang, length-bucket) strata,
+    //      i-th best quality score vs i-th worst for the top/bottom
+    //      quartile, strict-margin only; total tie-break orders on both
+    //      rankings so pair membership is engine-stable ----
+    ("q_prefpairs",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val scored = TextAnalysis.hashedQualityScore(docs, "doc_id",
+          TextAnalysis.hashWeightTable(s, 256), nBuckets = 256,
+          biasMicros = 500000L, thresholdMicros = 500000L)
+          .select("doc_id", "score_micros")
+          .join(docs.select(col("doc_id"), col("lang"),
+            expr("n_chars div 400").as("len_bucket")), Seq("doc_id"))
+        CorpusCuration.preferencePairs(scored, "doc_id", "score_micros",
+          Seq("lang", "len_bucket"))
+      },
+      Some("""WITH w AS (SELECT CAST(b AS BIGINT) AS bucket,
+        |  ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000 AS wm
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |bk AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket FROM t),
+        |sc AS (SELECT doc_id,
+        |    500000 + CAST(floor(CAST(sum(wm) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS score
+        |  FROM bk JOIN w USING (bucket) GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.lang, d.n_chars // 400 AS len_bucket, sc.score
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang, len_bucket ORDER BY score DESC, doc_id) AS BIGINT) AS rb,
+        |    CAST(row_number() OVER (PARTITION BY lang, len_bucket ORDER BY score ASC, doc_id DESC) AS BIGINT) AS rw,
+        |    CAST(count(*) OVER (PARTITION BY lang, len_bucket) AS BIGINT) AS n
+        |  FROM j)
+        |SELECT b.lang, b.len_bucket, b.rb AS pair_rank, b.doc_id AS chosen_id,
+        |  x.doc_id AS rejected_id, b.score - x.score AS margin
+        |FROM r b JOIN r x ON b.lang = x.lang AND b.len_bucket = x.len_bucket
+        |  AND b.rb = x.rw
+        |WHERE b.rb <= b.n // 4 AND b.score > x.score""".stripMargin)),
+
     // ---- T5-style span corruption: ∃-formulated span masking (no
     //      sequential scan — overlap merge falls out of the exists),
     //      sentinel id = span start position; inputs/targets registered

@@ -77,6 +77,10 @@ object Similarity {
       .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("_nneg"))).as("_b"))
       .select(col("query_id"), (-col("_b._nneg")).as("neighbor_id"),
         col("_b.cosine").as("cosine"))
+      // one row per vector: materialize so the mutuality self-join reads
+      // the tiny top-1 table twice instead of re-running the corpus scan
+      // on both sides (the plan otherwise carries two BNLJ branches)
+      .localCheckpoint()
     nn.as("x").join(nn.as("y"),
         col("x.query_id") === col("y.neighbor_id") &&
           col("x.neighbor_id") === col("y.query_id") &&

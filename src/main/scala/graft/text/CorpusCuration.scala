@@ -300,6 +300,42 @@ object CorpusCuration {
       .drop("_ks")
   }
 
+  /** Preference-pair construction for DPO/RLHF-style training: within
+    * each stratum (e.g. language × length bucket, so pairs compare like
+    * with like), pair the i-th BEST-scored doc with the i-th WORST for
+    * i ≤ n/quarterDiv — top-quartile chosen vs bottom-quartile rejected
+    * by default — keeping only pairs with a strictly positive score
+    * margin. Total orders everywhere: best rank (score DESC, key ASC),
+    * worst rank (score ASC, key DESC), so ties cannot flip pair
+    * membership across engines or runs. Windows are stratum-sized; the
+    * pair join is keyed on (stratum, i). Output: (strata..., pair_rank,
+    * chosen_id, rejected_id, margin).
+    */
+  def preferencePairs(df: DataFrame, keyCol: String, scoreCol: String,
+      strataCols: Seq[String], quarterDiv: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(strataCols.nonEmpty && quarterDiv >= 2)
+    val part = strataCols.map(col)
+    val wBest = Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol).desc, col(keyCol))
+    val wWorst = Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol).asc, col(keyCol).desc)
+    val wN = Window.partitionBy(part: _*)
+    val r = df
+      .withColumn("_rb", row_number().over(wBest).cast("long"))
+      .withColumn("_rw", row_number().over(wWorst).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wN))
+    val best = r.select(part :+ col(keyCol).as("chosen_id") :+
+      col(scoreCol).as("_cs") :+ col("_rb").as("pair_rank") :+ col("_n"): _*)
+    val worst = r.select(part :+ col(keyCol).as("rejected_id") :+
+      col(scoreCol).as("_ws") :+ col("_rw").as("pair_rank"): _*)
+    best.join(worst, strataCols :+ "pair_rank")
+      .filter(col("pair_rank") <= expr(s"_n div $quarterDiv") &&
+        col("_cs") > col("_ws"))
+      .select(part :+ col("pair_rank") :+ col("chosen_id") :+
+        col("rejected_id") :+ (col("_cs") - col("_ws")).as("margin"): _*)
+  }
+
   /** T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4) — the
     * denoising-objective data prep step: mask ~15% of tokens in short
     * spans, replace each masked span in the INPUT with one sentinel, and

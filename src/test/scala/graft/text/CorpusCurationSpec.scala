@@ -377,6 +377,29 @@ class CorpusCurationSpec extends SparkSpec {
     assert(cleanRow.getAs[Long]("mean_len_micros") === totalChars * 1000000L / 60L)
   }
 
+  test("preference pairs: quartile pairing with strict margins per stratum") {
+    // stratum "a": scores 8..1 (n=8 -> 2 pairs: (8,1) and (7,2));
+    // stratum "b": all tied -> no strict margin -> no pairs
+    val scored = ((1L to 8L).map(i => (i, "a", i * 100L)) ++
+      (11L to 14L).map(i => (i, "b", 500L))).toDF("doc_id", "grp", "score")
+    val out = CorpusCuration.preferencePairs(scored, "doc_id", "score", Seq("grp"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("pair_rank")) ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin")))).toMap
+    assert(out.keySet === Set(("a", 1L), ("a", 2L)))
+    assert(out(("a", 1L)) === ((8L, 1L, 700L))) // best vs worst
+    assert(out(("a", 2L)) === ((7L, 2L, 500L)))
+    // chosen and rejected never coincide, margins strictly positive
+    assert(out.values.forall { case (c, rej, m) => c != rej && m > 0 })
+    // deterministic under repartitioning
+    val rep = CorpusCuration.preferencePairs(scored.repartition(5), "doc_id",
+      "score", Seq("grp")).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("pair_rank")) ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin")))).toMap
+    assert(rep === out)
+  }
+
   test("span corruption: masked spans round-trip, sentinels align, counts exact") {
     val corpus = (1L to 40L)
       .map(i => (i, (1 to 30).map(t => s"w$t").mkString(" ")))
