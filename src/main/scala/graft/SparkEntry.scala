@@ -1266,6 +1266,44 @@ object SparkEntry {
         |lab AS (SELECT s AS id, least(s, min(d)) AS cluster_id FROM r GROUP BY s)
         |SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1""".stripMargin)),
 
+    // ---- soft dedup: keep EVERY doc but weight it 1/cluster_size for
+    //      training sampling (the SlimPajama-debate alternative to hard
+    //      dropping — a 40-copy boilerplate family contributes one doc's
+    //      worth of expected tokens); singletons weigh 1e6, shared
+    //      PairGraph + closure oracle ----
+    ("q_softdedup",
+      (s, d) => {
+        val cl = Dedup.dedupClusters(
+          graft.dedup.PairGraph.documentsPairs(s, d, n = 3))
+          .toDF("doc_id", "cluster_id")
+        val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        Tables(s, d).documents.select("doc_id")
+          .join(cl, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+          .withColumn("weight_micros", expr("1000000L div cluster_size"))
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS es, doc_b AS ed FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT es, ed FROM e UNION SELECT r.es, e.ed FROM r, e WHERE r.ed = e.es),
+        |lab AS (SELECT es AS id, least(es, min(ed)) AS cluster_id FROM r GROUP BY es),
+        |szc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+        |  coalesce(szc.cluster_size, 1) AS cluster_size,
+        |  1000000 // coalesce(szc.cluster_size, 1) AS weight_micros
+        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+        |LEFT JOIN szc ON szc.cluster_id = lab.cluster_id""".stripMargin)),
+
     // ---- modularity of the near-dup clustering (Newman-Girvan): exact
     //      integer numerator 4m·e_c − d_c² over 4m², one boundary double
     //      per cluster — the "is this clustering better than chance"
