@@ -293,7 +293,11 @@ object Graph {
     * dedup-graph shapes the corpus has. Exact long sums end to end
     * (Σx, Σx², Σxy over exact degree counts); the only doubles are the
     * final fixed expression, so r is bit-stable across engines and
-    * partitionings. Shape: one degree aggregate + two keyed joins + one
+    * partitionings. Exactness bound: the numerator m·Σxy is exact while
+    * m·(Σ deg²) < 2⁶³ — comfortably true for any near-dup graph this
+    * engine builds (m ≤ 10⁹ edges with max degree ≤ 10⁴ stays two orders
+    * under the line); re-derive before pointing it at a web graph.
+    * Shape: one degree aggregate + two keyed joins + one
     * global sum — no window, no collect. Output: (m_directed, r).
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String = "doc_a",
