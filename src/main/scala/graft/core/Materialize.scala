@@ -13,16 +13,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * explicitly; this helper reproduces that shape for the session-scoped
   * registry. Builds must be DETERMINISTIC — reading the materialization
   * must be indistinguishable from recomputing.
+  *
+  * Hygiene: every temp dir is deleted on JVM exit (shutdown hook), and
+  * [[close]] deletes them eagerly for long-lived sessions. The memo is
+  * bounded by construction — keys are (registry query family × data dir),
+  * a few dozen entries of one path string each — and [[close]] is the
+  * eviction mechanism when a long-lived session cycles through many data
+  * directories.
   */
 object Materialize {
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // registered lazily so a process that never materializes pays nothing
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => close()))
+
   def once(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    hookInstalled
     val path = memo.computeIfAbsent(key, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft-mat-").toString
       build.write.mode("overwrite").parquet(out)
       out
     })
     spark.read.parquet(path)
+  }
+
+  /** Delete every materialized temp dir and clear the memo. Safe to call
+    * repeatedly; after close the next [[once]] for a key rebuilds it.
+    * DataFrames handed out BEFORE close must not be re-evaluated after it
+    * (they read the deleted files lazily) — call at session end.
+    */
+  def close(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val dir = java.nio.file.Paths.get(it.next().getValue)
+      it.remove()
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // children before parents
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
+  }
+
+  /** Paths currently materialized (test visibility). */
+  private[graft] def livePaths: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    memo.values().asScala.toSeq
   }
 }
