@@ -270,7 +270,8 @@ object Dedup {
     */
   def prefixFilterJaccardPairs(df: DataFrame, keyCol: String,
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5,
-      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false): DataFrame = {
+      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false,
+      precomputedDf: Option[DataFrame] = None): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1]: $minJaccard")
     require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
     val tMicros = math.round(minJaccard * 1e6)
@@ -278,7 +279,7 @@ object Dedup {
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
     val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
-      capHeavyDocs)
+      capHeavyDocs, precomputedDf)
       .select(col(keyCol), col("sz"), col("shingle"))
     val cand = emitted.toDF("doc_a", "size_a", "shingle")
       .join(emitted.toDF("doc_b", "size_b", "shingle"), Seq("shingle"))
@@ -305,14 +306,21 @@ object Dedup {
     */
   private def emittedPrefixShingles(arr: DataFrame, long: DataFrame,
       keyCol: String, tMicros: Long, maxDfRatio: Double,
-      capHeavyDocs: Boolean = false): DataFrame = {
+      capHeavyDocs: Boolean = false,
+      precomputedDf: Option[DataFrame] = None): DataFrame = {
     // capHeavyDocs: heavy docs emit their whole REDUCED set (bounded-df
     // universe, recall-cut mode) instead of the uncapped full prefix
     val heavyEmit =
       if (capHeavyDocs) "_tR" else "slice(_tF, 1, CAST(sz - _ceilT + 1 AS INT))"
     val rMicros = math.round(maxDfRatio * 1e6)
     val nDocs = arr.agg(count(lit(1)).as("_n"))
-    val dfreq = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // document frequencies: computed live, or injected from a materialized
+    // (shingle, _df) table over the SAME corpus and n (the production
+    // shape — df stats are built once and every dedup job reads them);
+    // determinism makes the two indistinguishable.
+    val rawDf = precomputedDf.map(_.select("shingle", "_df"))
+      .getOrElse(long.groupBy("shingle").agg(count(lit(1)).as("_df")))
+    val dfreq = rawDf
       .crossJoin(broadcast(nDocs))
       .withColumn("_stop", col("_df") * 1000000L > col("_n") * lit(rMicros))
       .select("shingle", "_df", "_stop")
@@ -381,7 +389,8 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, keyCol: String, textCol: String = "text",
       n: Int = 3, minContainment: Double = 0.7,
-      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false): DataFrame = {
+      maxDfRatio: Double = 1.0, capHeavyDocs: Boolean = false,
+      precomputedDf: Option[DataFrame] = None): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment in (0,1]: $minContainment")
     require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
@@ -391,12 +400,13 @@ object Dedup {
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
     val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
-      capHeavyDocs)
-    // container-side postings, reduced to non-stop shingles (recomputing
-    // the tiny df table here costs one extra shuffle over a cached input
-    // and keeps the helper's interface minimal)
+      capHeavyDocs, precomputedDf)
+    // container-side postings, reduced to non-stop shingles; the df table
+    // comes from the materialized stats when provided (else one extra
+    // shuffle over the cached input)
     val nDocs = arr.agg(count(lit(1)).as("_n"))
-    val stopFree = long.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val stopFree = precomputedDf.map(_.select("shingle", "_df"))
+      .getOrElse(long.groupBy("shingle").agg(count(lit(1)).as("_df")))
       .crossJoin(broadcast(nDocs))
       .filter(col("_df") * 1000000L <= col("_n") * lit(rMicros))
       .select("shingle")

@@ -39,4 +39,27 @@ object PairGraph {
       Dedup.jaccardPairsScalable(Tables(spark, dataDir).documents, "doc_id",
         n = n, minJaccard = minJaccard, numHashTables = numHashTables)
     }
+
+  /** Session-memoized corpus-wide shingle statistics over `documents` in
+    * `dataDir`: one row per distinct n-gram shingle with its document
+    * frequency and first owner — (shingle, _df, first_doc).
+    *
+    * Four registered queries pay the same corpus-wide 3-gram explode +
+    * groupBy (q_setsim and q_containment for their df stop-lists,
+    * q_vocabgrowth for first-occurrence novelty; q_jaccard deliberately
+    * keeps its live generator as the oracle-proof of the shared shape).
+    * In production the df/first-owner table is a standing corpus artifact
+    * refreshed with the corpus — this accessor reproduces that: built
+    * once per (dataDir, n), read thereafter. Deterministic (exact integer
+    * counts, min over doc ids), so reading ≡ recomputing.
+    */
+  def documentsShingleStats(spark: SparkSession, dataDir: String,
+      n: Int): DataFrame =
+    graft.core.Materialize.once(spark, s"shstats|$dataDir|$n") {
+      Dedup.shingles(Tables(spark, dataDir).documents, "doc_id", n = n)
+        .groupBy("shingle")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("_df"),
+          org.apache.spark.sql.functions.min("doc_id").as("first_doc"))
+    }
 }

@@ -98,6 +98,46 @@ object MlPipeline {
       .fit(df)
   }
 
+  /** M9 (oracle-checkable fold assignment): deterministic keyed folds —
+    * fold = key mod k, the keyedSplit/M5 recipe at the CV grain. Unlike
+    * the seeded random split inside spark.ml's default kFold (a
+    * partitioning-dependent Bernoulli sampler no other engine can
+    * replay), the keyed assignment is reproducible in any engine AND
+    * leakage-stable: an entity keeps its fold across reruns and data
+    * growth. spark.ml's CrossValidator consumes the column directly via
+    * foldCol ([[crossValidateLrKeyed]]), so the assignment registered
+    * under the DuckDB oracle IS the split the trainer uses — not a
+    * parallel reimplementation.
+    */
+  def cvFoldAssignment(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds: $k")
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    df.withColumn("fold", pmod(col(keyCol), lit(k)).cast("int"))
+  }
+
+  /** M9 variant of [[crossValidateLr]] driven by the deterministic keyed
+    * fold column (CrossValidator.setFoldCol) instead of the seeded random
+    * kFold — the form whose fold assignment q_cvfolds oracle-checks.
+    */
+  def crossValidateLrKeyed(df: DataFrame, numericCols: Seq[String],
+      labelCol: String, keyCol: String, folds: Int = 5): CrossValidatorModel = {
+    val fp = featurePipeline(numericCols)
+    val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
+    val pipe = new Pipeline().setStages(fp.getStages :+ lr)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.1))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("f1"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds)
+      .setFoldCol("fold")
+      .setParallelism(4)
+      .fit(cvFoldAssignment(df, keyCol, folds))
+  }
+
   /** Continuous hyperparameter range, matching the reference's
     * ContinuousParameter declarations
     * (reference/lambda/ml_pipeline_orchestrator/lambda_function.py:97-198).

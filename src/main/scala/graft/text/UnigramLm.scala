@@ -202,4 +202,93 @@ object UnigramLm {
         "CAST(floor(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"))
       .select(keyCol, "n_words", "n_pieces", "fertility_micros", "seg_hash")
   }
+
+  /** DuckDB oracle for [[candidatePieces]]-init + [[viterbiSegment]]: the
+    * candidate-piece model replayed relationally (pure integer counts,
+    * same (cnt DESC, piece ASC) cut and `greatest(1, cnt·10⁶ div total)`
+    * quantization), NLL conversion with the identical
+    * floor(−ln(p/10⁶)·10⁶ + 0.5) micros rounding, then the per-word
+    * Viterbi DP as a RECURSIVE CTE: each step appends position i's best
+    * state — argmin over last-piece length l of cost(i−l) + nll(piece),
+    * ties broken by (cost, −l, piece) exactly like the engine's
+    * longer-then-lex-smaller rule (struct list_sort is lexicographic by
+    * field order, a total order, so the [1] pick is deterministic).
+    * Per-doc aggregation replays n_words/n_pieces/fertility and the
+    * order-sensitive seg_hash; empty-token docs (whitespace-only text)
+    * fall through the LEFT JOIN with an empty segmentation, matching the
+    * engine's empty-word DP result.
+    */
+  def segOracleSql(maxPieceLen: Int = 4, maxVocab: Int = 200): String = {
+    val lm1 = maxPieceLen - 1
+    val head =
+      """WITH RECURSIVE toks0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |),
+        |occ AS (
+        |  SELECT doc_id, pr.pos AS pos, pr.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(toks) + 1),
+        |            i -> struct_pack(pos := i, tok := toks[i]))) AS pr
+        |        FROM toks0 WHERE len(toks) > 0)
+        |),
+        |wt AS (
+        |  SELECT tok AS word, count(*) AS wc FROM occ WHERE len(tok) > 0 GROUP BY 1
+        |),""".stripMargin
+    val model = s"""
+        |subs AS (
+        |  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(flatten(list_transform(range(1, len(word) + 1),
+        |      i -> list_transform(range(i, least(len(word), i + $lm1) + 1),
+        |        j -> word[i:j])))) AS piece
+        |    FROM wt) GROUP BY 1
+        |),
+        |kept AS (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece LIMIT $maxVocab)
+        |),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept),
+        |nll AS (
+        |  SELECT piece,
+        |    CAST(floor(-ln(greatest(1, cnt * 1000000 // t) / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS nll
+        |  FROM kept, tot
+        |),
+        |mp AS (SELECT map(list(piece), list(nll)) AS m FROM nll),""".stripMargin
+    val dp = s"""
+        |rec AS (
+        |  SELECT word, 0 AS i,
+        |    [struct_pack(c := CAST(0 AS BIGINT), negl := CAST(0 AS BIGINT), piece := '', seg := '')] AS st
+        |  FROM (SELECT word FROM wt)
+        |  UNION ALL
+        |  SELECT word, i + 1,
+        |    list_append(st, list_sort(list_filter(list_transform(range(1, least($maxPieceLen, i + 1) + 1),
+        |          l -> struct_pack(
+        |            c := st[i + 2 - l].c + map_extract(mp.m, word[i + 2 - l : i + 1])[1],
+        |            negl := -l,
+        |            piece := word[i + 2 - l : i + 1],
+        |            seg := CASE WHEN i + 1 - l = 0 THEN word[i + 2 - l : i + 1]
+        |                        ELSE st[i + 2 - l].seg || ' ' || word[i + 2 - l : i + 1] END)),
+        |          x -> x.c IS NOT NULL))[1])
+        |  FROM rec, mp
+        |  WHERE i < len(word)
+        |),
+        |fin AS (
+        |  SELECT word, st[len(word) + 1].seg AS seg,
+        |    CAST(len(string_split(st[len(word) + 1].seg, ' ')) AS BIGINT) AS np
+        |  FROM rec WHERE i = len(word)
+        |),
+        |j AS (
+        |  SELECT occ.doc_id, occ.pos,
+        |    coalesce(f.seg, '') AS seg, coalesce(f.np, 0) AS np
+        |  FROM occ LEFT JOIN fin f ON f.word = occ.tok
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(np) AS BIGINT) AS n_pieces,
+        |  CAST(floor(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS fertility_micros,
+        |  md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_hash
+        |FROM j GROUP BY 1""".stripMargin
+    head + model + dp
+  }
 }

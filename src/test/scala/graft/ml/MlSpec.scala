@@ -71,6 +71,19 @@ class MlSpec extends SparkSpec {
     assert(cv.avgMetrics.max > 0.9)
   }
 
+  test("keyed fold assignment is deterministic and drives CV via foldCol") {
+    val keyed = train.withColumn("id", monotonically_increasing_id() + 1)
+    val folds = MlPipeline.cvFoldAssignment(keyed, "id", k = 3)
+    // fold = id mod 3, engine-portable
+    assert(folds.filter(col("fold") =!= pmod(col("id"), lit(3)).cast("int")).count() === 0)
+    assert(folds.select("fold").distinct().count() === 3)
+    val cv = MlPipeline.crossValidateLrKeyed(keyed, Seq("x", "y"), "label", "id", folds = 3)
+    assert(cv.avgMetrics.length === 2) // 2 regParam points
+    assert(cv.avgMetrics.max > 0.9)
+    // CrossValidator consumed OUR column, not its own sampler
+    assert(cv.getFoldCol === "fold")
+  }
+
   test("random search samples the declared ranges, seeded-deterministic") {
     val ranges = Seq(
       MlPipeline.ParamRange("regParam", 1e-4, 1.0, logScale = true),
