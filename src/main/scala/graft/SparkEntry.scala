@@ -1841,6 +1841,43 @@ object SparkEntry {
       },
       Some(PlantedRecallOracleSql)),
 
+    // ---- perceptual image dedup (the image-grain near-dup operator):
+    //      deterministic synthetic PNG corpus with planted perturbed
+    //      twins (every 20th doc_id, alternating brightness shift =
+    //      hamming 0 and single-block bump = hamming <= 2, both REAL
+    //      codec round-trips), dHash over the decoded luma, banded
+    //      hamming candidates (4 x 16-bit, pigeonhole-complete at
+    //      maxHamming 3) + exact bit_count re-rank. The oracle derives
+    //      the planted pair set from id arithmetic and asserts the
+    //      pipeline finds exactly those pairs — all of them (recall 1.0
+    //      by the pigeonhole guarantee) and nothing else (random block
+    //      images collide at hamming <= 3 w.p. ~2e-15/pair) ----
+    ("q_imgdedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val images = Multimodal.syntheticBlockImages(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          Multimodal.dHashes(images, "img_id"), "img_id",
+          bands = 4, maxHamming = 3)
+        val planted = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(10000000L)).as("doc_b"))
+        val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+        images.agg(count(lit(1)).as("n_images"))
+          .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
+          .withColumn("recall_micros",
+            when(col("n_planted") === 0, lit(1000000L))
+              .otherwise(expr("planted_found * 1000000L div n_planted")))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 20 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n.n_docs + p.n_planted AS n_images, p.n_planted AS n_planted,
+        |  p.n_planted AS n_pairs, p.n_planted AS planted_found,
+        |  CAST(1000000 AS BIGINT) AS recall_micros
+        |FROM p, n""".stripMargin)),
+
     // ---- multimodal plumbing (LLM-pipeline ops) ----
     ("q_multimodal",
       (s, d) => Multimodal.sampleChunks(

@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-duplicate pairs — the image-grain sibling of the
+  * text dedup stack (the reference's dedup DQ check,
+  * reference/lambda/data_quality_monitor/lambda_function.py:246-277, at
+  * the media grain the brief makes first-class): images whose dHash
+  * fingerprints ([[graft.multimodal.Multimodal.dHash64]] — gradient signs
+  * of the decoded luma plane) differ in at most `maxHamming` of 64 bits.
+  *
+  * Candidate generation is the q_simhash shape: the 64-bit fingerprint is
+  * split into `bands` contiguous slices and pairs sharing any slice become
+  * candidates (bucket equi-join — never all-pairs), then the EXACT
+  * hamming distance (`bit_count(a XOR b)` — one codegen'd projection on
+  * two longs) re-ranks. Pigeonhole guarantee: with maxHamming ≤ bands − 1,
+  * every true pair has more bands than differing bits, so at least one
+  * band is bit-identical and the banding CANNOT miss inside the
+  * acceptance region — recall 1.0 by construction, which q_imgdedup's
+  * planted-pair oracle asserts.
+  *
+  * Scale shape: fingerprints are one mapPartitions over the media bytes
+  * (pixel work executor-side, 8 bytes out per image); banding explodes
+  * each image to `bands` rows of (band_id, 16-bit value) — the only
+  * shuffle is the bucket join, bucket sizes are hamming-ball occupancies
+  * (random-looking fingerprints spread uniformly over 2¹⁶ values per
+  * band), and the re-rank is pair-local long arithmetic with no media
+  * bytes anywhere past the hash step. A 100 TB image corpus dedups on
+  * ~8 bytes/image of shuffled state.
+  */
+object ImageDedup {
+
+  /** Near-dup pairs (doc_a, doc_b, hamming) from a (key, dhash) frame —
+    * null hashes (undecodable payloads) are excluded, matching the decode
+    * fallback contract. 64 must be divisible by `bands`.
+    */
+  def dHashPairs(hashes: DataFrame, keyCol: String, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands: $maxHamming/$bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = hashes.filter(col("dhash").isNotNull)
+      .select(col(keyCol), col("dhash"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(dhash, b * $bits) & ${mask}L)"))
+        .as(Seq("band_id", "band_val")))
+    banded.toDF("doc_a", "dhash_a", "band_id", "band_val")
+      .join(banded.toDF("doc_b", "dhash_b", "band_id", "band_val"),
+        Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "dhash_a", "dhash_b").distinct()
+      .withColumn("hamming", expr("bit_count(dhash_a ^ dhash_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

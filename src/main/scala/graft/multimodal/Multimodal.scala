@@ -472,6 +472,166 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Integer box-average luma grid from a decoded image: cell (gx, gy)
+    * averages the BT.601 luma ((299R + 587G + 114B) / 1000, integer) of
+    * the pixel block [gx·w/gw, (gx+1)·w/gw) × [gy·h/gh, (gy+1)·h/gh) —
+    * floor boundaries, exact integer sums, one integer division per cell,
+    * so the grid (and everything derived from it) is bit-stable across
+    * JVMs and partitionings. None when the image is smaller than the grid
+    * (a cell would be empty).
+    */
+  def lumaGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Option[Array[Array[Int]]] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w < gw || h < gh) return None
+    val grid = Array.ofDim[Int](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val px = img.getRGB(x, y)
+            sum += (299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) +
+              114 * (px & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(grid)
+  }
+
+  /** 64-bit difference hash (dHash) over the decoded luma plane: resize to
+    * a 9×8 luma grid ([[lumaGrid]] — integer box average) and set bit
+    * (gy·8 + gx) when cell(gx) < cell(gx+1) in its row — the horizontal
+    * gradient signs. Locality: a global brightness shift changes no bit
+    * (differences are preserved), and a perturbation confined to one grid
+    * cell flips at most 2 bits (the cell's two comparisons), which is
+    * what makes banded hamming candidates + exact re-rank a guaranteed
+    * near-dup generator. None for undecodable or sub-grid payloads.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).flatMap { case (_, _, _, img) =>
+      lumaGrid(img, 9, 8).map { grid =>
+        var bits = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            if (grid(gy)(gx) < grid(gy)(gx + 1)) bits |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        bits
+      }
+    }
+
+  /** DataFrame-level dHash extraction: (key, dhash) with null for
+    * undecodable payloads ([[audioFeatures]]' contract). mapPartitions —
+    * pixel work stays executor-side, no shuffle; downstream banding
+    * operates on the 8-byte fingerprint, never the media bytes.
+    */
+  def dHashes(df: DataFrame, keyCol: String, mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("dhash", LongType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        Row(r.get(keyIdx),
+          dHash64(r.getAs[Array[Byte]](mediaIdx)).map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic test image: a 36×32 grayscale PNG of 9×8
+    * uniform 4×4-pixel blocks whose levels derive from md5(tag|bx|by)
+    * mapped into [32, 191] — images with different tags are
+    * hamming-random in dHash space (each gradient sign a fair coin),
+    * while the two perturbations stay PROVABLY local in it:
+    * `brightnessDelta` shifts every block equally (dHash unchanged —
+    * hamming 0) and `bumpBlock` raises one block by `bumpDelta` (at most
+    * the 2 comparisons that touch the block — hamming ≤ 2). Levels never
+    * exceed 191 + 24 = 215, so no clipping can break either argument.
+    * The 4×-grid resolution makes [[lumaGrid]]'s box average recover the
+    * block levels exactly. Real codec on both ends: ImageIO PNG encode
+    * here, [[decodeImage]] decode downstream.
+    */
+  def blockPng(tag: String, brightnessDelta: Int = 0,
+      bumpBlock: Option[(Int, Int)] = None, bumpDelta: Int = 24): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val d = md.digest(s"$tag|$bx|$by".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var level = 32 + ((d(0) & 0xff) % 160) + brightnessDelta
+        if (bumpBlock.contains((bx, by))) level += bumpDelta
+        val rgb = (level << 16) | (level << 8) | level
+        var y = by * 4
+        while (y < by * 4 + 4) {
+          var x = bx * 4
+          while (x < bx * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Synthetic image corpus with planted near-duplicates, keyed off an id
+    * column: every row gets a deterministic [[blockPng]], and every
+    * `plantEvery`-th id additionally emits a perturbed twin at
+    * id + `idOffset` — alternating a pure brightness shift (dHash
+    * hamming 0) and a single-block bump (hamming ≤ 2), both inside the
+    * banded generator's guarantee zone. The planting rule is pure id
+    * arithmetic, so a SQL oracle derives the expected pair set from the
+    * source table alone. mapPartitions: PNG encode stays executor-side.
+    */
+  def syntheticBlockImages(df: DataFrame, keyCol: String,
+      plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val outSchema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("media", BinaryType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val id = r.get(keyIdx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        val base = Row(id, blockPng(s"img|$id"))
+        if (id % plantEvery == 0) {
+          val twin =
+            if ((id / plantEvery) % 2 == 0) blockPng(s"img|$id", brightnessDelta = 8)
+            else blockPng(s"img|$id", bumpBlock = Some((3, 4)))
+          Iterator(base, Row(id + idOffset, twin))
+        } else Iterator(base)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-partition feature extraction: 16-bin byte histogram per row.
     * mapPartitions keeps the byte loop executor-side and batch-amortized —
     * the same shape a real codec/feature-extractor (or a Pandas-UDF
