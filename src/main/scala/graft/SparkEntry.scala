@@ -1878,6 +1878,40 @@ object SparkEntry {
         |  CAST(1000000 AS BIGINT) AS recall_micros
         |FROM p, n""".stripMargin)),
 
+    // ---- caption-image consistency screen (multimodal curation): real
+    //      decode-health (every 4th doc a true PNG round-trip, others an
+    //      undecodable payload hitting the labeled synthetic fallback)
+    //      joined to the caption quality gate -> keep/quarantine routing.
+    //      The oracle replays the id-arithmetic planting rule and the
+    //      q_textstats quality score; if Spark's decode path broke (a PNG
+    //      failing to decode, or junk bytes "decoding"), decode_ok rows
+    //      flip and the gate goes red ----
+    ("q_mmquality",
+      (s, d) => Multimodal.captionImageScreen(
+        Multimodal.withMixedMedia(
+          Tables(s, d).documents.select("doc_id", "text"), "doc_id"),
+        "doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,
+        |  length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_chars,
+        |  len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS stopword_count
+        | FROM d),
+        |q AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN round(CAST(punct_chars AS DOUBLE) / length(text), 6) < 0.1 THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN round(CAST(stopword_count AS DOUBLE) / n_tokens, 6) BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END AS DOUBLE) AS quality_score
+        | FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'image/png' ELSE 'synthetic/undecoded' END AS media_type,
+        |  doc_id % 4 = 0 AS decode_ok,
+        |  quality_score,
+        |  quality_score >= 0.7 AS text_ok,
+        |  CASE WHEN doc_id % 4 = 0 AND quality_score >= 0.7 THEN 'keep'
+        |       WHEN doc_id % 4 = 0 THEN 'quarantine_text'
+        |       WHEN quality_score >= 0.7 THEN 'quarantine_media'
+        |       ELSE 'quarantine_both' END AS verdict
+        |FROM q""".stripMargin)),
+
     // ---- multimodal plumbing (LLM-pipeline ops) ----
     ("q_multimodal",
       (s, d) => Multimodal.sampleChunks(

@@ -261,6 +261,14 @@ object Graph {
     * produce the deduped undirected pair list (a, b), a < b — the same
     * contract as [[pageRankOracleSql]]'s input. The final SELECT emits
     * each survivor with its degree restricted to survivors.
+    *
+    * `maxRounds` asymmetry: the oracle CTE stops SILENTLY at `maxRounds`
+    * (recursive SQL has no throw), returning a truncated — too large —
+    * fixpoint, while the engine THROWS on non-convergence. Keep the
+    * oracle's bound >= the engine's: then a corpus needing more rounds
+    * makes the ENGINE fail loudly (red gate), never the two agreeing on
+    * a wrong answer; the oracle's truncated set cannot equal the engine's
+    * converged one unless both reached the true fixpoint.
     */
   def kCoreOracleSql(edgesCte: String, k: Int, maxRounds: Int = 50,
       nodeAlias: String = "doc_id"): String = {

@@ -632,6 +632,64 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Demo multimodal corpus with MIXED payload health: every
+    * `imageEvery`-th key gets a REAL PNG ([[blockPng]] — a true codec
+    * round-trip downstream), every other row carries its caption's UTF-8
+    * bytes (no installed decoder recognizes them, so [[decode]] lands on
+    * the labeled synthetic fallback). The split rule is pure id
+    * arithmetic, so a SQL oracle can replay which rows must decode.
+    * mapPartitions: byte/PNG work executor-side.
+    */
+  def withMixedMedia(df: DataFrame, keyCol: String, textCol: String = "text",
+      imageEvery: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(df.schema.fields :+ StructField("media", BinaryType))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        val id = r.get(keyIdx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        val media =
+          if (id % imageEvery == 0) blockPng(s"mm|$id")
+          else Option(r.getAs[String](textIdx)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Row.fromSeq(r.toSeq :+ media)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Caption–image consistency screen — the multimodal analog of the text
+    * curation funnel: the image side contributes DECODE HEALTH (a real
+    * [[decode]] over the payload: recognized image vs labeled synthetic
+    * fallback), the text side the caption quality gate
+    * ([[graft.text.TextAnalysis.stats]]' composite score), and the
+    * verdict routes each pair to keep / quarantine_text (image fine,
+    * caption junk) / quarantine_media (caption fine, payload undecodable)
+    * / quarantine_both. One decode pass + one stats projection + one
+    * keyed join; media bytes never cross the join (health is columnar).
+    */
+  def captionImageScreen(df: DataFrame, keyCol: String, textCol: String = "text",
+      minQuality: Double = 0.7): DataFrame = {
+    val health = decodeMedia(df, keyCol)
+      .withColumn("decode_ok", col("media_type").startsWith("image/"))
+      .select(col(keyCol), col("media_type"), col("decode_ok"))
+    val text = graft.text.TextAnalysis.stats(
+        df.select(col(keyCol), col(textCol)), textCol)
+      .withColumn("text_ok", col("quality_score") >= minQuality)
+      .select(col(keyCol), col("quality_score"), col("text_ok"))
+    health.join(text, Seq(keyCol))
+      .withColumn("verdict",
+        when(col("decode_ok") && col("text_ok"), "keep")
+          .when(col("decode_ok"), "quarantine_text")
+          .when(col("text_ok"), "quarantine_media")
+          .otherwise("quarantine_both"))
+  }
+
   /** Per-partition feature extraction: 16-bin byte histogram per row.
     * mapPartitions keeps the byte loop executor-side and batch-amortized —
     * the same shape a real codec/feature-extractor (or a Pandas-UDF

@@ -10,6 +10,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   * takes a raw document corpus through the full funnel —
   *
   *   1. `encoding_gate`    mojibake / replacement-char / C0 quarantine
+  *   1b. `multimodal_screen` caption-image keep/quarantine routing (branch)
   *   2. `curate_funnel`     language/quality/length gates + exact dedup
   *   3. `boilerplate_strip` CCNet-style shared-segment removal
   *   4. `sentence_dedup`    corpus-global duplicated-sentence removal
@@ -32,6 +33,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   * Stage outputs under `outRoot`:
   * {{{
   *   encoded/     docs whose text decodes cleanly (enc_clean)
+  *   mmscreen/    caption-image consistency verdicts (decode x quality)
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
   *   sentded/     duplicated sentences removed (first occurrence kept)
@@ -50,6 +52,7 @@ object RunCuration {
 
   final case class Layout(root: String) {
     def encoded: String = s"$root/encoded"
+    def mmscreen: String = s"$root/mmscreen"
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
     def sentded: String = s"$root/sentded"
@@ -94,6 +97,22 @@ object RunCuration {
           .filter(col("enc_clean")).select("doc_id")
         write(docs.join(clean, Seq("doc_id")), lay.encoded)
         record("encoded", lay.encoded)
+      }),
+      Pipeline.Job("multimodal_screen", dependsOn = Seq("encoding_gate"))(() => {
+        // caption-image consistency branch: attach the demo mixed-media
+        // payloads (real PNG every 4th doc) and route each pair to
+        // keep/quarantine from REAL decode health x caption quality — the
+        // media-grain analog of the text funnel. A branch, not a gate:
+        // this corpus is text-first, so the screen's routing table is an
+        // artifact downstream multimodal consumers read, while the text
+        // funnel continues over all encoded docs.
+        val docs = spark.read.parquet(lay.encoded)
+        val screen = graft.multimodal.Multimodal.captionImageScreen(
+          graft.multimodal.Multimodal.withMixedMedia(
+            docs.select("doc_id", "text"), "doc_id"), "doc_id")
+        write(screen, lay.mmscreen)
+        stageDocs("mmkept") = spark.read.parquet(lay.mmscreen)
+          .filter(col("verdict") === "keep").count()
       }),
       Pipeline.Job("curate_funnel", dependsOn = Seq("encoding_gate"))(() => {
         write(CorpusCuration.curate(spark.read.parquet(lay.encoded)), lay.curated)
@@ -177,7 +196,7 @@ object RunCuration {
       }),
       Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
         import spark.implicits._
-        val rows = Seq("encoded", "curated", "stripped", "sentdeduped",
+        val rows = Seq("encoded", "mmkept", "curated", "stripped", "sentdeduped",
           "gophered", "kept", "balanced", "merges", "splits", "sequences")
           .map(s => (s, stageDocs.getOrElse(s, 0L)))
         graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)

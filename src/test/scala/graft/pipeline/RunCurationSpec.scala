@@ -17,7 +17,7 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 11)
+    assert(r.run.succeeded.size === 12)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
@@ -29,6 +29,18 @@ class RunCurationSpec extends SparkSpec {
     assert(d("gophered") <= d("sentdeduped") && d("gophered") > 0)
     assert(d("kept") <= d("gophered") && d("kept") > 0)
     assert(d("balanced") <= d("kept"))
+
+    // multimodal screen branch: one verdict per encoded doc, verdicts
+    // partition the set, keep count matches (decode_ok AND text_ok), and
+    // decode health follows the planting rule (every 4th doc a real PNG)
+    val mm = spark.read.parquet(s"$out/mmscreen")
+    assert(mm.count() === d("encoded"))
+    assert(mm.select("doc_id").distinct().count() === d("encoded"))
+    assert(mm.filter(col("decode_ok") =!= (col("doc_id") % 4 === 0)).count() === 0L)
+    assert(mm.filter(col("verdict") === "keep").count() === d("mmkept"))
+    assert(mm.filter((col("decode_ok") && col("text_ok")) =!=
+      (col("verdict") === "keep")).count() === 0L)
+    assert(d("mmkept") > 0)
 
     // kept rows carry their classifier score, all above the threshold
     val kept = spark.read.parquet(s"$out/kept")
