@@ -2948,6 +2948,21 @@ object SparkEntry {
         |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_micros
         |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin)),
 
+    // ---- full ExactSubstr (Lee et al. §4.1) via distributed prefix-
+    //      doubling suffix CLASSES: hash-free arbitrary-length duplicated
+    //      spans — log2(L) keyed groupBy rounds double the equality-class
+    //      prefix length (no global sort: dedup needs equality, not
+    //      order), the h=8/off=5 overlap pair identifies each 13-token
+    //      window exactly, same LEAD-merge coverage tail as q_dupspan.
+    //      The oracle unrolls the doublings as chained CTEs with the
+    //      identical min-packed-position representative; q_dupspan's
+    //      md5-gram form is the independent-algorithm cross-check
+    //      (ExactSubstrSpec asserts they agree corpus-wide) ----
+    ("q_exactsubstr",
+      (s, d) => graft.text.ExactSubstr.duplicatedSpanCoverageExact(
+        Tables(s, d).documents, "doc_id", L = 13),
+      Some(graft.text.ExactSubstr.oracleSql13)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

@@ -1,0 +1,172 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed ExactSubstr duplicated-span coverage (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better", §4.1) via
+  * PREFIX-DOUBLING suffix classes — the hash-free exact sibling of
+  * [[CorpusCuration.duplicatedSpanCoverage]] (whose stride-1 k-grams are
+  * compared through md5; collision probability is negligible but not
+  * zero, and the gram strings themselves are shuffled).
+  *
+  * The Manber–Myers/DC-style observation, restricted to what dedup needs:
+  * suffix-array construction needs ORDERED ranks (a global sort per
+  * round — the thing that does not distribute), but duplicate detection
+  * only needs EQUALITY classes. Equality classes double with a keyed
+  * groupBy: class id of the 2k-token prefix at position p = any
+  * canonical representative of the pair (id_k(p), id_k(p+k)) — here
+  * min over the group of the packed (doc, pos) position, which is
+  * deterministic, injective per class, and needs one shuffle keyed on
+  * the pair. log₂(L) rounds replace the global sort entirely; every
+  * shuffle is corpus-positions-sized with 3-long rows (no token strings
+  * after round 1), so the 100 TB shape is log₂(L) keyed shuffles of
+  * ~24 bytes/token — the same scale class as the k-gram hash pass, with
+  * exactness instead of a collision argument.
+  *
+  * For a window length L that is not a power of two, the standard
+  * overlap trick finishes the job: with h = the largest power of two
+  * ≤ L, the L-token window at p is identified by the pair
+  * (id_h(p), id_h(p + L − h)) — the two h-prefixes overlap but together
+  * determine exactly tokens p … p+L−1. Short suffixes (fewer than k
+  * tokens remaining) carry a −1 sentinel component and can never equal
+  * a full-length class, so padding never conflates windows.
+  *
+  * Output contract is [[CorpusCuration.duplicatedSpanCoverage]]'s:
+  * (keyCol, n_tokens, n_dup_spans, covered_tokens, dup_micros) over docs
+  * with ≥ L tokens — covered tokens from the same doc-partitioned
+  * LEAD-merge of duplicated window starts. The two operators implement
+  * the same semantics through disjoint algorithms, which
+  * ExactSubstrSpec exploits as a cross-check.
+  */
+object ExactSubstr {
+
+  /** Packed position: doc_id · 2²⁰ + pos. Injective while docs stay under
+    * 2²⁰ tokens (a million-token document is not a training document; the
+    * require below keeps the contract loud).
+    */
+  private val PosBits = 20
+
+  /** (keyCol, pos, len, pk, id) — equality-class ids for token-prefixes of
+    * length min(`prefixLen`, tokens remaining); `prefixLen` must be a
+    * power of two. pos is 1-based; len is the doc's token count.
+    */
+  def suffixClasses(docs: DataFrame, keyCol: String, textCol: String = "text",
+      prefixLen: Int = 8): DataFrame = {
+    require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two: $prefixLen")
+    val p0 = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("len"),
+        posexplode(col("tokens")).as(Seq("pos0", "tok")))
+      .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
+        (col(keyCol).cast("long") * (1L << PosBits) + col("pos0") + 1).as("pk"),
+        col("tok"))
+    // round 1: class = the token itself, represented by its min position
+    val ids1 = p0.groupBy("tok").agg(min("pk").as("id"))
+    var r = p0.join(ids1, Seq("tok"))
+      .select(col(keyCol), col("pos"), col("len"), col("pk"), col("id"))
+      .localCheckpoint()
+    var k = 1
+    while (k < prefixLen) {
+      // class(2k)(p) = representative of (class(k)(p), class(k)(p+k));
+      // a missing right half (suffix shorter than 2k) is the -1 sentinel
+      // class, distinct from every real class by construction (pk >= 0)
+      val right = r.select(col(keyCol), (col("pos") - k).as("pos"),
+        col("id").as("_ib"))
+      val paired = r.join(right, Seq(keyCol, "pos"), "left")
+        .withColumn("_ib", coalesce(col("_ib"), lit(-1L)))
+      val ids = paired.groupBy("id", "_ib").agg(min("pk").as("_nid"))
+      r = paired.join(ids, Seq("id", "_ib"))
+        .select(col(keyCol), col("pos"), col("len"), col("pk"),
+          col("_nid").as("id"))
+        .localCheckpoint() // truncate per round (the kCore pattern)
+      k *= 2
+    }
+    r
+  }
+
+  /** Exact duplicated-span coverage at window length `L` — positions
+    * covered by an L-token window occurring more than once anywhere in
+    * the corpus, merged per doc. See object doc for the contract.
+    */
+  def duplicatedSpanCoverageExact(docs: DataFrame, keyCol: String,
+      textCol: String = "text", L: Int = 13): DataFrame = {
+    require(L > 1, "span size must be > 1")
+    val h = Integer.highestOneBit(L)
+    val r = suffixClasses(docs, keyCol, textCol, h)
+    val off = L - h
+    // window class = (h-prefix at p, h-prefix at p + L - h); both halves
+    // are full h-prefixes whenever the window fits (pos + L - 1 <= len)
+    val right = r.select(col(keyCol), (col("pos") - off).as("pos"),
+      col("id").as("_ib"))
+    val wins =
+      (if (off == 0) r.withColumn("_ib", col("id"))
+       else r.join(right, Seq(keyCol, "pos")))
+        .filter(col("pos") + (L - 1) <= col("len"))
+        .select(col(keyCol), col("pos"), col("id").as("_ia"), col("_ib"))
+    val dup = wins.groupBy("_ia", "_ib").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("_ia", "_ib")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("pos")
+    val cov = wins.join(dup, Seq("_ia", "_ib"))
+      .withColumn("_next", lead(col("pos"), 1).over(w))
+      .withColumn("_c", when(col("_next").isNull, lit(L.toLong))
+        .otherwise(least(lit(L.toLong), col("_next") - col("pos"))))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("_c")).as("covered_tokens"))
+    TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) >= L)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(cov, Seq(keyCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "covered_tokens"))
+      .withColumn("dup_micros", expr(
+        """CAST(floor(CAST(covered_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+  }
+
+  /** DuckDB oracle for [[duplicatedSpanCoverageExact]] at L = 13: the
+    * three doublings (1→2→4→8) unrolled as chained CTEs with the
+    * identical min-packed-position class representative, the h=8/off=5
+    * overlap pair, and the same LEAD-merge coverage tail as q_dupspan's
+    * oracle.
+    */
+  def oracleSql13: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |p0 AS (SELECT doc_id, CAST(pr.pos AS BIGINT) AS pos, CAST(len(toks) AS BIGINT) AS len,
+      |    doc_id * 1048576 + pr.pos AS pk, pr.tok AS tok
+      |  FROM (SELECT doc_id, toks, unnest(list_transform(range(1, len(toks) + 1),
+      |          i -> struct_pack(pos := i, tok := toks[i]))) AS pr
+      |        FROM d WHERE len(toks) > 0)),
+      |i1 AS (SELECT tok, min(pk) AS id FROM p0 GROUP BY 1),
+      |r1 AS (SELECT doc_id, pos, len, pk, id FROM p0 JOIN i1 USING (tok)),
+      |p2 AS (SELECT a.doc_id, a.pos, a.len, a.pk, a.id AS ia, coalesce(b.id, -1) AS ib
+      |  FROM r1 a LEFT JOIN r1 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      |i2 AS (SELECT ia, ib, min(pk) AS id FROM p2 GROUP BY 1, 2),
+      |r2 AS (SELECT doc_id, pos, len, pk, id FROM p2 JOIN i2 USING (ia, ib)),
+      |p4 AS (SELECT a.doc_id, a.pos, a.len, a.pk, a.id AS ia, coalesce(b.id, -1) AS ib
+      |  FROM r2 a LEFT JOIN r2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+      |i4 AS (SELECT ia, ib, min(pk) AS id FROM p4 GROUP BY 1, 2),
+      |r4 AS (SELECT doc_id, pos, len, pk, id FROM p4 JOIN i4 USING (ia, ib)),
+      |p8 AS (SELECT a.doc_id, a.pos, a.len, a.pk, a.id AS ia, coalesce(b.id, -1) AS ib
+      |  FROM r4 a LEFT JOIN r4 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
+      |i8 AS (SELECT ia, ib, min(pk) AS id FROM p8 GROUP BY 1, 2),
+      |r8 AS (SELECT doc_id, pos, len, pk, id FROM p8 JOIN i8 USING (ia, ib)),
+      |w AS (SELECT a.doc_id, a.pos, a.id AS ia, b.id AS ib
+      |  FROM r8 a JOIN r8 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 5
+      |  WHERE a.pos + 12 <= a.len),
+      |dup AS (SELECT ia, ib FROM w GROUP BY 1, 2 HAVING count(*) > 1),
+      |cc AS (SELECT w.doc_id, w.pos, least(13, coalesce(
+      |    lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos), w.pos + 13) - w.pos) AS c
+      |  FROM w JOIN dup USING (ia, ib)),
+      |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |    CAST(sum(c) AS BIGINT) AS covered_tokens FROM cc GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM d WHERE len(toks) >= 13)
+      |SELECT n.doc_id, n_tokens,
+      |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+      |  coalesce(covered_tokens, 0) AS covered_tokens,
+      |  CAST(floor(CAST(coalesce(covered_tokens, 0) AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_micros
+      |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Prefix-doubling ExactSubstr: hand-checkable spans, the power-of-two
+  * window path, and the corpus-wide cross-check against the independent
+  * md5-gram implementation.
+  */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-planted duplicated spans: exact coverage, no false spans") {
+    // docs 1 and 2 share tokens a1..a13 (one 13-window each); doc 3 is
+    // disjoint; doc 4 repeats ITS OWN 13-gram (self-duplication counts)
+    val a = (1 to 13).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a x1 x2 x3"),
+      (2L, s"y1 y2 $a"),
+      (3L, (1 to 16).map(i => s"z$i").mkString(" ")),
+      (4L, s"$a q $a")
+    ).toDF("doc_id", "text")
+    val r = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 13)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    def row(id: Long) = r.find(_.getLong(0) == id).get
+    // doc 1: one duplicated window at pos 1 -> 13 covered of 16
+    assert(row(1).getAs[Long]("n_dup_spans") === 1L)
+    assert(row(1).getAs[Long]("covered_tokens") === 13L)
+    // doc 2: window starts at pos 3 -> 13 covered of 15
+    assert(row(2).getAs[Long]("covered_tokens") === 13L)
+    // doc 3: nothing duplicated
+    assert(row(3).getAs[Long]("n_dup_spans") === 0L)
+    assert(row(3).getAs[Long]("dup_micros") === 0L)
+    // doc 4: a...a (13) + q + a...a (13) = 27 tokens; the shared block
+    // appears at pos 1 and 15, both full windows -> 26 of 27 covered
+    assert(row(4).getAs[Long]("n_dup_spans") === 2L)
+    assert(row(4).getAs[Long]("covered_tokens") === 26L)
+  }
+
+  test("power-of-two window (off = 0 path)") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq((1L, s"$a t1"), (2L, s"u1 $a")).toDF("doc_id", "text")
+    val r = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 8)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getAs[Long]("covered_tokens") === 8L))
+  }
+
+  test("agrees with the independent md5-gram implementation corpus-wide") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 13)
+    val grams = CorpusCuration.duplicatedSpanCoverage(docs, "doc_id", k = 13)
+    assert(exact.count() === grams.count())
+    assert(exact.exceptAll(grams).count() === 0L)
+    assert(grams.exceptAll(exact).count() === 0L)
+  }
+}
