@@ -536,6 +536,34 @@ object Multimodal {
       }
     }
 
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit set when the cell
+    * exceeds the grid's integer mean — the blunter, more
+    * brightness-sensitive sibling of [[dHash64]] (a global brightness
+    * shift CAN flip bits near the mean, which is why the dedup pipeline
+    * banding runs on dHash; aHash is the second opinion re-rankers and
+    * spec cross-checks use). Same integer-exact [[lumaGrid]] base.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).flatMap { case (_, _, _, img) =>
+      lumaGrid(img, 8, 8).map { grid =>
+        var sum = 0L
+        var i = 0
+        while (i < 8) { var j = 0; while (j < 8) { sum += grid(i)(j); j += 1 }; i += 1 }
+        val mean = sum / 64
+        var bits = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            if (grid(gy)(gx) > mean) bits |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        bits
+      }
+    }
+
   /** DataFrame-level dHash extraction: (key, dhash) with null for
     * undecodable payloads ([[audioFeatures]]' contract). mapPartitions —
     * pixel work stays executor-side, no shuffle; downstream banding

@@ -39,6 +39,18 @@ class ImageDedupSpec extends SparkSpec {
     assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("aHash: deterministic, exact-dup invariant, far for distinct images") {
+    val a = Multimodal.aHash64(Multimodal.blockPng("t1")).get
+    assert(Multimodal.aHash64(Multimodal.blockPng("t1")).get === a)
+    val other = Multimodal.aHash64(Multimodal.blockPng("t2")).get
+    assert(hamming(a, other) > 3)
+    // a one-block bump moves at most that cell's bit plus mean-adjacent
+    // cells; stays inside a loose re-rank budget
+    val bumped = Multimodal.aHash64(Multimodal.blockPng("t1", bumpBlock = Some((3, 4)))).get
+    assert(hamming(a, bumped) <= 8)
+    assert(Multimodal.aHash64("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("banded pipeline finds exactly the planted pairs; nulls excluded") {
     // hand-built corpus: 1 <-> 101 brightness twin (hamming 0),
     // 2 <-> 102 bumped twin (hamming <= 2), 3 distinct, 4 undecodable
