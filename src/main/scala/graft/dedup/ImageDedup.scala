@@ -55,4 +55,37 @@ object ImageDedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Incremental batch-vs-corpus image dedup — the nightly-crawl shape
+    * ([[Dedup.incrementalJaccardNearDups]] at the image grain): new
+    * images band-join against the STANDING corpus fingerprint table (8
+    * bytes/image — the artifact a production pipeline maintains), so
+    * work scales with the batch and the corpus never self-joins.
+    * Within-batch duplicates are caught by one batch-side [[dHashPairs]].
+    * Output: (new_id, match_id, hamming, source ∈ {corpus, batch}).
+    */
+  def incrementalDHashPairs(newHashes: DataFrame, corpusHashes: DataFrame,
+      keyCol: String, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands: $maxHamming/$bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def banded(df: DataFrame) = df.filter(col("dhash").isNotNull)
+      .select(col(keyCol), col("dhash"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(dhash, b * $bits) & ${mask}L)"))
+        .as(Seq("band_id", "band_val")))
+    val vsCorpus = banded(newHashes).toDF("new_id", "dhash_n", "band_id", "band_val")
+      .join(banded(corpusHashes).toDF("match_id", "dhash_c", "band_id", "band_val"),
+        Seq("band_id", "band_val"))
+      .select("new_id", "match_id", "dhash_n", "dhash_c").distinct()
+      .withColumn("hamming", expr("bit_count(dhash_n ^ dhash_c)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("match_id"), col("hamming"),
+        lit("corpus").as("source"))
+    val within = dHashPairs(newHashes, keyCol, bands, maxHamming)
+      .select(col("doc_b").as("new_id"), col("doc_a").as("match_id"),
+        col("hamming"), lit("batch").as("source"))
+    vsCorpus.unionByName(within)
+  }
 }

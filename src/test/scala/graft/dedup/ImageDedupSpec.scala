@@ -71,6 +71,39 @@ class ImageDedupSpec extends SparkSpec {
     assert(pairs.find(_.getLong(0) == 2L).get.getAs[Int]("hamming") <= 2)
   }
 
+  test("incremental batch-vs-corpus: batch work only, both duplicate sources routed") {
+    // corpus: images a, b (fingerprints only — the standing 8-byte table);
+    // batch: re-crawl of a (corpus hit), two copies of d (within-batch
+    // pair), fresh e (no match)
+    val corpus = Seq(
+      (1L, Multimodal.blockPng("a")),
+      (2L, Multimodal.blockPng("b"))).toDF("img_id", "media")
+    val batch = Seq(
+      (10L, Multimodal.blockPng("a", brightnessDelta = 8)),
+      (11L, Multimodal.blockPng("d")),
+      (12L, Multimodal.blockPng("d", brightnessDelta = 8)),
+      (13L, Multimodal.blockPng("e"))).toDF("img_id", "media")
+    val r = ImageDedup.incrementalDHashPairs(
+      Multimodal.dHashes(batch, "img_id"), Multimodal.dHashes(corpus, "img_id"),
+      "img_id").collect()
+    val got = r.map(x => (x.getLong(0), x.getLong(1), x.getString(3))).toSet
+    assert(got === Set((10L, 1L, "corpus"), (12L, 11L, "batch")))
+  }
+
+  test("pair graph composes: near-dup clusters over image pairs") {
+    // a-chain of three perceptual twins clusters into ONE component
+    val imgs = Seq(
+      (1L, Multimodal.blockPng("a")),
+      (2L, Multimodal.blockPng("a", brightnessDelta = 8)),
+      (3L, Multimodal.blockPng("a", bumpBlock = Some((3, 4)))),
+      (4L, Multimodal.blockPng("z"))).toDF("img_id", "media")
+    val pairs = ImageDedup.dHashPairs(
+      Multimodal.dHashes(imgs, "img_id"), "img_id", bands = 4, maxHamming = 3)
+    val clusters = Dedup.dedupClusters(pairs)
+    assert(clusters.select("cluster_id").distinct().count() === 1L)
+    assert(clusters.count() === 3L) // image 4 is a singleton, not in pairs
+  }
+
   test("synthetic corpus plants twins by id arithmetic") {
     val docs = (0L to 45L).toDF("doc_id")
     val imgs = Multimodal.syntheticBlockImages(docs, "doc_id", plantEvery = 20)
