@@ -1878,6 +1878,36 @@ object SparkEntry {
         |  CAST(1000000 AS BIGINT) AS recall_micros
         |FROM p, n""".stripMargin)),
 
+    // ---- incremental batch-vs-corpus image dedup (the nightly-crawl
+    //      shape at the image grain, mirroring q_incdedup): a batch of
+    //      re-crawled twins + second copies + fresh images band-joins
+    //      the STANDING corpus fingerprint table (8 bytes/image) — work
+    //      scales with the batch, the corpus never self-joins. Planting
+    //      is id arithmetic: id%10==0 re-crawl (corpus match), id%30==0
+    //      second copy (corpus match AND within-batch pair), id%10==5
+    //      fresh (no match); the oracle derives all three counts ----
+    ("q_incimgdedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val corpus = Multimodal.syntheticBaseImages(docs, "doc_id")
+        val batch = Multimodal.syntheticImageBatch(docs, "doc_id")
+        val m = graft.dedup.ImageDedup.incrementalDHashPairs(
+          Multimodal.dHashes(batch, "img_id"),
+          Multimodal.dHashes(corpus, "img_id"), "img_id")
+        batch.agg(count(lit(1)).as("n_batch"))
+          .crossJoin(broadcast(m.filter(col("source") === "corpus")
+            .agg(count(lit(1)).as("corpus_matches"))))
+          .crossJoin(broadcast(m.filter(col("source") === "batch")
+            .agg(count(lit(1)).as("batch_matches"))))
+      },
+      Some("""WITH c AS (SELECT
+        |  CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n1,
+        |  CAST(count(*) FILTER (WHERE doc_id % 30 = 0) AS BIGINT) AS n2,
+        |  CAST(count(*) FILTER (WHERE doc_id % 10 = 5) AS BIGINT) AS nf
+        | FROM documents)
+        |SELECT n1 + n2 + nf AS n_batch, n1 + n2 AS corpus_matches,
+        |  n2 AS batch_matches FROM c""".stripMargin)),
+
     // ---- caption-image consistency screen (multimodal curation): real
     //      decode-health (every 4th doc a true PNG round-trip, others an
     //      undecodable payload hitting the labeled synthetic fallback)

@@ -660,6 +660,54 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Base image per id, no twins — the standing-corpus side of the
+    * incremental dedup demo (same deterministic [[blockPng]] images as
+    * [[syntheticBlockImages]]' base rows).
+    */
+  def syntheticBaseImages(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol) { id => Iterator(Row(id, blockPng(s"img|$id"))) }
+
+  /** Incremental batch over the same id universe: re-crawled perturbed
+    * copies of every 10th base (id + 10M, brightness twin), a SECOND
+    * perturbed copy of every 30th (id + 30M, block-bump twin — pairs
+    * within the batch AND against the corpus), and fresh unseen images
+    * for ids ≡ 5 (mod 10) (id + 20M, independent tag). All planting is
+    * id arithmetic a SQL oracle can derive.
+    */
+  def syntheticImageBatch(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol) { id =>
+      val recrawl = if (id % 10 == 0)
+        Iterator(Row(id + 10000000L, blockPng(s"img|$id", brightnessDelta = 8)))
+      else Iterator.empty
+      val second = if (id % 30 == 0)
+        Iterator(Row(id + 30000000L, blockPng(s"img|$id", bumpBlock = Some((3, 4)))))
+      else Iterator.empty
+      val fresh = if (id % 10 == 5)
+        Iterator(Row(id + 20000000L, blockPng(s"new|$id")))
+      else Iterator.empty
+      recrawl ++ second ++ fresh
+    }
+
+  private def mapIds(df: DataFrame, keyCol: String)(
+      gen: Long => Iterator[Row]): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val outSchema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("media", BinaryType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val id = r.get(keyIdx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        gen(id)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Demo multimodal corpus with MIXED payload health: every
     * `imageEvery`-th key gets a REAL PNG ([[blockPng]] — a true codec
     * round-trip downstream), every other row carries its caption's UTF-8

@@ -11,6 +11,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *
   *   1. `encoding_gate`    mojibake / replacement-char / C0 quarantine
   *   1b. `multimodal_screen` caption-image keep/quarantine routing (branch)
+  *   1c. `image_dedup`      perceptual image dedup + representatives (branch)
   *   2. `curate_funnel`     language/quality/length gates + exact dedup
   *   3. `boilerplate_strip` CCNet-style shared-segment removal
   *   4. `sentence_dedup`    corpus-global duplicated-sentence removal
@@ -34,6 +35,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   * {{{
   *   encoded/     docs whose text decodes cleanly (enc_clean)
   *   mmscreen/    caption-image consistency verdicts (decode x quality)
+  *   mmimages/    per-image near-dup routing (img_id, cluster_id, is_kept)
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
   *   sentded/     duplicated sentences removed (first occurrence kept)
@@ -53,6 +55,7 @@ object RunCuration {
   final case class Layout(root: String) {
     def encoded: String = s"$root/encoded"
     def mmscreen: String = s"$root/mmscreen"
+    def mmimages: String = s"$root/mmimages"
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
     def sentded: String = s"$root/sentded"
@@ -113,6 +116,26 @@ object RunCuration {
         write(screen, lay.mmscreen)
         stageDocs("mmkept") = spark.read.parquet(lay.mmscreen)
           .filter(col("verdict") === "keep").count()
+      }),
+      Pipeline.Job("image_dedup", dependsOn = Seq("multimodal_screen"))(() => {
+        // image-grain dedup on the branch: dHash fingerprints over the
+        // demo image corpus (deterministic PNGs with planted perturbed
+        // twins — real codec round-trips), banded hamming pairs, and ONE
+        // representative kept per near-dup image cluster (min img_id —
+        // the quality column is the id itself in this synthetic demo;
+        // production passes a real quality score). Writes the per-image
+        // routing table (img_id, cluster_id, is_kept).
+        val docs = spark.read.parquet(lay.encoded).select("doc_id")
+        val images = graft.multimodal.Multimodal.syntheticBlockImages(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          graft.multimodal.Multimodal.dHashes(images, "img_id"), "img_id",
+          bands = 4, maxHamming = 3)
+        val routed = graft.dedup.Dedup.keepRepresentatives(
+          images.select(col("img_id"), (-col("img_id")).as("_q")),
+          pairs, "img_id", "_q").drop("_q")
+        write(routed, lay.mmimages)
+        stageDocs("mmimages_kept") = spark.read.parquet(lay.mmimages)
+          .filter(col("is_kept")).count()
       }),
       Pipeline.Job("curate_funnel", dependsOn = Seq("encoding_gate"))(() => {
         write(CorpusCuration.curate(spark.read.parquet(lay.encoded)), lay.curated)
@@ -196,8 +219,9 @@ object RunCuration {
       }),
       Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
         import spark.implicits._
-        val rows = Seq("encoded", "mmkept", "curated", "stripped", "sentdeduped",
-          "gophered", "kept", "balanced", "merges", "splits", "sequences")
+        val rows = Seq("encoded", "mmkept", "mmimages_kept", "curated", "stripped",
+          "sentdeduped", "gophered", "kept", "balanced", "merges", "splits",
+          "sequences")
           .map(s => (s, stageDocs.getOrElse(s, 0L)))
         graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)
       })

@@ -17,7 +17,7 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 12)
+    assert(r.run.succeeded.size === 13)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
@@ -41,6 +41,18 @@ class RunCurationSpec extends SparkSpec {
     assert(mm.filter((col("decode_ok") && col("text_ok")) =!=
       (col("verdict") === "keep")).count() === 0L)
     assert(d("mmkept") > 0)
+
+    // image-dedup branch: one routing row per image (bases + planted
+    // twins of encoded docs), every planted twin collapses into its
+    // base's cluster with exactly one representative kept
+    val mi = spark.read.parquet(s"$out/mmimages")
+    val nTwins = spark.read.parquet(s"$out/encoded")
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(mi.count() === d("encoded") + nTwins)
+    assert(d("mmimages_kept") === d("encoded")) // one per cluster: twins collapse
+    assert(mi.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("k"))
+      .filter(col("k") =!= 1L).count() === 0L)
 
     // kept rows carry their classifier score, all above the threshold
     val kept = spark.read.parquet(s"$out/kept")
