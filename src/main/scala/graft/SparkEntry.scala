@@ -2993,6 +2993,17 @@ object SparkEntry {
         Tables(s, d).documents, "doc_id", L = 13),
       Some(graft.text.ExactSubstr.oracleSql13)),
 
+    // ---- longest-duplicated-span bracket per doc (the ExactSubstr
+    //      longest-match statistic): max power-of-two h with a full
+    //      h-window duplicated anywhere — true max span M bracketed in
+    //      [h, 2h-1]; same doubling ladder, one count-per-class
+    //      aggregate per step; oracle is the independent md5 h-gram
+    //      formulation per ladder length ----
+    ("q_maxdup",
+      (s, d) => graft.text.ExactSubstr.maxPow2DupLen(
+        Tables(s, d).documents, "doc_id", maxLen = 64),
+      Some(graft.text.ExactSubstr.maxPow2OracleSql(64))),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

@@ -52,7 +52,17 @@ object ExactSubstr {
     * power of two. pos is 1-based; len is the doc's token count.
     */
   def suffixClasses(docs: DataFrame, keyCol: String, textCol: String = "text",
-      prefixLen: Int = 8): DataFrame = {
+      prefixLen: Int = 8): DataFrame =
+    suffixClassRounds(docs, keyCol, textCol, prefixLen).last._2
+
+  /** Every doubling round: Seq of (prefix length, class frame) for
+    * lengths 1, 2, 4, …, `prefixLen` — callers that need the whole
+    * ladder (e.g. [[maxPow2DupLen]]) reuse one pass instead of
+    * re-doubling per length.
+    */
+  def suffixClassRounds(docs: DataFrame, keyCol: String,
+      textCol: String = "text",
+      prefixLen: Int = 8): Seq[(Int, DataFrame)] = {
     require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two: $prefixLen")
     val p0 = TextAnalysis.withTokens(docs, textCol)
@@ -67,6 +77,7 @@ object ExactSubstr {
     var r = p0.join(ids1, Seq("tok"))
       .select(col(keyCol), col("pos"), col("len"), col("pk"), col("id"))
       .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
     var k = 1
     while (k < prefixLen) {
       // class(2k)(p) = representative of (class(k)(p), class(k)(p+k));
@@ -82,8 +93,68 @@ object ExactSubstr {
           col("_nid").as("id"))
         .localCheckpoint() // truncate per round (the kCore pattern)
       k *= 2
+      rounds += ((k, r))
     }
-    r
+    rounds.toSeq
+  }
+
+  /** Longest-duplicated-span bracket per document (the longest-match
+    * statistic ExactSubstr work reports): the maximal power-of-two h
+    * such that the doc contains a FULL h-token window whose equality
+    * class occurs more than once anywhere in the corpus. The true
+    * maximal duplicated span length M satisfies
+    * max_dup_pow2 ≤ M ≤ 2·max_dup_pow2 − 1 (a duplicated M-window
+    * contains a duplicated h-window for every h ≤ M; were M ≥ 2h, the
+    * 2h round would have fired): an exactly-defined statistic that
+    * BRACKETS M within a factor of two, from the same doubling ladder
+    * [[duplicatedSpanCoverageExact]] already runs — no extra rounds,
+    * one count-per-class aggregate per ladder step. 0 when nothing
+    * (not even a single token) recurs.
+    *
+    * Output: (keyCol, n_tokens, max_dup_pow2).
+    */
+  def maxPow2DupLen(docs: DataFrame, keyCol: String, textCol: String = "text",
+      maxLen: Int = 64): DataFrame = {
+    val rounds = suffixClassRounds(docs, keyCol, textCol, maxLen)
+    val flags = rounds.map { case (h, r) =>
+      val full = r.filter(col("pos") + (h - 1) <= col("len"))
+      val dup = full.groupBy("id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id")
+      full.join(dup, Seq("id"))
+        .select(col(keyCol)).distinct()
+        .withColumn("h", lit(h.toLong))
+    }.reduce(_ unionByName _)
+    TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(flags.groupBy(keyCol).agg(max("h").as("max_dup_pow2")),
+        Seq(keyCol), "left")
+      .na.fill(0L, Seq("max_dup_pow2"))
+  }
+
+  /** DuckDB oracle for [[maxPow2DupLen]]: per ladder length h the
+    * independent md5 h-gram formulation (same answer as the suffix
+    * classes absent md5 collisions — the q_dupspan caveat), union, max.
+    */
+  def maxPow2OracleSql(maxLen: Int = 64): String = {
+    val hs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    val blocks = hs.map { h =>
+      s"""g$h AS (SELECT doc_id, md5(array_to_string(toks[s : s + ${h - 1}], ' ')) AS gh
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${h - 2})) AS s
+         |        FROM d WHERE len(toks) >= $h)),
+         |d$h AS (SELECT gh FROM g$h GROUP BY 1 HAVING count(*) > 1),
+         |f$h AS (SELECT DISTINCT doc_id, CAST($h AS BIGINT) AS h
+         |  FROM g$h JOIN d$h USING (gh))""".stripMargin
+    }.mkString(",\n")
+    val unions = hs.map(h => s"SELECT doc_id, h FROM f$h").mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |$blocks,
+       |fl AS ($unions)
+       |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  coalesce(max(fl.h), 0) AS max_dup_pow2
+       |FROM d LEFT JOIN fl ON fl.doc_id = d.doc_id
+       |WHERE len(toks) > 0
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Exact duplicated-span coverage at window length `L` — positions

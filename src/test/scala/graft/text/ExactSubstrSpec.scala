@@ -46,6 +46,23 @@ class ExactSubstrSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("covered_tokens") === 8L))
   }
 
+  test("maxPow2DupLen brackets the true longest duplicated span") {
+    // docs 1/2 share an exact 21-token block -> true M = 21, bracket
+    // [16, 31]: max_dup_pow2 must be 16. doc 3 shares only one token
+    // ("a1") -> 1. doc 4 is fully fresh -> 0.
+    val block = (1 to 21).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block p1 p2 p3"),
+      (2L, s"q1 $block"),
+      (3L, "a1 r1 r2 r3"),
+      (4L, "s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val r = ExactSubstr.maxPow2DupLen(docs, "doc_id", maxLen = 64)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getAs[Long]("max_dup_pow2"))).toSeq ===
+      Seq((1L, 16L), (2L, 16L), (3L, 1L), (4L, 0L)))
+  }
+
   test("agrees with the independent md5-gram implementation corpus-wide") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 13)
