@@ -3004,6 +3004,19 @@ object SparkEntry {
         Tables(s, d).documents, "doc_id", maxLen = 64),
       Some(graft.text.ExactSubstr.maxPow2OracleSql(64))),
 
+    // ---- EXACT longest duplicated span per doc (full distributed
+    //      suffix array): order-preserving prefix-doubling ranks (range-
+    //      partitioned sort + zipWithIndex dense indices — no global
+    //      window), adjacency by suffix order (the classic neighbor-
+    //      maximizes-LCP property), binary-descent LCP over the rank
+    //      ladder. The oracle is an INDEPENDENT algorithm — string
+    //      suffix sort + first-mismatch LCP — so agreement is a strong
+    //      cross-check, not a replay ----
+    ("q_maxdup_exact",
+      (s, d) => graft.text.ExactSubstr.maxDupSpanExact(
+        Tables(s, d).documents, "doc_id"),
+      Some(graft.text.ExactSubstr.maxDupSpanOracleSql)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

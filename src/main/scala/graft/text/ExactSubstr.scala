@@ -132,6 +132,171 @@ object ExactSubstr {
       .na.fill(0L, Seq("max_dup_pow2"))
   }
 
+  /** Dense 0-based index of `df`'s rows in (orderCols) order — the
+    * distributed substitute for a global dense_rank window: one
+    * range-partitioned sort + RDD zipWithIndex (two passes, no
+    * single-task stage). Deterministic whenever (orderCols) is a total
+    * order on the rows: the index is the row's position in the total
+    * order, independent of partition boundaries.
+    */
+  private def denseIndex(df: DataFrame, orderCols: Seq[String],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** ORDER-PRESERVING suffix ranks by prefix doubling — the full
+    * distributed suffix-array construction ([[suffixClassRounds]] gives
+    * equality only; this also gives lexicographic ORDER): each round
+    * sorts the distinct (rankₖ(p), rankₖ(p+k)) pairs with a distributed
+    * range-partitioned sort and assigns dense indices via
+    * [[denseIndex]]. The −1 sentinel for a missing right half sorts
+    * below every real rank, which is exactly the end-of-string
+    * terminator convention (a shorter suffix that is a prefix of a
+    * longer one sorts first). After the round at h ≥ the longest doc's
+    * token count, equal rank ⟺ identical suffix and rank order ⟺
+    * lexicographic suffix order.
+    */
+  def orderedSuffixRounds(docs: DataFrame, keyCol: String,
+      textCol: String = "text", prefixLen: Int): Seq[(Int, DataFrame)] = {
+    require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two: $prefixLen")
+    val p0 = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("len"),
+        posexplode(col("tokens")).as(Seq("pos0", "tok")))
+      .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
+        (col(keyCol).cast("long") * (1L << PosBits) + col("pos0") + 1).as("pk"),
+        col("tok"))
+    val t1 = denseIndex(p0.select("tok").distinct(), Seq("tok"), "rank")
+    var r = p0.join(t1, Seq("tok"))
+      .select(col(keyCol), col("pos"), col("len"), col("pk"), col("rank"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
+    var k = 1
+    while (k < prefixLen) {
+      val right = r.select(col(keyCol), (col("pos") - k).as("pos"),
+        col("rank").as("_rb"))
+      val paired = r.join(right, Seq(keyCol, "pos"), "left")
+        .withColumn("_rb", coalesce(col("_rb"), lit(-1L)))
+      val keys = denseIndex(paired.select("rank", "_rb").distinct(),
+        Seq("rank", "_rb"), "_nr")
+      r = paired.join(keys, Seq("rank", "_rb"))
+        .select(col(keyCol), col("pos"), col("len"), col("pk"),
+          col("_nr").as("rank"))
+        .localCheckpoint()
+      k *= 2
+      rounds += ((k, r))
+    }
+    rounds.toSeq
+  }
+
+  /** EXACT longest duplicated span per document — the full ExactSubstr
+    * longest-match statistic ([[maxPow2DupLen]] gives its power-of-two
+    * bracket): M(doc) = max length of a token window in the doc whose
+    * content occurs at least twice anywhere in the corpus.
+    *
+    * Algorithm (all distributed, no single-task stage):
+    *  1. ordered suffix ranks ([[orderedSuffixRounds]]) up to the
+    *     corpus's longest doc (next power of two — one bounded scalar
+    *     aggregate decides the ladder height);
+    *  2. the suffix ARRAY = positions dense-indexed by (final rank, pk)
+    *     — ties (identical suffixes) ordered by packed position, the
+    *     same tie-break a lexicographic (suffix, doc, pos) sort gives;
+    *  3. adjacent pairs by index (idx+1 self-join — the distributed
+    *     lead());
+    *  4. LCP of each adjacent pair by BINARY DESCENT over the rank
+    *     ladder: for h from the top, advance both cursors by h when
+    *     both windows are full and their rank_h matches (any LCP value
+    *     < 2·ladder-top is a sum of distinct powers, so one pass
+    *     suffices);
+    *  5. maxmatch(suffix) = max LCP against its sorted neighbors (the
+    *     classic suffix-array property: the lexicographic neighbor
+    *     maximizes LCP), M(doc) = max over the doc's suffixes.
+    *
+    * Output: (keyCol, n_tokens, max_dup_span);
+    * max_dup_span ∈ [bracket, 2·bracket − 1] vs [[maxPow2DupLen]].
+    */
+  def maxDupSpanExact(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+    // bounded-by-contract scalar: the ladder height (log2 of it) — one
+    // number, not data
+    val maxLen = toks.agg(max(size(col("tokens")))).head.getInt(0)
+    val upTo = Integer.highestOneBit(math.max(1, maxLen)) *
+      (if (Integer.bitCount(math.max(1, maxLen)) == 1) 1 else 2)
+    val rounds = orderedSuffixRounds(docs, keyCol, textCol, upTo)
+    val last = rounds.last._2
+    val suff = denseIndex(last.select(col(keyCol), col("pos"), col("len"),
+      col("pk"), col("rank")), Seq("rank", "pk"), "idx")
+    var pairs = suff.select(col(keyCol).as("ka"), col("pos").as("pa"),
+        col("len").as("la"), col("idx"))
+      .join(suff.select(col(keyCol).as("kb"), col("pos").as("pb"),
+        col("len").as("lb"), (col("idx") - 1).as("idx")), Seq("idx"))
+      .select("ka", "pa", "la", "kb", "pb", "lb")
+      .withColumn("lcp", lit(0L))
+      .localCheckpoint()
+    rounds.reverse.foreach { case (h, rh) =>
+      val ca = rh.select(col(keyCol).as("ka"), col("pos").as("pa"),
+        col("rank").as("_ra"))
+      val cb = rh.select(col(keyCol).as("kb"), col("pos").as("pb"),
+        col("rank").as("_rb2"))
+      pairs = pairs
+        .join(ca, Seq("ka", "pa"), "left")
+        .join(cb, Seq("kb", "pb"), "left")
+        .withColumn("_adv",
+          col("pa") + (h - 1) <= col("la") && col("pb") + (h - 1) <= col("lb") &&
+            col("_ra").isNotNull && col("_rb2").isNotNull &&
+            col("_ra") === col("_rb2"))
+        .withColumn("lcp", when(col("_adv"), col("lcp") + h).otherwise(col("lcp")))
+        .withColumn("pa", when(col("_adv"), col("pa") + h).otherwise(col("pa")))
+        .withColumn("pb", when(col("_adv"), col("pb") + h).otherwise(col("pb")))
+        .drop("_ra", "_rb2")
+        .localCheckpoint()
+    }
+    val mm = pairs.select(col("ka").as(keyCol), col("lcp"))
+      .unionByName(pairs.select(col("kb").as(keyCol), col("lcp")))
+      .groupBy(keyCol).agg(max("lcp").as("max_dup_span"))
+    toks.select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(mm, Seq(keyCol), "left")
+      .na.fill(0L, Seq("max_dup_span"))
+  }
+
+  /** DuckDB oracle for [[maxDupSpanExact]] — an INDEPENDENT algorithm:
+    * materialize the token-list suffixes, sort them lexicographically
+    * (DuckDB list comparison is element-wise — identical semantics to
+    * the rank order incl. the shorter-prefix-first terminator), take
+    * adjacent pairs with the same (suffix, doc, pos) tie-break, LCP via
+    * first-mismatch position, max per doc.
+    */
+  def maxDupSpanOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, pos, toks[pos:] AS suf
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d WHERE len(toks) > 0)),
+      |o AS (SELECT doc_id, pos, suf, row_number() OVER (ORDER BY suf, doc_id, pos) AS idx FROM s),
+      |p AS (SELECT a.doc_id AS da, a.suf AS sa, b.doc_id AS db, b.suf AS sb
+      |      FROM o a JOIN o b ON b.idx = a.idx + 1),
+      |l AS (SELECT da, db,
+      |        CAST(coalesce(
+      |          nullif(list_position(list_transform(range(1, least(len(sa), len(sb)) + 1),
+      |            i -> sa[i] = sb[i]), false), 0) - 1,
+      |          least(len(sa), len(sb))) AS BIGINT) AS lcp
+      |      FROM p),
+      |mm AS (SELECT da AS doc_id, lcp FROM l UNION ALL SELECT db, lcp FROM l)
+      |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  coalesce(max(mm.lcp), 0) AS max_dup_span
+      |FROM d LEFT JOIN mm ON mm.doc_id = d.doc_id
+      |WHERE len(toks) > 0
+      |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[maxPow2DupLen]]: per ladder length h the
     * independent md5 h-gram formulation (same answer as the suffix
     * classes absent md5 collisions — the q_dupspan caveat), union, max.

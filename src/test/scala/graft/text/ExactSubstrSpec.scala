@@ -63,6 +63,34 @@ class ExactSubstrSpec extends SparkSpec {
       Seq((1L, 16L), (2L, 16L), (3L, 1L), (4L, 0L)))
   }
 
+  test("maxDupSpanExact: exact planted span lengths, bracket relation corpus-wide") {
+    val block = (1 to 21).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block p1 p2 p3"),
+      (2L, s"q1 $block"),
+      (3L, "a1 r1 r2 r3"),
+      (4L, "s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val r = ExactSubstr.maxDupSpanExact(docs, "doc_id").orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getAs[Long]("max_dup_span"))).toSeq ===
+      Seq((1L, 21L), (2L, 21L), (3L, 1L), (4L, 0L)))
+
+    // the power-of-two bracket holds for every doc on real corpus data:
+    // bracket <= exact <= 2*bracket - 1 (0 iff 0)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = ExactSubstr.maxDupSpanExact(corpus, "doc_id")
+      .select(col("doc_id"), col("max_dup_span"))
+    val bracket = ExactSubstr.maxPow2DupLen(corpus, "doc_id", maxLen = 64)
+      .select(col("doc_id"), col("max_dup_pow2"))
+    val joined = exact.join(bracket, Seq("doc_id"))
+    assert(joined.count() === corpus.count())
+    assert(joined.filter(
+      (col("max_dup_pow2") === 0 && col("max_dup_span") =!= 0) ||
+      (col("max_dup_pow2") > 0 &&
+        (col("max_dup_span") < col("max_dup_pow2") ||
+         col("max_dup_span") > col("max_dup_pow2") * 2 - 1))).count() === 0L)
+  }
+
   test("agrees with the independent md5-gram implementation corpus-wide") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 13)
