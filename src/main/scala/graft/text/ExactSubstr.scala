@@ -114,9 +114,12 @@ object ExactSubstr {
     * Output: (keyCol, n_tokens, max_dup_pow2).
     */
   def maxPow2DupLen(docs: DataFrame, keyCol: String, textCol: String = "text",
-      maxLen: Int = 64): DataFrame = {
-    val rounds = suffixClassRounds(docs, keyCol, textCol, maxLen)
-    val flags = rounds.map { case (h, r) =>
+      maxLen: Int = 64,
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
+    val ladder = rounds.map(_.filter(_._1 <= maxLen)
+        .map { case (h, df) => (h, df.withColumnRenamed("rank", "id")) })
+      .getOrElse(suffixClassRounds(docs, keyCol, textCol, maxLen))
+    val flags = ladder.map { case (h, r) =>
       val full = r.filter(col("pos") + (h - 1) <= col("len"))
       val dup = full.groupBy("id").agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).select("id")
@@ -225,7 +228,8 @@ object ExactSubstr {
     * max_dup_span ∈ [bracket, 2·bracket − 1] vs [[maxPow2DupLen]].
     */
   def maxDupSpanExact(docs: DataFrame, keyCol: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
     val toks = TextAnalysis.withTokens(docs, textCol)
       .filter(size(col("tokens")) > 0)
     // bounded-by-contract scalar: the ladder height (log2 of it) — one
@@ -233,7 +237,10 @@ object ExactSubstr {
     val maxLen = toks.agg(max(size(col("tokens")))).head.getInt(0)
     val upTo = Integer.highestOneBit(math.max(1, maxLen)) *
       (if (Integer.bitCount(math.max(1, maxLen)) == 1) 1 else 2)
-    val rounds = orderedSuffixRounds(docs, keyCol, textCol, upTo)
+    prebuilt.foreach(r => require(r.last._1 >= upTo,
+      s"provided ladder top ${r.last._1} < required $upTo (longest doc $maxLen)"))
+    val rounds = prebuilt.getOrElse(
+      orderedSuffixRounds(docs, keyCol, textCol, upTo))
     val last = rounds.last._2
     val suff = denseIndex(last.select(col(keyCol), col("pos"), col("len"),
       col("pk"), col("rank")), Seq("rank", "pk"), "idx")
@@ -327,10 +334,17 @@ object ExactSubstr {
     * the corpus, merged per doc. See object doc for the contract.
     */
   def duplicatedSpanCoverageExact(docs: DataFrame, keyCol: String,
-      textCol: String = "text", L: Int = 13): DataFrame = {
+      textCol: String = "text", L: Int = 13,
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
     require(L > 1, "span size must be > 1")
     val h = Integer.highestOneBit(L)
-    val r = suffixClasses(docs, keyCol, textCol, h)
+    // a prebuilt ladder (e.g. the session-materialized ORDERED ladder —
+    // ordered ranks are equality classes too) supplies level h; else
+    // build the equality ladder live
+    val r = rounds.map(_.find(_._1 == h).getOrElse(throw new IllegalArgumentException(
+        s"provided ladder lacks level $h")). _2)
+      .getOrElse(suffixClasses(docs, keyCol, textCol, h))
+      .withColumnRenamed("rank", "id") // ordered ladders name it rank
     val off = L - h
     // window class = (h-prefix at p, h-prefix at p + L - h); both halves
     // are full h-prefixes whenever the window fits (pos + L - 1 <= len)
