@@ -3042,6 +3042,17 @@ object SparkEntry {
         prebuilt = Some(suffixLadderFor(s, d))),
       Some(graft.text.ExactSubstr.maxDupSpanOracleSql)),
 
+    // ---- corpus LCP distribution (dedup health): log2 histogram of
+    //      adjacent-suffix LCPs from the same shared ladder — a heavy
+    //      right tail = long exact repeats (ExactSubstr candidates);
+    //      oracle is the independent string-suffix-sort LCP with the
+    //      q_loghist bit-length buckets ----
+    ("q_lcpstats",
+      (s, d) => graft.text.ExactSubstr.lcpHistogram(
+        Tables(s, d).documents, "doc_id",
+        prebuilt = Some(suffixLadderFor(s, d))),
+      Some(graft.text.ExactSubstr.lcpHistogramOracleSql)),
+
     // ---- deterministic stratified sampling: exact per-language quotas by
     //      portable hash order (md5 of the key) — reproducible across
     //      engines, unlike rand() ----

@@ -230,10 +230,27 @@ object ExactSubstr {
   def maxDupSpanExact(docs: DataFrame, keyCol: String,
       textCol: String = "text",
       prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
+    val pairs = adjacentLcpPairs(docs, keyCol, textCol, prebuilt)
+    val mm = pairs.select(col("ka").as(keyCol), col("lcp"))
+      .unionByName(pairs.select(col("kb").as(keyCol), col("lcp")))
+      .groupBy(keyCol).agg(max("lcp").as("max_dup_span"))
+    TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(mm, Seq(keyCol), "left")
+      .na.fill(0L, Seq("max_dup_span"))
+  }
+
+  /** Adjacent-suffix LCP pairs (ka, pa, kb, pb, lcp) — the shared core
+    * of [[maxDupSpanExact]] and the corpus LCP distribution: suffix
+    * array order + binary-descent LCP (see [[maxDupSpanExact]] for the
+    * construction).
+    */
+  def adjacentLcpPairs(docs: DataFrame, keyCol: String,
+      textCol: String = "text",
+      prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
     val toks = TextAnalysis.withTokens(docs, textCol)
       .filter(size(col("tokens")) > 0)
-    // bounded-by-contract scalar: the ladder height (log2 of it) — one
-    // number, not data
     val maxLen = toks.agg(max(size(col("tokens")))).head.getInt(0)
     val upTo = Integer.highestOneBit(math.max(1, maxLen)) *
       (if (Integer.bitCount(math.max(1, maxLen)) == 1) 1 else 2)
@@ -250,6 +267,7 @@ object ExactSubstr {
         col("len").as("lb"), (col("idx") - 1).as("idx")), Seq("idx"))
       .select("ka", "pa", "la", "kb", "pb", "lb")
       .withColumn("lcp", lit(0L))
+      .withColumn("pa0", col("pa")).withColumn("pb0", col("pb"))
       .localCheckpoint()
     rounds.reverse.foreach { case (h, rh) =>
       val ca = rh.select(col(keyCol).as("ka"), col("pos").as("pa"),
@@ -269,13 +287,45 @@ object ExactSubstr {
         .drop("_ra", "_rb2")
         .localCheckpoint()
     }
-    val mm = pairs.select(col("ka").as(keyCol), col("lcp"))
-      .unionByName(pairs.select(col("kb").as(keyCol), col("lcp")))
-      .groupBy(keyCol).agg(max("lcp").as("max_dup_span"))
-    toks.select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
-      .join(mm, Seq(keyCol), "left")
-      .na.fill(0L, Seq("max_dup_span"))
+    pairs.select(col("ka"), col("pa0").as("pa"), col("kb"),
+      col("pb0").as("pb"), col("lcp"))
   }
+
+  /** Corpus LCP distribution: log₂ histogram of adjacent-suffix LCPs —
+    * the dedup-health diagnostic the suffix array gives for free (a
+    * heavy right tail = long exact repeats = candidates for ExactSubstr
+    * removal; mass at 0-1 = healthy novelty). bucket 0 = lcp 0,
+    * bucket b ≥ 1 covers [2^(b−1), 2^b). Output: (bucket, cnt).
+    */
+  def lcpHistogram(docs: DataFrame, keyCol: String,
+      textCol: String = "text",
+      prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame =
+    adjacentLcpPairs(docs, keyCol, textCol, prebuilt)
+      .select(expr(
+        "CAST(CASE WHEN lcp <= 0 THEN 0 ELSE length(bin(lcp)) END AS BIGINT)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB oracle for [[lcpHistogram]]: the independent string-suffix
+    * sort + first-mismatch LCP (the [[maxDupSpanOracleSql]] core) with
+    * the bit-length bucket of the q_loghist/q_degdist convention.
+    */
+  def lcpHistogramOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, pos, toks[pos:] AS suf
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d WHERE len(toks) > 0)),
+      |o AS (SELECT doc_id, pos, suf, row_number() OVER (ORDER BY suf, doc_id, pos) AS idx FROM s),
+      |p AS (SELECT a.suf AS sa, b.suf AS sb
+      |      FROM o a JOIN o b ON b.idx = a.idx + 1),
+      |l AS (SELECT
+      |        CAST(coalesce(
+      |          nullif(list_position(list_transform(range(1, least(len(sa), len(sb)) + 1),
+      |            i -> sa[i] = sb[i]), false), 0) - 1,
+      |          least(len(sa), len(sb))) AS BIGINT) AS lcp
+      |      FROM p)
+      |SELECT CAST(CASE WHEN lcp <= 0 THEN 0 ELSE length(bin(lcp)) END AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM l GROUP BY 1""".stripMargin
 
   /** DuckDB oracle for [[maxDupSpanExact]] — an INDEPENDENT algorithm:
     * materialize the token-list suffixes, sort them lexicographically
