@@ -190,6 +190,20 @@ object SparkEntry {
     hs.map(h => (h, all.filter(col("h") === h).drop("h")))
   }
 
+  /** Session-materialized adjacent-suffix LCP pair table over
+    * `documents` in `dir` — the descent over the shared ladder is paid
+    * once; q_maxdup_exact and q_lcpstats read the artifact (the
+    * suffix-LCP table is a standing corpus artifact the way the pair
+    * graph is). Deterministic: suffix order, tie-breaks and the LCP
+    * descent are all total-order exact.
+    */
+  private def lcpPairsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize.once(spark, s"suflcp|$dir") {
+      graft.text.ExactSubstr.adjacentLcpPairs(
+        Tables(spark, dir).documents, "doc_id",
+        prebuilt = Some(suffixLadderFor(spark, dir)))
+    }
+
   private def plantedDirected(spark: SparkSession, dir: String): DataFrame = {
     val (rows, schema) = plantedMemo.getOrElseUpdate(dir, {
       // High-confidence zone only (cosine >= 0.95): at 4 planes / 16 tables
@@ -3037,9 +3051,8 @@ object SparkEntry {
     //      suffix sort + first-mismatch LCP — so agreement is a strong
     //      cross-check, not a replay ----
     ("q_maxdup_exact",
-      (s, d) => graft.text.ExactSubstr.maxDupSpanExact(
-        Tables(s, d).documents, "doc_id",
-        prebuilt = Some(suffixLadderFor(s, d))),
+      (s, d) => graft.text.ExactSubstr.maxDupSpanFromPairs(
+        Tables(s, d).documents, "doc_id", "text", lcpPairsFor(s, d)),
       Some(graft.text.ExactSubstr.maxDupSpanOracleSql)),
 
     // ---- corpus LCP distribution (dedup health): log2 histogram of
@@ -3048,9 +3061,7 @@ object SparkEntry {
     //      oracle is the independent string-suffix-sort LCP with the
     //      q_loghist bit-length buckets ----
     ("q_lcpstats",
-      (s, d) => graft.text.ExactSubstr.lcpHistogram(
-        Tables(s, d).documents, "doc_id",
-        prebuilt = Some(suffixLadderFor(s, d))),
+      (s, d) => graft.text.ExactSubstr.lcpHistogramFromPairs(lcpPairsFor(s, d)),
       Some(graft.text.ExactSubstr.lcpHistogramOracleSql)),
 
     // ---- deterministic stratified sampling: exact per-language quotas by

@@ -229,8 +229,16 @@ object ExactSubstr {
     */
   def maxDupSpanExact(docs: DataFrame, keyCol: String,
       textCol: String = "text",
-      prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
-    val pairs = adjacentLcpPairs(docs, keyCol, textCol, prebuilt)
+      prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame =
+    maxDupSpanFromPairs(docs, keyCol, textCol,
+      adjacentLcpPairs(docs, keyCol, textCol, prebuilt))
+
+  /** [[maxDupSpanExact]]'s aggregation tail over a prebuilt (possibly
+    * materialized) [[adjacentLcpPairs]] frame — the suffix-LCP pair
+    * table is a standing corpus artifact the way the pair graph is.
+    */
+  def maxDupSpanFromPairs(docs: DataFrame, keyCol: String,
+      textCol: String, pairs: DataFrame): DataFrame = {
     val mm = pairs.select(col("ka").as(keyCol), col("lcp"))
       .unionByName(pairs.select(col("kb").as(keyCol), col("lcp")))
       .groupBy(keyCol).agg(max("lcp").as("max_dup_span"))
@@ -300,7 +308,11 @@ object ExactSubstr {
   def lcpHistogram(docs: DataFrame, keyCol: String,
       textCol: String = "text",
       prebuilt: Option[Seq[(Int, DataFrame)]] = None): DataFrame =
-    adjacentLcpPairs(docs, keyCol, textCol, prebuilt)
+    lcpHistogramFromPairs(adjacentLcpPairs(docs, keyCol, textCol, prebuilt))
+
+  /** [[lcpHistogram]]'s aggregation over a prebuilt pairs frame. */
+  def lcpHistogramFromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .select(expr(
         "CAST(CASE WHEN lcp <= 0 THEN 0 ELSE length(bin(lcp)) END AS BIGINT)")
         .as("bucket"))
