@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
 object ExactSubstr {
 
   /** Packed position: doc_id · 2²⁰ + pos. Injective while docs stay under
-    * 2²⁰ tokens (a million-token document is not a training document; the
-    * require below keeps the contract loud).
+    * 2²⁰ tokens (a million-token document is not a training document);
+    * [[adjacentLcpPairs]]/[[maxDupSpanExact]] — which compute the corpus
+    * max doc length anyway — assert it loudly.
     */
   private val PosBits = 20
 
@@ -260,6 +261,8 @@ object ExactSubstr {
     val toks = TextAnalysis.withTokens(docs, textCol)
       .filter(size(col("tokens")) > 0)
     val maxLen = toks.agg(max(size(col("tokens")))).head.getInt(0)
+    require(maxLen < (1 << PosBits),
+      s"packed-position contract: longest doc $maxLen >= 2^$PosBits tokens")
     val upTo = Integer.highestOneBit(math.max(1, maxLen)) *
       (if (Integer.bitCount(math.max(1, maxLen)) == 1) 1 else 2)
     prebuilt.foreach(r => require(r.last._1 >= upTo,

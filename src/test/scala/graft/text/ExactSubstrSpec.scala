@@ -91,6 +91,30 @@ class ExactSubstrSpec extends SparkSpec {
          col("max_dup_span") > col("max_dup_pow2") * 2 - 1))).count() === 0L)
   }
 
+  test("ordered suffix ranks reproduce lexicographic suffix order") {
+    // hand corpus where order is checkable: suffixes of "b a c a b" and
+    // "a b" — shorter-prefix-first (terminator) cases included
+    val docs = Seq((1L, "b a c a b"), (2L, "a b")).toDF("doc_id", "text")
+    val rounds = ExactSubstr.orderedSuffixRounds(docs, "doc_id", prefixLen = 8)
+    val last = rounds.last._2
+    val got = last.orderBy("rank", "pk")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // suffixes sorted lexicographically (token-wise, shorter prefix first):
+    // "a"(1,4) < "a b"(2,1) < "a b"(1,2)... wait doc1 pos2 = "a c a b"
+    // doc1: [b a c a b] suffixes: p1="b a c a b" p2="a c a b" p3="c a b"
+    //       p4="a b" p5="b"; doc2: p1="a b" p2="b"
+    // sorted: "a b"(1,4)=(2,1) tie -> pk order: doc1 first? pk(1,4) =
+    // 1*2^20+4 < 2*2^20+1 -> (1,4) then (2,1); then "a c a b"(1,2);
+    // then "b"(1,5)=(2,2) -> (1,5),(2,2); then "b a c a b"(1,1);
+    // then "c a b"(1,3)
+    assert(got === Seq((1L, 4L), (2L, 1L), (1L, 2L), (1L, 5L), (2L, 2L),
+      (1L, 1L), (1L, 3L)))
+    // rank equality == identical suffix: the two "a b" share a rank,
+    // the two "b" share a rank, everything else distinct
+    val ranks = last.select("rank").distinct().count()
+    assert(ranks === 5)
+  }
+
   test("agrees with the independent md5-gram implementation corpus-wide") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = ExactSubstr.duplicatedSpanCoverageExact(docs, "doc_id", L = 13)
