@@ -260,6 +260,51 @@ object SparkEntry {
       | CAST(n_planted AS BIGINT) AS planted_found,
       | CAST(1.0 AS DOUBLE) AS planted_recall FROM pl""".stripMargin
 
+  // q_ndcg: DuckDB replay of the exact cosine run (the q_ann_brute CTE at
+  // k=10 over queries vec_id < 20), the id-arithmetic graded judgments,
+  // and the integer-micros nDCG/MRR/recall pipeline. The DCG discount CASE
+  // is generated from the SAME constant table the Spark plan uses
+  // (RankEval.dcgWeightCase), so the only irrational ingredient is shared
+  // verbatim and every aggregate is an order-free integer sum.
+  private val NdcgOracleSql = {
+    val wRun = graft.similarity.RankEval.dcgWeightCase(10, "rnk")
+    val wIdeal = graft.similarity.RankEval.dcgWeightCase(10, "ideal_rank")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS norm FROM e),
+      |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 20),
+      |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(q.qv, n.v), z -> z[1] * z[2])) / (q.qnorm * n.norm) AS cosine
+      |  FROM q, n WHERE n.vec_id != q.query_id),
+      |run AS (SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p),
+      |qr AS (SELECT query_id, query_id + o.off AS doc_id, o.rel
+      |  FROM (SELECT query_id FROM q) qq
+      |  CROSS JOIN (VALUES (100, 3), (200, 2), (300, 1)) AS o(off, rel)
+      |  WHERE query_id + o.off IN (SELECT vec_id FROM embeddings)),
+      |ir AS (SELECT query_id, doc_id, rel,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS ideal_rank FROM qr),
+      |ideal AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+      |    CAST(sum(CASE WHEN ideal_rank <= 10
+      |      THEN CAST(rel AS BIGINT) * $wIdeal ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS idcg_micros
+      |  FROM ir GROUP BY 1),
+      |hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS found_rel,
+      |    CAST(sum(CAST(qr.rel AS BIGINT) * $wRun) AS BIGINT) AS dcg_micros,
+      |    CAST(min(r.rnk) AS BIGINT) AS first_rel_rank
+      |  FROM run r JOIN qr ON r.query_id = qr.query_id AND r.neighbor_id = qr.doc_id
+      |  WHERE r.rnk <= 10 GROUP BY 1)
+      |SELECT i.query_id, i.n_rel,
+      |  coalesce(h.found_rel, CAST(0 AS BIGINT)) AS found_rel,
+      |  coalesce(h.dcg_micros, CAST(0 AS BIGINT)) AS dcg_micros,
+      |  i.idcg_micros,
+      |  CASE WHEN i.idcg_micros = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE coalesce(h.dcg_micros, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) // i.idcg_micros END AS ndcg_micros,
+      |  CASE WHEN h.first_rel_rank IS NULL THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(1000000 AS BIGINT) // h.first_rel_rank END AS mrr_micros,
+      |  CASE WHEN i.n_rel = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE coalesce(h.found_rel, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) // i.n_rel END AS recall_micros
+      |FROM ideal i LEFT JOIN hits h ON i.query_id = h.query_id""".stripMargin
+  }
+
   // Shared by q_rules (Scala-defined rules) and q_rules_cfg (same rules via
   // the runtime JSON ConfigLoader path) — one oracle, two construction paths.
   private val RulesOracleSql =
@@ -1910,6 +1955,39 @@ object SparkEntry {
       Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 20 = 0),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
         |SELECT n.n_docs + p.n_planted AS n_images, p.n_planted AS n_planted,
+        |  p.n_planted AS n_pairs, p.n_planted AS planted_found,
+        |  CAST(1000000 AS BIGINT) AS recall_micros
+        |FROM p, n""".stripMargin)),
+
+    // ---- perceptual AUDIO dedup — the third dedup grain (text, image,
+    //      audio): energy-delta fingerprints over REAL decoded PCM
+    //      (audioEnergyHash64 — 65-window mean-|amplitude| gradient
+    //      signs), the same grain-agnostic banded-hamming generator as
+    //      q_imgdedup (dHashPairs only ever sees the 8-byte fingerprint),
+    //      planted twins via id arithmetic: level-shift (hamming 0) and
+    //      single-window bump (hamming <= 2), recall 1.0 by pigeonhole ----
+    ("q_audiodedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val clips = Multimodal.syntheticBlockWavs(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          Multimodal.audioEnergyHashes(clips, "aud_id"), "aud_id",
+          bands = 4, maxHamming = 3)
+        val planted = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(10000000L)).as("doc_b"))
+        val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+        clips.agg(count(lit(1)).as("n_clips"))
+          .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
+          .withColumn("recall_micros",
+            when(col("n_planted") === 0, lit(1000000L))
+              .otherwise(expr("planted_found * 1000000L div n_planted")))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 20 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n.n_docs + p.n_planted AS n_clips, p.n_planted AS n_planted,
         |  p.n_planted AS n_pairs, p.n_planted AS planted_found,
         |  CAST(1000000 AS BIGINT) AS recall_micros
         |FROM p, n""".stripMargin)),
@@ -3959,6 +4037,34 @@ object SparkEntry {
         k = 10, lambda = 0.7, candPool = 50),
       Some(Retrieval.mmrOracleSql(queryId = 0L, k = 10, lambda = 0.7,
         candPool = 50))),
+
+    // ---- ranking-quality eval (nDCG@10 / MRR / recall@10) over the exact
+    //      cosine run with GRADED planted judgments (query q: q+100 rel 3,
+    //      q+200 rel 2, q+300 rel 1 — id arithmetic the oracle rederives,
+    //      existence-filtered against the corpus). DCG's irrational
+    //      discounts are pre-rounded ONCE into an integer micro-weight
+    //      CASE shared verbatim by both engines; everything downstream is
+    //      order-free integer arithmetic ----
+    ("q_ndcg",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"))
+        val qrels = queries
+          .select(col("query_id"), explode(array(
+            struct(lit(100L).as("off"), lit(3).as("rel")),
+            struct(lit(200L).as("off"), lit(2).as("rel")),
+            struct(lit(300L).as("off"), lit(1).as("rel")))).as("o"))
+          .select(col("query_id"),
+            (col("query_id") + col("o.off")).as("neighbor_id"),
+            col("o.rel").as("rel"))
+          .join(emb.select(col("vec_id").as("neighbor_id")),
+            Seq("neighbor_id"), "left_semi")
+        val run = Similarity.bruteForceTopK(emb, "vec_id",
+          col("vec_id") < 20, k = 10)
+        graft.similarity.RankEval.rankingMetrics(run, qrels, k = 10)
+      },
+      Some(NdcgOracleSql)),
 
     // ---- interval×interval overlap join (bucketed, first-shared-bucket
     //      dedup): click exposure windows × purchase consideration windows

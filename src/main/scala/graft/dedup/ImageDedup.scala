@@ -33,7 +33,10 @@ object ImageDedup {
 
   /** Near-dup pairs (doc_a, doc_b, hamming) from a (key, dhash) frame —
     * null hashes (undecodable payloads) are excluded, matching the decode
-    * fallback contract. 64 must be divisible by `bands`.
+    * fallback contract. 64 must be divisible by `bands`. Grain-agnostic:
+    * only the 8-byte fingerprint column is ever touched, so the audio
+    * energy-delta hashes ([[graft.multimodal.Multimodal.audioEnergyHash64]])
+    * ride the same generator (q_audiodedup).
     */
   def dHashPairs(hashes: DataFrame, keyCol: String, bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {

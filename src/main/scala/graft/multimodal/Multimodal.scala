@@ -688,12 +688,12 @@ object Multimodal {
       recrawl ++ second ++ fresh
     }
 
-  private def mapIds(df: DataFrame, keyCol: String)(
+  private def mapIds(df: DataFrame, keyCol: String, idCol: String = "img_id")(
       gen: Long => Iterator[Row]): DataFrame = {
     val spark = df.sparkSession
     val keyIdx = df.schema.fieldIndex(keyCol)
     val outSchema = StructType(Seq(
-      StructField("img_id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
       StructField("media", BinaryType)))
     val rdd = df.rdd.mapPartitions { iter =>
       iter.flatMap { r =>
@@ -707,6 +707,165 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** 64-bit audio energy-delta hash — [[dHash64]]'s time-domain sibling
+    * (the Haitsma–Kalker fingerprinting idea reduced to its band-energy
+    * core): the decoded PCM stream is cut into 65 equal frame windows,
+    * each window's integer mean |amplitude| is its energy, and bit w is
+    * set when energy(w) < energy(w+1) — the 64 adjacent energy-gradient
+    * signs. Locality mirrors the image case exactly: a uniform gain/level
+    * shift changes no bit (all energies move together, differences keep
+    * their signs) and a perturbation confined to one window flips at most
+    * the 2 comparisons that touch it — which is what makes banded hamming
+    * candidates + exact re-rank a guaranteed near-dup generator at the
+    * audio grain. Integer-exact end to end (Long sums, one integer
+    * division per window). None for anything that is not mono PCM WAV
+    * with ≥ 65 frames ([[decodeWav]]'s honesty contract: no fake hashes
+    * for undecodable payloads).
+    */
+  def audioEnergyHash64(bytes: Array[Byte]): Option[Long] = {
+    val nWindows = 65
+    decodeWav(bytes).flatMap { meta =>
+      if (meta.nChannels != 1 || meta.nFrames < nWindows) None
+      else {
+        // Re-walk to the data chunk (same walk decodeWav validated).
+        def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var off = 12
+        var dOff = -1
+        var dLen = 0
+        while (off + 8 <= bytes.length) {
+          val sz = u32(off + 4).toInt
+          if (tag(off) == "data") { dOff = off + 8; dLen = sz }
+          off += 8 + sz + (sz & 1)
+        }
+        if (dOff < 0) None
+        else {
+          val bps = meta.bitsPerSample / 8
+          val wLen = (meta.nFrames / nWindows).toInt
+          val energy = new Array[Long](nWindows)
+          var w = 0
+          while (w < nWindows) {
+            var sum = 0L
+            var i = 0
+            while (i < wLen) {
+              val f = w * wLen + i
+              val a =
+                if (bps == 1) math.abs((bytes(dOff + f) & 0xff) - 128)
+                else {
+                  val o = dOff + f * 2
+                  math.abs(((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt)
+                }
+              sum += a
+              i += 1
+            }
+            energy(w) = sum / wLen
+            w += 1
+          }
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            if (energy(b) < energy(b + 1)) bits |= 1L << b
+            b += 1
+          }
+          Some(bits)
+        }
+      }
+    }
+  }
+
+  /** DataFrame-level audio fingerprint extraction: (key, dhash) with null
+    * for undecodable / non-mono / sub-window payloads — the exact
+    * [[dHashes]] contract, so the grain-agnostic banded pair generator
+    * ([[graft.dedup.ImageDedup.dHashPairs]] — it only ever sees the
+    * 8-byte fingerprint column) consumes it unchanged. mapPartitions:
+    * PCM byte work stays executor-side; downstream shuffles carry 8
+    * bytes per clip, never the audio.
+    */
+  def audioEnergyHashes(df: DataFrame, keyCol: String,
+      mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("dhash", LongType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        Row(r.get(keyIdx),
+          audioEnergyHash64(r.getAs[Array[Byte]](mediaIdx))
+            .map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic test clip: 65 windows × 64 frames of 16-bit
+    * mono PCM at 8 kHz, window w a ±A_w square wave with
+    * A_w = (32 + md5(tag|w) % 160 + levelDelta [+ bumpDelta]) · 128 —
+    * [[blockPng]]'s audio twin. The square wave makes the window's mean
+    * |amplitude| recover A_w EXACTLY (64 samples of |±A_w|, integer
+    * division exact), so [[audioEnergyHash64]]'s energies are the planted
+    * levels themselves and the two perturbations stay provably local in
+    * hash space: `levelDelta` shifts every window equally (hamming 0) and
+    * `bumpWindow` raises one window by `bumpDelta` (flips at most its 2
+    * comparisons — hamming ≤ 2). Peak level (191 + 8 + 24) · 128 = 28 544
+    * < 32 767, so no clipping can break either argument. Real RIFF/WAVE
+    * container on both ends: canonical 44-byte header here,
+    * [[decodeWav]]'s chunk walk downstream.
+    */
+  def blockWav(tag: String, levelDelta: Int = 0,
+      bumpWindow: Option[Int] = None, bumpDelta: Int = 24): Array[Byte] = {
+    val nWindows = 65
+    val wLen = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nFrames = nWindows * wLen
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var w = 0
+    while (w < nWindows) {
+      val d = md.digest(s"$tag|$w".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var level = 32 + ((d(0) & 0xff) % 160) + levelDelta
+      if (bumpWindow.contains(w)) level += bumpDelta
+      val amp = (level * 128).toShort
+      var i = 0
+      while (i < wLen) {
+        bb.putShort(if ((i & 1) == 0) amp else (-amp).toShort)
+        i += 1
+      }
+      w += 1
+    }
+    bb.array()
+  }
+
+  /** Synthetic audio corpus with planted near-duplicates — the
+    * [[syntheticBlockImages]] planting scheme at the audio grain: every
+    * row gets a deterministic [[blockWav]], and every `plantEvery`-th id
+    * additionally emits a perturbed twin at id + `idOffset`, alternating
+    * a uniform level shift (hamming 0) and a single-window bump
+    * (hamming ≤ 2) — both inside the banded generator's pigeonhole
+    * guarantee zone. Planting is pure id arithmetic, so a SQL oracle
+    * derives the expected pair set from the source table alone.
+    * mapPartitions: WAV synthesis stays executor-side.
+    */
+  def syntheticBlockWavs(df: DataFrame, keyCol: String,
+      plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame =
+    mapIds(df, keyCol, idCol = "aud_id") { id =>
+      val base = Row(id, blockWav(s"aud|$id"))
+      if (id % plantEvery == 0) {
+        val twin =
+          if ((id / plantEvery) % 2 == 0) blockWav(s"aud|$id", levelDelta = 8)
+          else blockWav(s"aud|$id", bumpWindow = Some(30))
+        Iterator(base, Row(id + idOffset, twin))
+      } else Iterator(base)
+    }
 
   /** Demo multimodal corpus with MIXED payload health: every
     * `imageEvery`-th key gets a REAL PNG ([[blockPng]] — a true codec
