@@ -287,11 +287,15 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN ideal_rank <= 10
       |      THEN CAST(rel AS BIGINT) * $wIdeal ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS idcg_micros
       |  FROM ir GROUP BY 1),
-      |hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS found_rel,
-      |    CAST(sum(CAST(qr.rel AS BIGINT) * $wRun) AS BIGINT) AS dcg_micros,
-      |    CAST(min(r.rnk) AS BIGINT) AS first_rel_rank
+      |hitrows AS (SELECT r.query_id, r.rnk, qr.rel,
+      |    row_number() OVER (PARTITION BY r.query_id ORDER BY r.rnk) AS hit_idx
       |  FROM run r JOIN qr ON r.query_id = qr.query_id AND r.neighbor_id = qr.doc_id
-      |  WHERE r.rnk <= 10 GROUP BY 1)
+      |  WHERE r.rnk <= 10),
+      |hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS found_rel,
+      |    CAST(sum(CAST(rel AS BIGINT) * $wRun) AS BIGINT) AS dcg_micros,
+      |    CAST(min(rnk) AS BIGINT) AS first_rel_rank,
+      |    CAST(sum(CAST(hit_idx AS BIGINT) * CAST(1000000 AS BIGINT) // rnk) AS BIGINT) AS ap_num
+      |  FROM hitrows GROUP BY 1)
       |SELECT i.query_id, i.n_rel,
       |  coalesce(h.found_rel, CAST(0 AS BIGINT)) AS found_rel,
       |  coalesce(h.dcg_micros, CAST(0 AS BIGINT)) AS dcg_micros,
@@ -301,9 +305,46 @@ object SparkEntry {
       |  CASE WHEN h.first_rel_rank IS NULL THEN CAST(0 AS BIGINT)
       |       ELSE CAST(1000000 AS BIGINT) // h.first_rel_rank END AS mrr_micros,
       |  CASE WHEN i.n_rel = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE coalesce(h.ap_num, CAST(0 AS BIGINT)) // least(i.n_rel, CAST(10 AS BIGINT)) END AS ap_micros,
+      |  CASE WHEN i.n_rel = 0 THEN CAST(0 AS BIGINT)
       |       ELSE coalesce(h.found_rel, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) // i.n_rel END AS recall_micros
       |FROM ideal i LEFT JOIN hits h ON i.query_id = h.query_id""".stripMargin
   }
+
+  // Synthetic 3-rater × 4-category label panel over documents, shared by
+  // q_kappa / q_fleiss: rater r agrees with the true label doc_id % 4
+  // except when (doc_id · (r + 3)) % 10 < 2, where it reports
+  // (doc_id + r + 1) % 4 — ~20% per-rater noise, pure id arithmetic so
+  // the DuckDB oracle rederives the identical table.
+  private def plantedRaterLabels(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("rater"))
+      .withColumn("label",
+        when((col("doc_id") * (col("rater") + 3)) % 10 < 2,
+          (col("doc_id") + col("rater") + 1) % 4)
+          .otherwise(col("doc_id") % 4))
+
+  private val RaterLabelCte =
+    """l AS (SELECT doc_id, r.rater,
+      |    CASE WHEN (doc_id * (r.rater + 3)) % 10 < 2
+      |         THEN (doc_id + r.rater + 1) % 4 ELSE doc_id % 4 END AS label
+      |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS r(rater))""".stripMargin
+
+  // Planted (score, label) field for the calibration queries: scores
+  // sweep [0, 10⁶] via (doc_id·9973) % 1000001 and the label fires when
+  // an independent id-hash lands under the score — P(label|score) ≈
+  // score/10⁶, i.e. a near-calibrated model both engines rederive.
+  private def plantedScoreLabels(documents: DataFrame): DataFrame =
+    documents.select(
+      ((col("doc_id") * 9973) % 1000001).as("score_micros"),
+      when((col("doc_id") * 7919) % 1000000 <
+        (col("doc_id") * 9973) % 1000001, 1L).otherwise(0L).as("label"))
+
+  private val ScoreLabelCte =
+    """sl AS (SELECT (doc_id * 9973) % 1000001 AS score_micros,
+      |    CASE WHEN (doc_id * 7919) % 1000000 < (doc_id * 9973) % 1000001
+      |         THEN 1 ELSE 0 END AS label
+      |  FROM documents)""".stripMargin
 
   // Shared by q_rules (Scala-defined rules) and q_rules_cfg (same rules via
   // the runtime JSON ConfigLoader path) — one oracle, two construction paths.
@@ -1992,6 +2033,56 @@ object SparkEntry {
         |  CAST(1000000 AS BIGINT) AS recall_micros
         |FROM p, n""".stripMargin)),
 
+    // ---- perceptual VIDEO dedup — the fourth and last planned dedup
+    //      grain (text, image, audio, video): temporal luma-gradient
+    //      fingerprints over REAL decoded YUV4MPEG2 frame walks
+    //      (videoTemporalHash64 — 65-window integer mean-luma gradient
+    //      signs), the same grain-agnostic banded generator, planted
+    //      twins via id arithmetic: brightness-shift (hamming 0) and
+    //      single-frame bump (hamming <= 2), recall 1.0 by pigeonhole ----
+    ("q_videodedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val clips = Multimodal.syntheticBlockY4ms(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          Multimodal.videoTemporalHashes(clips, "vid_id"), "vid_id",
+          bands = 4, maxHamming = 3)
+        val planted = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(10000000L)).as("doc_b"))
+        val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+        clips.agg(count(lit(1)).as("n_clips"))
+          .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
+          .withColumn("recall_micros",
+            when(col("n_planted") === 0, lit(1000000L))
+              .otherwise(expr("planted_found * 1000000L div n_planted")))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 20 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n.n_docs + p.n_planted AS n_clips, p.n_planted AS n_planted,
+        |  p.n_planted AS n_pairs, p.n_planted AS planted_found,
+        |  CAST(1000000 AS BIGINT) AS recall_micros
+        |FROM p, n""".stripMargin)),
+
+    // ---- cross-clip EXACT shared-frame detection (the shared
+    //      intro/outro detector): sampled frames from REAL Y4M decode,
+    //      md5 frame identity (16 bytes/frame shuffled, never planes),
+    //      frame-hash equi-join with the df stop-list cap, planted
+    //      3-frame shared intros via id arithmetic — the oracle
+    //      rederives the full (clip_a, clip_b, n_shared) pair table ----
+    ("q_framedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val clips = Multimodal.syntheticFrameY4ms(docs, "doc_id")
+        val frames = Multimodal.sampleFrames(clips, "vid_id")
+        graft.dedup.ImageDedup.sharedFramePairs(frames, "vid_id")
+      },
+      Some("""SELECT doc_id AS clip_a, doc_id + 10000000 AS clip_b,
+        |  CAST(3 AS BIGINT) AS n_shared_frames
+        |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
+
     // ---- incremental batch-vs-corpus image dedup (the nightly-crawl
     //      shape at the image grain, mirroring q_incdedup): a batch of
     //      re-crawled twins + second copies + fresh images band-joins
@@ -2230,6 +2321,42 @@ object SparkEntry {
         |SELECT CAST(o_custkey % 5 AS INT) AS fold, count(*) AS n,
         |  CAST(sum(CASE WHEN order_count >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
         |FROM m GROUP BY 1""".stripMargin)),
+
+    // ---- split conformal prediction (coverage-guaranteed intervals
+    //      from ANY point model): planted residuals yhat − y =
+    //      (doc_id·37) % 1000 − 500 over documents, calibration split
+    //      doc_id % 5 = 0; q̂ is the EXACT k-th order statistic
+    //      (k = ⌈(n+1)·0.9⌉ in pure integer arithmetic) via the
+    //      range-partitioned sort + zipWithIndex global indexing; the
+    //      oracle replays the order statistic with a window (its side
+    //      is unconstrained) and every output is exact ----
+    ("q_conformal",
+      (s, d) => {
+        val base = Tables(s, d).documents
+          .select(col("doc_id"), length(col("text")).cast("long").as("y"))
+          .withColumn("yhat",
+            col("y") + (col("doc_id") * 37) % 1000 - 500)
+        graft.ml.Conformal.splitConformal(
+          base.filter(col("doc_id") % 5 === 0),
+          base.filter(col("doc_id") % 5 =!= 0),
+          "y", "yhat", alphaNum = 1L, alphaDen = 10L)
+      },
+      Some("""WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS y,
+        |    CAST(length(text) AS BIGINT) + (doc_id * 37) % 1000 - 500 AS yhat FROM documents),
+        |cal AS (SELECT abs(y - yhat) AS s FROM base WHERE doc_id % 5 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |kk AS (SELECT n_cal, greatest(least(((n_cal + 1) * 9 + 9) // 10, n_cal), 1) AS k_rank FROM n),
+        |q AS (SELECT CAST(s AS BIGINT) AS qhat
+        |  FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal) r
+        |  JOIN kk ON r.rn = kk.k_rank),
+        |tst AS (SELECT abs(y - yhat) AS s FROM base WHERE doc_id % 5 != 0),
+        |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN tst.s <= (SELECT qhat FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM tst)
+        |SELECT kk.n_cal, CAST(kk.k_rank AS BIGINT) AS k_rank, q.qhat,
+        |  cov.n_test, cov.covered,
+        |  covered * CAST(1000000 AS BIGINT) // n_test AS coverage_micros
+        |FROM kk, q, cov""".stripMargin)),
 
     // ---- SCD2 merge + keep-first dedup (I5) ----
     ("q_scd2",
@@ -2956,6 +3083,183 @@ object SparkEntry {
         | CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_diversity,
         | count(*) < 10 OR count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    // ---- inter-annotator agreement, Cohen's kappa (raters 0 vs 1): a
+    //      synthetic 3-rater panel labels every document into 4
+    //      categories with 20% per-rater disagreement noise — planting
+    //      is pure id arithmetic ((doc_id·(rater+3)) % 10 < 2 flips the
+    //      label), so the oracle rederives the full label table; counts
+    //      are exact longs, po/pe/kappa one fixed double expression ----
+    ("q_kappa",
+      (s, d) => graft.quality.Agreement.cohenKappa(
+        plantedRaterLabels(Tables(s, d).documents),
+        "doc_id", "rater", "label", raterA = 0L, raterB = 1L),
+      Some(s"""WITH $RaterLabelCte,
+        |co AS (SELECT a.doc_id, a.label AS la, b.label AS lb
+        |  FROM (SELECT doc_id, label FROM l WHERE rater = 0) a
+        |  JOIN (SELECT doc_id, label FROM l WHERE rater = 1) b USING (doc_id)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM co),
+        |ma AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS a_k FROM co GROUP BY 1),
+        |mb AS (SELECT lb AS label, CAST(count(*) AS BIGINT) AS b_k FROM co GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(sum(a_k * b_k), 0) AS BIGINT) AS pe_num FROM ma JOIN mb USING (label)),
+        |x AS (SELECT n_items, agree, pe_num,
+        |    CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+        |    CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)) AS pe
+        |  FROM t, p)
+        |SELECT n_items, agree, pe_num, po, pe,
+        |  CASE WHEN pe = CAST(1 AS DOUBLE)
+        |       THEN (CASE WHEN po = CAST(1 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |       ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+        |FROM x""".stripMargin)),
+
+    // ---- inter-annotator agreement, Fleiss' kappa (the full 3-rater
+    //      panel): same planted label table; S1/S2 exact integer sums,
+    //      pbar/pe/kappa the fixed double boundary expression ----
+    ("q_fleiss",
+      (s, d) => graft.quality.Agreement.fleissKappa(
+        plantedRaterLabels(Tables(s, d).documents),
+        "doc_id", "rater", "label"),
+      Some(s"""WITH $RaterLabelCte,
+        |cells AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
+        |s1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+        |    CAST(sum(c * c) - count(DISTINCT doc_id) * 3 AS BIGINT) AS s1 FROM cells),
+        |s2 AS (SELECT CAST(sum(ck * ck) AS BIGINT) AS s2
+        |  FROM (SELECT label, sum(c) AS ck FROM cells GROUP BY 1)),
+        |x AS (SELECT n_items, CAST(3 AS BIGINT) AS n_raters, s1.s1 AS s1, s2.s2 AS s2,
+        |    CAST(s1.s1 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE)) * CAST(2 AS DOUBLE)) AS pbar,
+        |    CAST(s2.s2 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE)) * (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) AS pe
+        |  FROM s1, s2)
+        |SELECT n_items, n_raters, s1, s2, pbar, pe,
+        |  CASE WHEN pe = CAST(1 AS DOUBLE)
+        |       THEN (CASE WHEN pbar = CAST(1 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |       ELSE (pbar - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+        |FROM x""".stripMargin)),
+
+    // ---- group-fairness audit (equalized-odds / selection-rate parity
+    //      by protected group): planted group-biased classifier field
+    //      (pred threshold shifts with grp), per-group confusion cells
+    //      exact, rates once-rounded, gaps vs the corpus-wide reference;
+    //      -1 sentinels keep degenerate groups total ----
+    ("q_fairness",
+      (s, d) => {
+        val base = Tables(s, d).documents.select(
+            col("doc_id"), (col("doc_id") % 5).as("grp"),
+            when((col("doc_id") * 13) % 10 < 4, 1L).otherwise(0L).as("label"),
+            ((col("doc_id") * 17) % 100).as("h"))
+          .withColumn("pred",
+            when(col("label") === 1 && col("h") < lit(70) + col("grp") * 2, 1L)
+              .when(col("label") === 0 && col("h") < lit(15) + col("grp") * 3, 1L)
+              .otherwise(0L))
+        graft.quality.Fairness.groupParityAudit(base, "grp", "label", "pred")
+      },
+      Some("""WITH b AS (SELECT doc_id % 5 AS grp,
+        |    CASE WHEN (doc_id * 13) % 10 < 4 THEN 1 ELSE 0 END AS y,
+        |    (doc_id * 17) % 100 AS h FROM documents),
+        |p AS (SELECT grp, y,
+        |    CASE WHEN y = 1 AND h < 70 + grp * 2 THEN 1
+        |         WHEN y = 0 AND h < 15 + grp * 3 THEN 1 ELSE 0 END AS pr FROM b),
+        |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y = 1 AND pr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y = 0 AND pr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y = 1 AND pr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN y = 0 AND pr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT *,
+        |    CASE WHEN n = 0 THEN CAST(-1 AS BIGINT) ELSE (tp + fp) * CAST(1000000 AS BIGINT) // n END AS sel_micros,
+        |    CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE tp * CAST(1000000 AS BIGINT) // (tp + fn) END AS tpr_micros,
+        |    CASE WHEN fp + tn = 0 THEN CAST(-1 AS BIGINT) ELSE fp * CAST(1000000 AS BIGINT) // (fp + tn) END AS fpr_micros
+        |  FROM c),
+        |g AS (SELECT
+        |    CAST(CASE WHEN sum(n) = 0 THEN -1 ELSE (sum(tp) + sum(fp)) * 1000000 // sum(n) END AS BIGINT) AS g_sel,
+        |    CAST(CASE WHEN sum(tp) + sum(fn) = 0 THEN -1 ELSE sum(tp) * 1000000 // (sum(tp) + sum(fn)) END AS BIGINT) AS g_tpr,
+        |    CAST(CASE WHEN sum(fp) + sum(tn) = 0 THEN -1 ELSE sum(fp) * 1000000 // (sum(fp) + sum(tn)) END AS BIGINT) AS g_fpr
+        |  FROM c)
+        |SELECT grp, n, tp, fp, fn, tn, sel_micros, tpr_micros, fpr_micros,
+        |  CASE WHEN sel_micros = -1 OR g_sel = -1 THEN CAST(-1 AS BIGINT) ELSE abs(sel_micros - g_sel) END AS sel_gap_micros,
+        |  CASE WHEN tpr_micros = -1 OR g_tpr = -1 THEN CAST(-1 AS BIGINT) ELSE abs(tpr_micros - g_tpr) END AS tpr_gap_micros,
+        |  CASE WHEN fpr_micros = -1 OR g_fpr = -1 THEN CAST(-1 AS BIGINT) ELSE abs(fpr_micros - g_fpr) END AS fpr_gap_micros
+        |FROM r, g""".stripMargin)),
+
+    // ---- confident-learning label-noise matrix (cleanlab core):
+    //      planted noise at doc_id % 10 = 7 (true class = given+1 mod 4,
+    //      model scores follow truth); class-conditional mean thresholds
+    //      + clearing-argmax, all integer micros — the oracle REPLAYS
+    //      the full method (thresholds included), it does not assume the
+    //      plant ----
+    ("q_labelnoise",
+      (s, d) => {
+        val base = Tables(s, d).documents.select(
+          col("doc_id"), (col("doc_id") % 4).as("given"),
+          when(col("doc_id") % 10 === 7, (col("doc_id") % 4 + 1) % 4)
+            .otherwise(col("doc_id") % 4).as("mp"))
+        val long = base.select(col("doc_id").as("item"), col("given"),
+            explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("cls"),
+            col("mp"))
+          .withColumn("score",
+            when(col("cls") === col("mp"), lit(800000L))
+              .otherwise(lit(100000L) + (col("item") * (col("cls") + 3)) % 50000))
+          .drop("mp")
+        graft.quality.LabelNoise.confidentJoint(
+          long, "item", "given", "cls", "score")
+      },
+      Some("""WITH base AS (SELECT doc_id, doc_id % 4 AS given,
+        |    CASE WHEN doc_id % 10 = 7 THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END AS mp
+        |  FROM documents),
+        |l AS (SELECT doc_id AS item, given, CAST(c.c AS BIGINT) AS cls,
+        |    CASE WHEN CAST(c.c AS BIGINT) = mp THEN 800000
+        |         ELSE 100000 + (doc_id * (c.c + 3)) % 50000 END AS score
+        |  FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(c)),
+        |t AS (SELECT cls, sum(score) // count(*) AS t FROM l WHERE cls = given GROUP BY 1),
+        |cl AS (SELECT l.item, l.given, l.cls, l.score
+        |  FROM l JOIN t ON l.cls = t.cls WHERE l.cls != l.given AND l.score >= t.t),
+        |arg AS (SELECT item, given, cls AS suggested FROM (
+        |    SELECT item, given, cls,
+        |      row_number() OVER (PARTITION BY item ORDER BY score DESC, cls) AS rn
+        |    FROM cl) z WHERE rn = 1)
+        |SELECT given, suggested, CAST(count(*) AS BIGINT) AS n_flagged
+        |FROM arg GROUP BY 1, 2""".stripMargin)),
+
+    // ---- reliability diagram (calibration audit for score-gated
+    //      curation): planted near-calibrated (score, label) field,
+    //      10 equal-width bins, per-bin exact counts and once-rounded
+    //      confidence/accuracy micros ----
+    ("q_calib",
+      (s, d) => graft.quality.Calibration.reliabilityTable(
+        plantedScoreLabels(Tables(s, d).documents),
+        "score_micros", "label", bins = 10),
+      Some(s"""WITH $ScoreLabelCte,
+        |b AS (SELECT CAST(least(score_micros * 10 // 1000000, 9) AS INT) AS bin,
+        |    score_micros AS s, label AS l FROM sl),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(l) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS sum_score
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  sum_score // n AS conf_micros,
+        |  n_pos * CAST(1000000 AS BIGINT) // n AS acc_micros,
+        |  abs(n_pos * CAST(1000000 AS BIGINT) // n - sum_score // n) AS gap_micros
+        |FROM g""".stripMargin)),
+
+    // ---- ECE + Brier summary over the same field: ECE weights the
+    //      already-rounded per-bin gaps (Σ n·gap div N); Brier downscales
+    //      per row so the corpus sum stays in Long range ----
+    ("q_ece",
+      (s, d) => graft.quality.Calibration.calibrationSummary(
+        plantedScoreLabels(Tables(s, d).documents),
+        "score_micros", "label", bins = 10),
+      Some(s"""WITH $ScoreLabelCte,
+        |b AS (SELECT CAST(least(score_micros * 10 // 1000000, 9) AS INT) AS bin,
+        |    score_micros AS s, label AS l FROM sl),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(l) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS sum_score
+        |  FROM b GROUP BY 1),
+        |gg AS (SELECT n, abs(n_pos * CAST(1000000 AS BIGINT) // n - sum_score // n) AS gap FROM g),
+        |e AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(n * gap) AS BIGINT) // CAST(sum(n) AS BIGINT) AS ece_micros FROM gg),
+        |br AS (SELECT CAST(sum(((s - l * 1000000) * (s - l * 1000000)) // 1000000) AS BIGINT) AS brier_sum,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM b)
+        |SELECT e.n_total, e.ece_micros, br.brier_sum // br.n_rows AS brier_micros
+        |FROM e, br""".stripMargin)),
 
     // ---- Flesch reading ease per doc: exact word/sentence/vowel-group
     //      counts, one identically-parenthesized double expression ----

@@ -91,4 +91,35 @@ object ImageDedup {
         col("hamming"), lit("batch").as("source"))
     vsCorpus.unionByName(within)
   }
+
+  /** Cross-clip EXACT shared-frame pairs — the "shared intro/outro"
+    * detector at the frame grain: clips whose sampled frames
+    * ([[graft.multimodal.Multimodal.sampleFrames]] output) contain
+    * byte-identical Y planes. Frame identity is `md5(y_plane)` (a
+    * codegen'd columnar projection — 16 bytes/frame is all that ever
+    * shuffles), pairs come from the frame-hash equi-join (never
+    * all-pairs), and a clip repeating a frame internally counts once
+    * (per-clip distinct frame contents before the join).
+    *
+    * `maxClipsPerFrame` is the df stop-list (the q_setsim cap at the
+    * frame grain): a frame shared by more clips than the cap — black
+    * frames, title cards, the boilerplate of video — is excluded from
+    * pair generation, bounding candidate volume ≤ cap · postings
+    * explicitly instead of letting one ubiquitous frame go quadratic.
+    *
+    * Output: (clip_a, clip_b, n_shared_frames), clip_a < clip_b.
+    */
+  def sharedFramePairs(frames: DataFrame, keyCol: String,
+      planeCol: String = "y_plane", maxClipsPerFrame: Int = 50): DataFrame = {
+    require(maxClipsPerFrame >= 2, s"cap must allow pairs: $maxClipsPerFrame")
+    val fp = frames.select(col(keyCol), md5(col(planeCol)).as("fh")).distinct()
+    val dfTab = fp.groupBy("fh").agg(count(lit(1)).as("fdf"))
+    val kept = fp.join(dfTab.filter(col("fdf") <= maxClipsPerFrame), Seq("fh"))
+      .select("fh", keyCol)
+    kept.select(col("fh"), col(keyCol).as("clip_a"))
+      .join(kept.select(col("fh"), col(keyCol).as("clip_b")), Seq("fh"))
+      .filter(col("clip_a") < col("clip_b"))
+      .groupBy("clip_a", "clip_b")
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
 }

@@ -867,6 +867,191 @@ object Multimodal {
       } else Iterator(base)
     }
 
+  /** 64-bit video temporal-luma hash — the video-grain member of the
+    * perceptual fingerprint family ([[dHash64]] spatial / image,
+    * [[audioEnergyHash64]] temporal / audio): the REAL-decoded YUV4MPEG2
+    * frame sequence ([[decodeY4m]]) is cut into 65 equal frame windows,
+    * each window's energy is the integer mean luma over every Y-plane
+    * pixel it contains, and bit w is set when energy(w) < energy(w+1) —
+    * the 64 temporal luma-gradient signs. Locality is the same provable
+    * contract: a uniform brightness shift adds the same constant to every
+    * pixel, hence EXACTLY the same constant to every integer window mean
+    * (sums shift by c·count), so no gradient sign flips (hamming 0); a
+    * perturbation confined to one window touches at most the 2
+    * comparisons adjacent to it (hamming ≤ 2) — which is what lets the
+    * grain-agnostic banded generator
+    * ([[graft.dedup.ImageDedup.dHashPairs]]) guarantee recall inside the
+    * acceptance region at the video grain too. Integer-exact end to end
+    * (Long pixel sums, one integer division per window). None for
+    * streams [[decodeY4m]] rejects or with < 65 frames (no fake
+    * fingerprints for undecodable payloads).
+    */
+  def videoTemporalHash64(bytes: Array[Byte]): Option[Long] = {
+    val nWindows = 65
+    decodeY4m(bytes).flatMap { m =>
+      if (m.nFrames < nWindows) None
+      else {
+        val ySize = m.width * m.height
+        val wLen = m.nFrames / nWindows
+        val energy = new Array[Long](nWindows)
+        var w = 0
+        while (w < nWindows) {
+          var sum = 0L
+          var f = 0
+          while (f < wLen) {
+            val o = m.frameOffsets(w * wLen + f)
+            var i = 0
+            while (i < ySize) { sum += bytes(o + i) & 0xff; i += 1 }
+            f += 1
+          }
+          energy(w) = sum / (wLen.toLong * ySize)
+          w += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b) < energy(b + 1)) bits |= 1L << b
+          b += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  /** DataFrame-level video fingerprint extraction: (key, dhash) with null
+    * for undecodable / sub-window payloads — the [[dHashes]] /
+    * [[audioEnergyHashes]] contract, so
+    * [[graft.dedup.ImageDedup.dHashPairs]] consumes it unchanged.
+    * mapPartitions: frame-walk byte work stays executor-side; downstream
+    * shuffles carry 8 bytes per clip, never the video stream.
+    */
+  def videoTemporalHashes(df: DataFrame, keyCol: String,
+      mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      df.schema(keyCol), StructField("dhash", LongType)))
+    val rdd = df.rdd.mapPartitions { iter =>
+      iter.map { r =>
+        Row(r.get(keyIdx),
+          videoTemporalHash64(r.getAs[Array[Byte]](mediaIdx))
+            .map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic test clip: 65 frames of 8×8 mono (Cmono —
+    * zero chroma bytes) YUV4MPEG2 at 25 fps, frame w a constant luma
+    * plane at level 32 + md5(tag|w) % 160 + levelDelta [+ bumpDelta] —
+    * [[blockWav]]'s video twin. A constant plane makes the window mean
+    * recover the planted level EXACTLY (wLen = 1 frame per window), so
+    * [[videoTemporalHash64]]'s energies are the levels themselves and
+    * both perturbations stay provably local: `levelDelta` shifts every
+    * frame equally (hamming 0), `bumpFrame` raises one frame (hamming
+    * ≤ 2). Peak level 191 + 8 + 24 = 223 < 255, so no clipping can break
+    * either argument. Real YUV4MPEG2 container on both ends: canonical
+    * header + FRAME markers here, [[decodeY4m]]'s walk downstream.
+    */
+  def blockY4m(tag: String, levelDelta: Int = 0,
+      bumpFrame: Option[Int] = None, bumpDelta: Int = 24): Array[Byte] = {
+    val nFrames = 65
+    val w = 8; val h = 8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + w * h))
+    bb.put(header)
+    var f = 0
+    while (f < nFrames) {
+      val d = md.digest(s"$tag|$f".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var level = 32 + ((d(0) & 0xff) % 160) + levelDelta
+      if (bumpFrame.contains(f)) level += bumpDelta
+      bb.put(marker)
+      var i = 0
+      while (i < w * h) { bb.put(level.toByte); i += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Synthetic video corpus with planted near-duplicates — the
+    * [[syntheticBlockWavs]] planting scheme at the video grain: every row
+    * gets a deterministic [[blockY4m]], and every `plantEvery`-th id
+    * additionally emits a perturbed twin at id + `idOffset`, alternating
+    * a uniform brightness shift (hamming 0) and a single-frame bump
+    * (hamming ≤ 2) — both inside the banded generator's pigeonhole
+    * guarantee zone. Planting is pure id arithmetic, so a SQL oracle
+    * derives the expected pair set from the source table alone.
+    * mapPartitions: Y4M synthesis stays executor-side.
+    */
+  def syntheticBlockY4ms(df: DataFrame, keyCol: String,
+      plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame =
+    mapIds(df, keyCol, idCol = "vid_id") { id =>
+      val base = Row(id, blockY4m(s"vid|$id"))
+      if (id % plantEvery == 0) {
+        val twin =
+          if ((id / plantEvery) % 2 == 0) blockY4m(s"vid|$id", levelDelta = 8)
+          else blockY4m(s"vid|$id", bumpFrame = Some(30))
+        Iterator(base, Row(id + idOffset, twin))
+      } else Iterator(base)
+    }
+
+  /** Assemble a YUV4MPEG2 mono container from explicit per-frame Y
+    * planes (each `w·h` bytes) — the generator half of [[decodeY4m]],
+    * used to plant frame-identity structure for the shared-frame
+    * detector. */
+  def frameY4m(frames: Seq[Array[Byte]], w: Int = 8, h: Int = 8): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      s"every frame must be exactly ${w * h} bytes")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + frames.size * (marker.length + w * h))
+    bb.put(header)
+    frames.foreach { f => bb.put(marker); bb.put(f) }
+    bb.array()
+  }
+
+  /** Synthetic video corpus with planted SHARED FRAMES — the test bed
+    * for exact frame-grain dedup
+    * ([[graft.dedup.ImageDedup.sharedFramePairs]]): every row gets a
+    * clip of `nFrames` 8×8 mono frames whose pixels are the md5 digest
+    * of (owner id, frame index) tiled to the plane — 2¹²⁸ content space,
+    * so no two (owner, frame) cells ever collide by accident — and
+    * every `plantEvery`-th id additionally emits a twin at id +
+    * `idOffset` whose FIRST `sharedFrames` frames are byte-copies of
+    * the base clip's (the shared intro) while the rest are its own.
+    * Planting is pure id arithmetic: the expected pair table is exactly
+    * {(id, id + idOffset, sharedFrames) : id ≡ 0 mod plantEvery}.
+    * mapPartitions: container assembly stays executor-side.
+    */
+  def syntheticFrameY4ms(df: DataFrame, keyCol: String,
+      plantEvery: Int = 20, idOffset: Long = 10000000L,
+      sharedFrames: Int = 3, nFrames: Int = 12): DataFrame = {
+    require(sharedFrames >= 1 && sharedFrames < nFrames,
+      s"shared prefix must be a proper prefix: $sharedFrames/$nFrames")
+    mapIds(df, keyCol, idCol = "vid_id") { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def content(owner: Long, f: Int): Array[Byte] = {
+        val d = md.digest(s"vidfr|$owner|$f"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Array.tabulate(64)(i => d(i % 16))
+      }
+      val base = frameY4m((0 until nFrames).map(f => content(id, f)))
+      if (id % plantEvery == 0) {
+        val twin = frameY4m((0 until nFrames).map(f =>
+          if (f < sharedFrames) content(id, f)
+          else content(id + idOffset, f)))
+        Iterator(Row(id, base), Row(id + idOffset, twin))
+      } else Iterator(Row(id, base))
+    }
+  }
+
   /** Demo multimodal corpus with MIXED payload health: every
     * `imageEvery`-th key gets a REAL PNG ([[blockPng]] — a true codec
     * round-trip downstream), every other row carries its caption's UTF-8

@@ -51,11 +51,15 @@ object RankEval {
     * queries in `run` with no judgments get idcg 0 and all-zero metrics.
     *
     * Output per query: (queryCol, n_rel, found_rel, dcg_micros,
-    * idcg_micros, ndcg_micros, mrr_micros, recall_micros) — all BIGINT:
+    * idcg_micros, ndcg_micros, mrr_micros, ap_micros, recall_micros) —
+    * all BIGINT:
     *  - dcg_micros  = Σ_{hits at rank r ≤ k} rel · w(r)
     *  - idcg_micros = Σ_{i ≤ min(k, n_rel)} rel_sorted_desc(i) · w(i)
     *  - ndcg_micros = dcg · 10⁶ div idcg (0 when idcg = 0)
     *  - mrr_micros  = 10⁶ div (first relevant rank ≤ k) (0 when none)
+    *  - ap_micros   = AP@k in micros: Σ_{j-th hit at rank r_j}
+    *    floor(j · 10⁶ / r_j), div min(n_rel, k) — each precision term
+    *    floored independently so the sum is order-free
     *  - recall_micros = found_rel · 10⁶ div n_rel
     */
   def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int,
@@ -76,14 +80,18 @@ object RankEval {
           col(relCol).cast("long") * expr(dcgWeightCase(k, "ideal_rank")))
           .otherwise(0L)).as("idcg_micros"))
 
-    // Hits: run rows (rank <= k) that carry a judgment.
+    // Hits: run rows (rank <= k) that carry a judgment. The hit-index
+    // window runs over per-query HIT lists (≤ k rows by the rank filter).
     val hits = run.filter(col(rankCol) <= k)
       .join(qrels, Seq(queryCol, docCol))
+      .withColumn("hit_idx", row_number().over(
+        Window.partitionBy(queryCol).orderBy(col(rankCol))))
       .groupBy(queryCol)
       .agg(
         count(lit(1)).as("found_rel"),
         sum(col(relCol).cast("long") * expr(wCase)).as("dcg_micros"),
-        min(col(rankCol)).as("first_rel_rank"))
+        min(col(rankCol)).as("first_rel_rank"),
+        sum(expr(s"hit_idx * 1000000L div $rankCol")).as("ap_num"))
 
     ideal.join(hits, Seq(queryCol), "left")
       .select(
@@ -92,14 +100,18 @@ object RankEval {
         coalesce(col("found_rel"), lit(0L)).as("found_rel"),
         coalesce(col("dcg_micros"), lit(0L)).as("dcg_micros"),
         col("idcg_micros"),
-        col("first_rel_rank"))
+        col("first_rel_rank"),
+        col("ap_num"))
       .withColumn("ndcg_micros",
         when(col("idcg_micros") === 0, lit(0L))
           .otherwise(expr("dcg_micros * 1000000L div idcg_micros")))
       .withColumn("mrr_micros",
         when(col("first_rel_rank").isNull, lit(0L))
           .otherwise(expr("1000000L div first_rel_rank")))
-      .drop("first_rel_rank")
+      .withColumn("ap_micros",
+        when(col("n_rel") === 0, lit(0L))
+          .otherwise(expr(s"coalesce(ap_num, 0L) div least(n_rel, ${k}L)")))
+      .drop("first_rel_rank", "ap_num")
       .withColumn("recall_micros",
         when(col("n_rel") === 0, lit(0L))
           .otherwise(expr("found_rel * 1000000L div n_rel")))

@@ -41,6 +41,10 @@ class RankEvalSpec extends SparkSpec {
     assert(q1.getAs[Long]("ndcg_micros") === dcg1 * 1000000L / idcg1)
     assert(q1.getAs[Long]("mrr_micros") === 1000000L, "first relevant at rank 1")
     assert(q1.getAs[Long]("recall_micros") === 2L * 1000000L / 3L)
+    // AP@3: hits at ranks 1 and 3 -> prec 1/1, 2/3; each term floored
+    // independently, sum div min(n_rel, k) = 3
+    assert(q1.getAs[Long]("ap_micros") ===
+      (1000000L + 2L * 1000000L / 3L) / 3L)
 
     val q2 = out(1)
     assert(q2.getAs[Long]("n_rel") === 1L)
@@ -49,6 +53,7 @@ class RankEvalSpec extends SparkSpec {
     assert(q2.getAs[Long]("idcg_micros") === 2L * w(0))
     assert(q2.getAs[Long]("ndcg_micros") === 0L)
     assert(q2.getAs[Long]("mrr_micros") === 0L)
+    assert(q2.getAs[Long]("ap_micros") === 0L)
     assert(q2.getAs[Long]("recall_micros") === 0L)
 
     val q3 = out(2)
@@ -66,5 +71,7 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("dcg_micros") === 1L * w(0))
     // ideal top-3 of rels (3,1,1,1,1): 3*w1 + 1*w2 + 1*w3
     assert(r.getAs[Long]("idcg_micros") === 3L * w(0) + w(1) + w(2))
+    // AP@3: one hit at rank 1, denominator min(n_rel = 5, k = 3) = 3
+    assert(r.getAs[Long]("ap_micros") === 1000000L / 3L)
   }
 }
