@@ -2917,6 +2917,27 @@ object SparkEntry {
         |  END AS r
         |FROM a""".stripMargin)),
 
+    // ---- HITS hubs/authorities (Kleinberg) over the DIRECTED
+    //      customer → purchased-part incidence graph: broad-basket
+    //      customers are hubs, widely-bought parts authorities — the
+    //      mutual-reinforcement ranking a plain degree count misses.
+    //      Integer-exact max-normalized iteration (micros), oracle
+    //      unrolled as chained CTEs in lockstep with the operator ----
+    ("q_hits",
+      (s, d) => {
+        val t = Tables(s, d)
+        val edges = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst"))
+          .distinct()
+        graft.graph.Graph.hitsMicros(edges, iterations = 4)
+      },
+      Some(graft.graph.Graph.hitsOracleSql(
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |  'p' || CAST(l_partkey AS VARCHAR) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin))),
+
     // ---- source-pair vocabulary Jaccard: which crawl sources feed the
     //      corpus the same text — exact distinct-token sets per source,
     //      one token-keyed equi-join (never source×source×tokens), the

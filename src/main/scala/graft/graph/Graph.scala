@@ -335,4 +335,106 @@ object Graph {
           |END""".stripMargin))
       .select("m_directed", "r")
   }
+
+  /** Integer-exact HITS (Kleinberg 1999) over a DIRECTED edge list —
+    * hubs point at good authorities, authorities are pointed at by good
+    * hubs. On a bipartite incidence graph (customer → purchased part,
+    * crawler → fetched page) the hub side ranks broad consumers and the
+    * authority side ranks widely-consumed items — the mutual-
+    * reinforcement ranking a plain degree count misses (an authority
+    * cited only by one-link spam nodes ranks below one cited by broad
+    * hubs).
+    *
+    * The classical L2 normalization is irrational; this uses the equally
+    * standard max-normalization (scores in [0, 1] of the max, here
+    * integer micros), which keeps EVERY intermediate an exact Long:
+    *
+    *   h₀(v) = 1_000_000
+    *   a_t(v) = (Σ_{u→v} h_{t−1}(u)) · 1_000_000 div max_raw_a
+    *   h_t(u) = (Σ_{u→v} a_t(v))     · 1_000_000 div max_raw_h
+    *
+    * so the fixpoint ranking replays bit-for-bit on any engine. The
+    * invariant max > 0 holds whenever `edges` is nonempty (h₀ > 0 and
+    * every edge has a source), so the division is total. Multi-edges
+    * count with multiplicity — dedupe upstream for incidence semantics.
+    *
+    * Overflow: raw sums are bounded by 10⁶ · max-degree, so any graph
+    * with degree below ~9·10¹² is exact — far past anything this engine
+    * materializes.
+    *
+    * Scale shape per iteration: two keyed join+aggregate passes over the
+    * edge list (the same working set as [[pageRankMicros]], cached once)
+    * plus two broadcast 1-row max scalars. `iterations` is small and
+    * fixed; nothing graph-sized crosses the driver.
+    *
+    * Output: (node, hub_micros, auth_micros) over all endpoint nodes —
+    * pure sources carry auth 0, pure sinks carry hub 0.
+    */
+  def hitsMicros(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    // Each raw sum feeds BOTH its max-normalizer scalar and the join that
+    // consumes it, and each normalized vector feeds both the next step and
+    // the final output, so the composed LOGICAL plan re-embeds the whole
+    // chain 4× per iteration — caching doesn't help (the analyzed tree is
+    // built before cache substitution) and a 4-iteration run exhausts the
+    // heap on plan nodes alone. Truncate lineage per vector with an eager
+    // localCheckpoint (node-sized data — the engine's standard pattern
+    // for iterative joins, same as kCore/BPE): every iteration then
+    // starts from a flat in-memory leaf.
+    def maxNorm(rawDf: DataFrame, c: String): DataFrame = {
+      val raw = rawDf.localCheckpoint()
+      val m = raw.agg(max(col(c)).as("_mx"))
+      nodes.join(raw, Seq("node"), "left").na.fill(0L, Seq(c))
+        .crossJoin(broadcast(m))
+        .select(col("node"), expr(s"$c * 1000000L div _mx").as(c))
+        .localCheckpoint()
+    }
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      a = maxNorm(e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a")), "a")
+      h = maxNorm(e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("a").as("h")), "h")
+    }
+    nodes.join(h, Seq("node")).join(a, Seq("node"), "left")
+      .na.fill(0L, Seq("a"))
+      .select(col("node"), col("h").as("hub_micros"), col("a").as("auth_micros"))
+  }
+
+  /** DuckDB oracle for [[hitsMicros]], iterations unrolled as chained
+    * CTEs (same contract as [[pageRankOracleSql]]): `edgesCte` produces
+    * the directed (src, dst) rows. Kept adjacent so the two formulas
+    * stay in reviewable lockstep.
+    */
+  def hitsOracleSql(edgesCte: String, iterations: Int = 4): String = {
+    // Every iteration CTE is referenced twice (the next step's join AND
+    // its own max-normalizer scalar subquery) — without MATERIALIZED,
+    // inlining re-expands the whole chain per reference and the replay
+    // goes exponential in `iterations` (the SQL twin of the plan-growth
+    // problem the Spark side solves by caching the working set).
+    val steps = (1 to iterations).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+         |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(coalesce(a.a, 0) * 1000000 // (SELECT max(a) FROM ar$k) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$k a USING (node)),
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(coalesce(h.h, 0) * 1000000 // (SELECT max(h) FROM hr$k) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$k h USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$steps
+       |SELECT n.node, h.h AS hub_micros, a.a AS auth_micros
+       |FROM nodes n JOIN h$iterations h USING (node) JOIN a$iterations a USING (node)""".stripMargin
+  }
 }

@@ -188,4 +188,52 @@ class GraphSpec extends SparkSpec {
     val r3b = Graph.degreeAssortativity(two.repartition(5)).collect().head
     assert(r3b.getAs[Double]("r") === r3.getAs[Double]("r"))
   }
+
+  test("hitsMicros on a bipartite incidence graph matches the hand-computed lattice") {
+    // c1 -> {p1, p2}, c2 -> {p1}
+    val edges = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p1")).toDF("src", "dst")
+    def run(iters: Int) = Graph.hitsMicros(edges, iterations = iters).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("hub_micros"), r.getAs[Long]("auth_micros")))
+      .toMap
+    // iter 1: a_raw(p1)=2e6, a_raw(p2)=1e6, max 2e6 -> a(p1)=1e6, a(p2)=5e5;
+    // h_raw(c1)=1.5e6, h_raw(c2)=1e6, max 1.5e6 -> h(c1)=1e6, h(c2)=666666
+    assert(run(1) === Map(
+      "c1" -> (1000000L, 0L), "c2" -> (666666L, 0L),
+      "p1" -> (0L, 1000000L), "p2" -> (0L, 500000L)))
+    // iter 2: a_raw(p1)=1666666 (max), a(p2)=1e12 div 1666666 = 600000;
+    // h_raw(c1)=1600000 (max), h(c2)=1e12 div 1600000 = 625000
+    assert(run(2) === Map(
+      "c1" -> (1000000L, 0L), "c2" -> (625000L, 0L),
+      "p1" -> (0L, 1000000L), "p2" -> (0L, 600000L)))
+    // fixpoint direction holds at depth: the broad hub and the shared
+    // authority pin the max; pure sources carry auth 0, pure sinks hub 0
+    val r4 = run(4)
+    assert(r4("c1") === (1000000L, 0L) && r4("p1") === (0L, 1000000L))
+    assert(r4("c2")._1 < 1000000L && r4("p2")._2 < 1000000L)
+    // exact integer lattice: invariant under repartitioning
+    val rp = Graph.hitsMicros(edges.repartition(5), iterations = 4).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("hub_micros"), r.getAs[Long]("auth_micros")))
+      .toMap
+    assert(rp === r4)
+  }
+
+  test("hitsMicros: authority follows hub quality, not raw in-degree") {
+    // pX and pY both have in-degree 1, but pX's citer is a broad hub
+    // (basket of 3) while pY's is single-purpose — mutual reinforcement
+    // must rank a(pX) above a(pY), which a plain in-degree count cannot.
+    val edges = Seq(("s1", "pY"),
+      ("b1", "pX"), ("b1", "pA"), ("b1", "pB")).toDF("src", "dst")
+    val r = Graph.hitsMicros(edges, iterations = 4).collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("hub_micros"), x.getAs[Long]("auth_micros")))
+      .toMap
+    // iter 1: all authorities tie at raw 1e6, so h(b1)=3e6 -> max, and
+    // h(s1) normalizes to 333333; from iter 2 on pY's authority decays
+    // geometrically (333333, 111111, ...) while pX holds the max.
+    assert(r("b1")._1 === 1000000L)
+    assert(r("s1")._1 < 200000L)
+    assert(r("pX")._2 === 1000000L)
+    assert(r("pY")._2 < r("pX")._2 && r("pY")._2 > 0L)
+    // the broad hub's equal-treatment picks tie exactly
+    assert(r("pA")._2 === r("pX")._2 && r("pB")._2 === r("pX")._2)
+  }
 }
