@@ -3241,6 +3241,50 @@ object SparkEntry {
         |SELECT given, suggested, CAST(count(*) AS BIGINT) AS n_flagged
         |FROM arg GROUP BY 1, 2""".stripMargin)),
 
+    // ---- active-learning acquisition (Settles margin sampling): the
+    //      25 lowest-margin items per language stratum from a planted
+    //      4-class score field — integer margins, stratified rank-limit
+    //      pick (WindowGroupLimit, the q_topk_grp shape) ----
+    ("q_active",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val scores = docs.select(col("doc_id"),
+            explode(expr("sequence(0L, 3L)")).as("cls"))
+          .withColumn("score", (col("doc_id") * (lit(13L) + col("cls"))) % 1000001L)
+        graft.ml.ActiveLearning.acquisitionBatch(
+          scores, "doc_id", "cls", "score",
+          docs.select(col("doc_id"), col("lang")), "lang", perStratum = 25)
+      },
+      Some("""WITH sc AS (SELECT d.doc_id AS item, CAST(c.c AS BIGINT) AS cls,
+        |    (d.doc_id * (13 + c.c)) % 1000001 AS score
+        |  FROM documents d CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(c)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item ORDER BY score DESC, cls) AS rr FROM sc),
+        |t AS (SELECT item,
+        |    max(CASE WHEN rr = 1 THEN cls END) AS top_class,
+        |    max(CASE WHEN rr = 1 THEN score END) AS s1,
+        |    max(CASE WHEN rr = 2 THEN score END) AS s2
+        |  FROM r WHERE rr <= 2 GROUP BY 1),
+        |j AS (SELECT d.lang AS stratum, t.item, t.top_class,
+        |    CAST(t.s1 - coalesce(t.s2, 0) AS BIGINT) AS margin_micros,
+        |    CAST(1000000 - t.s1 AS BIGINT) AS least_conf_micros
+        |  FROM t JOIN documents d ON d.doc_id = t.item),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY stratum ORDER BY margin_micros, item) AS pick_rank FROM j)
+        |SELECT stratum, item, top_class, margin_micros, least_conf_micros,
+        |  CAST(pick_rank AS BIGINT) AS pick_rank
+        |FROM p WHERE pick_rank <= 25""".stripMargin)),
+
+    // ---- k-center greedy coreset (Gonzalez farthest-point sampling,
+    //      the Sener–Savarese data-pruning primitive): 8 maximally-
+    //      spread centers over the embedding corpus + the exact
+    //      coverage-radius objective; micros-quantized exact Long
+    //      distances, the oracle replays the full selection trajectory
+    //      round by round ----
+    ("q_coreset",
+      (s, d) => graft.similarity.Coreset.kCenterGreedy(
+        Tables(s, d).embeddings, "vec_id", k = 8),
+      Some(graft.similarity.Coreset.kCenterOracleSql(
+        "SELECT vec_id, embedding FROM embeddings", k = 8))),
+
     // ---- reliability diagram (calibration audit for score-gated
     //      curation): planted near-calibrated (score, label) field,
     //      10 equal-width bins, per-bin exact counts and once-rounded
