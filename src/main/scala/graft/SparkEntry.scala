@@ -4247,6 +4247,40 @@ object SparkEntry {
         |       WHEN ppl_rank * 3 <= 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM r""".stripMargin)),
 
+    // ---- DoReMi-lite domain reweighting (Xie et al. 2023, one-shot
+    //      excess-loss form): per-source mean unigram-LM NLL vs the
+    //      corpus reference, excess-proportional mixture weights with
+    //      the ε-uniform smoothing floor — all integer micros, the
+    //      oracle replays the full chain off the q_unigram_ppl CTE ----
+    ("q_domweights",
+      (s, d) => graft.text.ImportanceSampling.domainExcessWeights(
+        Tables(s, d).documents),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        |cnt AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt FROM b),
+        |per AS (SELECT doc_id,
+        |    CAST(floor(-ln(cb / CAST(tt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM b JOIN cnt USING (bucket) CROSS JOIN tot),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(nll_micros) AS BIGINT) AS nll_total
+        |  FROM per GROUP BY 1),
+        |dom AS (SELECT d.source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(pd.nll_total) AS BIGINT) AS nll_sum
+        |  FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+        |dm AS (SELECT *, CAST(nll_sum // n_tokens AS BIGINT) AS nll_mean_micros FROM dom),
+        |ref AS (SELECT CAST(sum(nll_sum) // sum(n_tokens) AS BIGINT) AS ref_mean FROM dm),
+        |ex AS (SELECT dm.domain, dm.n_docs, dm.n_tokens, dm.nll_mean_micros,
+        |    CAST(greatest(0, dm.nll_mean_micros - ref.ref_mean) AS BIGINT) AS excess_micros
+        |  FROM dm CROSS JOIN ref),
+        |t2 AS (SELECT CAST(sum(excess_micros) AS BIGINT) AS te,
+        |    CAST(count(*) AS BIGINT) AS nd FROM ex)
+        |SELECT domain, n_docs, n_tokens, nll_mean_micros, excess_micros,
+        |  CAST((800000 * (CASE WHEN te > 0 THEN excess_micros * 1000000 // te
+        |                       ELSE 1000000 // nd END)
+        |    + 200000 * (1000000 // nd)) // 1000000 AS BIGINT) AS weight_micros
+        |FROM ex CROSS JOIN t2""".stripMargin)),
+
     // ---- per-domain frequency cap (anti-mega-domain curation): keep the
     //      10 highest-n_chars docs per source; the engine's two-phase
     //      salted ranking ≡ the oracle's single window by the contained-

@@ -280,4 +280,57 @@ object ImportanceSampling {
       .withColumn("mean_nll",
         col("kn_nll_micros").cast("double") / col("n_bigrams") / lit(1e6))
   }
+
+  /** DoReMi-inspired domain reweighting (Xie et al. 2023, single-step
+    * excess-loss form): domains whose mean LM loss exceeds the corpus
+    * reference get training-mixture weight proportional to that excess —
+    * the "upweight what the model finds hard" signal that DoReMi's
+    * exponentiated-gradient loop converges toward. This is the lite
+    * (one-shot, proxy = the corpus's own unigram LM from [[unigramNll]])
+    * variant: no iterative proxy training, no transcendental softmax —
+    * every step is exact integer micros and replays on any engine.
+    *
+    *   nll_mean_d  = Σ_d nll div Σ_d tokens          (once-rounded)
+    *   excess_d    = max(0, nll_mean_d − nll_mean_ref)
+    *   raw_d       = excess_d·10⁶ div Σ excess       (uniform if Σ = 0)
+    *   weight_d    = ((10⁶−ε)·raw_d + ε·(10⁶ div D)) div 10⁶
+    *
+    * with ε the standard uniform-smoothing floor (DoReMi's ε·u term) so
+    * no domain starves to zero. Weights are floor-normalized micros
+    * (Σ ≈ 10⁶ up to D floors — callers needing an exact simplex can
+    * largest-remainder the residue; the training sampler only needs
+    * ratios).
+    *
+    * Scale shape: the [[unigramNll]] token pass (explode + two keyed
+    * map-side-combinable groupBys), one D-row domain aggregate, two
+    * broadcast 1-row scalars. Domains with zero tokens never reach the
+    * token table and carry no row — they have no loss to weigh.
+    */
+  def domainExcessWeights(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text", domainCol: String = "source",
+      epsMicros: Long = 200000L): DataFrame = {
+    require(epsMicros >= 0L && epsMicros <= 1000000L, "epsMicros in [0, 1e6]")
+    val perDoc = unigramNll(docs, keyCol, textCol).drop("mean_nll")
+    val dom = perDoc
+      .join(docs.select(col(keyCol), col(domainCol).as("domain")), Seq(keyCol))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("nll_total_micros").as("_nll_sum"))
+      .withColumn("nll_mean_micros", expr("_nll_sum div n_tokens"))
+    val ref = dom.agg(sum("n_tokens").as("_rt"), sum("_nll_sum").as("_rs"))
+      .select(expr("_rs div _rt").as("_ref_mean"))
+    val withExcess = dom.crossJoin(broadcast(ref))
+      .withColumn("excess_micros",
+        greatest(lit(0L), col("nll_mean_micros") - col("_ref_mean")))
+    val tot = withExcess.agg(sum("excess_micros").as("_te"),
+      count(lit(1)).as("_nd"))
+    withExcess.crossJoin(broadcast(tot))
+      .withColumn("weight_micros", expr(
+        s"""((1000000L - $epsMicros) * (CASE WHEN _te > 0
+           |  THEN excess_micros * 1000000L div _te
+           |  ELSE 1000000L div _nd END)
+           | + $epsMicros * (1000000L div _nd)) div 1000000L""".stripMargin))
+      .select("domain", "n_docs", "n_tokens", "nll_mean_micros",
+        "excess_micros", "weight_micros")
+  }
 }
