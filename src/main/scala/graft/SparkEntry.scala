@@ -3105,6 +3105,35 @@ object SparkEntry {
         | count(*) < 10 OR count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin)),
 
+    // ---- t-closeness (Li et al. 2007), the strictest rung of the
+    //      privacy ladder: per quasi-ID group, the total-variation
+    //      distance of the sensitive-value distribution vs the corpus;
+    //      both shares once-rounded micros, absent values contribute
+    //      |0 − p_v| via the broadcast value-domain grid ----
+    ("q_tclose",
+      (s, d) => graft.quality.DataQuality.tClosenessReport(
+        Tables(s, d).customer, Seq("c_nationkey", "c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), tMicros = 300000L),
+      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+        |grp AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM b GROUP BY 1, 2),
+        |gv AS (SELECT c_nationkey, c_mktsegment, v, CAST(count(*) AS BIGINT) AS cgv
+        |  FROM b GROUP BY 1, 2, 3),
+        |gd AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |cell AS (SELECT g.c_nationkey, g.c_mktsegment, g.group_n, gl.cv, t.n,
+        |    coalesce(x.cgv, 0) AS cgv
+        |  FROM grp g CROSS JOIN gd gl CROSS JOIN tot t
+        |  LEFT JOIN gv x ON x.c_nationkey = g.c_nationkey
+        |    AND x.c_mktsegment = g.c_mktsegment AND x.v = gl.v),
+        |sm AS (SELECT c_nationkey, c_mktsegment, group_n,
+        |    CAST(sum(abs(cgv * 1000000 // group_n - cv * 1000000 // n)) AS BIGINT) AS sd
+        |  FROM cell GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, group_n,
+        |  CAST(sd // 2 AS BIGINT) AS tv_micros, sd // 2 <= 300000 AS t_close
+        |FROM sm""".stripMargin)),
+
     // ---- inter-annotator agreement, Cohen's kappa (raters 0 vs 1): a
     //      synthetic 3-rater panel labels every document into 4
     //      categories with 20% per-rater disagreement noise — planting

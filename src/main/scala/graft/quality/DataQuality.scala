@@ -175,6 +175,55 @@ object DataQuality {
       .withColumn("at_risk", col("group_n") < k || col("l_diversity") < l)
   }
 
+  /** t-closeness (Li, Li & Venkatasubramanian 2007) — the strictest of
+    * the classic privacy ladder (k-anonymity < l-diversity <
+    * t-closeness): a quasi-identifier group leaks even with l distinct
+    * sensitive values if its DISTRIBUTION skews from the corpus (an
+    * attacker learns "this group is mostly high-income" without
+    * unanimity). Per group, the total-variation distance between the
+    * group's sensitive-value distribution and the global one:
+    *
+    *   tv = ½ Σ_v |cnt_gv·10⁶ div n_g − cnt_v·10⁶ div N|
+    *
+    * Both shares round ONCE to micros before the subtraction, the sum
+    * is an exact Long, the final halving is a single `div 2` — so the
+    * screen replays bit-for-bit. Categorical TV (not the paper's
+    * ordered-EMD variant — equivalent for unordered sensitive values).
+    *
+    * Scale shape: three keyed aggregates (group, group×value, value) +
+    * one group×value-domain join (the value domain V is the sensitive
+    * attribute's cardinality — bounded by assumption; this is C·V rows
+    * of counts, never data-sized) + one broadcast 1-row total. Groups
+    * missing a value contribute |0 − p_v| via the value-domain right
+    * join, which a naive group-only sum silently drops.
+    *
+    * Output: (quasi cols..., group_n, tv_micros, t_close) with
+    * t_close = tv ≤ tMicros.
+    */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, tMicros: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicros >= 0L && tMicros <= 1000000L, s"bad threshold: $tMicros")
+    val qc = quasiCols.map(col)
+    val base = df.select(qc :+ sensitiveCol.as("_v"): _*)
+    val grp = base.groupBy(qc: _*).agg(count(lit(1)).as("group_n"))
+    val gv = base.groupBy(qc :+ col("_v"): _*).agg(count(lit(1)).as("_cgv"))
+    val glob = base.groupBy(col("_v")).agg(count(lit(1)).as("_cv"))
+    val tot = glob.agg(sum("_cv").as("_n"))
+    // every (group, value-domain) cell: absent cells carry count 0; the
+    // value domain (V rows) broadcasts, so this is a C×V count grid
+    grp.crossJoin(broadcast(glob.crossJoin(broadcast(tot))))
+      .join(gv, quasiCols :+ "_v", "left")
+      .na.fill(0L, Seq("_cgv"))
+      .withColumn("_d", abs(
+        expr("_cgv * 1000000L div group_n") - expr("_cv * 1000000L div _n")))
+      .groupBy(qc :+ col("group_n"): _*)
+      .agg(sum("_d").as("_s"))
+      .withColumn("tv_micros", expr("_s div 2"))
+      .withColumn("t_close", col("tv_micros") <= tMicros)
+      .drop("_s")
+  }
+
   /** The z² constant a [[wilsonTrust]] expression embeds, computed ONCE
     * in Scala so both engines divide by the identical double (the
     * [[graft.text.CorpusSketches.hllScale]] pattern).

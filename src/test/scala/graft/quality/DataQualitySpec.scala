@@ -135,4 +135,30 @@ class DataQualitySpec extends SparkSpec {
       .map(r => r.getAs[Long]("digit") -> r.getAs[Long]("obs")).toMap
     assert(sk(9L) === 2L && (1L to 8L).forall(sk(_) === 0L))
   }
+
+  test("tClosenessReport: hand-computed total variation, absent-value cells included") {
+    import spark.implicits._
+    def tv(rows: Seq[(String, Long)], t: Long) =
+      DataQuality.tClosenessReport(rows.toDF("g", "v"), Seq("g"), col("v"), t)
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("group_n"),
+          r.getAs[Long]("tv_micros"), r.getAs[Boolean]("t_close")))
+        .toMap
+    // global p(1)=750000, p(2)=250000; A half-half, B unanimous on 1:
+    // both sit at TV 250000
+    val sym = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 1L), ("B", 1L), ("B", 1L), ("B", 1L))
+    assert(tv(sym, 300000L) ===
+      Map("A" -> (4L, 250000L, true), "B" -> (4L, 250000L, true)))
+    assert(tv(sym, 200000L)("B")._3 === false)
+    // a value a group never sees still contributes |0 - p_v|: A never has
+    // 3, B never has 1 or 2 -> both TVs are exactly 500000
+    val disjoint = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 3L))
+    assert(tv(disjoint, 1000000L) ===
+      Map("A" -> (2L, 500000L, true), "B" -> (2L, 500000L, true)))
+    // odd micro-sums: floors round once per share, the halving once more
+    val odd = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L))
+    assert(tv(odd, 1000000L) ===
+      Map("A" -> (3L, 166666L, true), "B" -> (1L, 500000L, true)))
+  }
 }
