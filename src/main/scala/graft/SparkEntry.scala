@@ -3506,6 +3506,17 @@ object SparkEntry {
         rounds = Some(suffixLadderFor(s, d))),
       Some(graft.text.ExactSubstr.oracleSql13)),
 
+    // ---- ExactSubstr span REMOVAL (the Lee et al. §4.2 transform the
+    //      coverage statistic only measures): every token covered by a
+    //      duplicated 13-gram cut, survivors reassembled in position
+    //      order — same shared suffix ladder, oracle replays the cut
+    //      and the reassembled text verbatim ----
+    ("q_dupremove",
+      (s, d) => graft.text.ExactSubstr.removeDuplicatedSpans(
+        Tables(s, d).documents, "doc_id", L = 13,
+        rounds = Some(suffixLadderFor(s, d))),
+      Some(graft.text.ExactSubstr.removalOracleSql13)),
+
     // ---- longest-duplicated-span bracket per doc (the ExactSubstr
     //      longest-match statistic): max power-of-two h with a full
     //      h-window duplicated anywhere — true max span M bracketed in

@@ -394,13 +394,18 @@ object ExactSubstr {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** Exact duplicated-span coverage at window length `L` — positions
-    * covered by an L-token window occurring more than once anywhere in
-    * the corpus, merged per doc. See object doc for the contract.
+  /** Duplicated L-window start positions (keyCol, pos): every position
+    * whose L-token window occurs at least twice anywhere in the corpus —
+    * the shared core of span coverage ([[duplicatedSpanCoverageExact]])
+    * and span removal ([[removeDuplicatedSpans]]). Window identity is
+    * the (h-prefix class at p, h-prefix class at p + L − h) pair with
+    * h = the highest power of two ≤ L; both halves are full h-prefixes
+    * whenever the window fits (pos + L − 1 ≤ len), so the pair equals
+    * the L-gram exactly.
     */
-  def duplicatedSpanCoverageExact(docs: DataFrame, keyCol: String,
-      textCol: String = "text", L: Int = 13,
-      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
+  private def dupWindowStarts(docs: DataFrame, keyCol: String,
+      textCol: String, L: Int,
+      rounds: Option[Seq[(Int, DataFrame)]]): DataFrame = {
     require(L > 1, "span size must be > 1")
     val h = Integer.highestOneBit(L)
     // a prebuilt ladder (e.g. the session-materialized ORDERED ladder —
@@ -411,8 +416,6 @@ object ExactSubstr {
       .getOrElse(suffixClasses(docs, keyCol, textCol, h))
       .withColumnRenamed("rank", "id") // ordered ladders name it rank
     val off = L - h
-    // window class = (h-prefix at p, h-prefix at p + L - h); both halves
-    // are full h-prefixes whenever the window fits (pos + L - 1 <= len)
     val right = r.select(col(keyCol), (col("pos") - off).as("pos"),
       col("id").as("_ib"))
     val wins =
@@ -422,9 +425,19 @@ object ExactSubstr {
         .select(col(keyCol), col("pos"), col("id").as("_ia"), col("_ib"))
     val dup = wins.groupBy("_ia", "_ib").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select("_ia", "_ib")
+    wins.join(dup, Seq("_ia", "_ib")).select(col(keyCol), col("pos"))
+  }
+
+  /** Exact duplicated-span coverage at window length `L` — positions
+    * covered by an L-token window occurring more than once anywhere in
+    * the corpus, merged per doc. See object doc for the contract.
+    */
+  def duplicatedSpanCoverageExact(docs: DataFrame, keyCol: String,
+      textCol: String = "text", L: Int = 13,
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("pos")
-    val cov = wins.join(dup, Seq("_ia", "_ib"))
+    val cov = dupWindowStarts(docs, keyCol, textCol, L, rounds)
       .withColumn("_next", lead(col("pos"), 1).over(w))
       .withColumn("_c", when(col("_next").isNull, lit(L.toLong))
         .otherwise(least(lit(L.toLong), col("_next") - col("pos"))))
@@ -440,13 +453,58 @@ object ExactSubstr {
           |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
   }
 
-  /** DuckDB oracle for [[duplicatedSpanCoverageExact]] at L = 13: the
-    * three doublings (1→2→4→8) unrolled as chained CTEs with the
-    * identical min-packed-position class representative, the h=8/off=5
-    * overlap pair, and the same LEAD-merge coverage tail as q_dupspan's
-    * oracle.
+  /** Remove every token covered by a duplicated L-window — the actual
+    * ExactSubstr dedup TRANSFORM (Lee et al. 2022 §4.2 cut the spans;
+    * the coverage statistic above only measures them). All copies of a
+    * duplicated span are removed (the paper's choice: the text
+    * reappearing verbatim elsewhere is boilerplate wherever it sits);
+    * remaining tokens are reassembled in position order.
+    *
+    * Output: (keyCol, n_tokens, kept_tokens, removed_tokens,
+    * clean_text) for every doc with ≥ 1 token — a fully-duplicated doc
+    * keeps 0 tokens and an empty clean_text (the downstream length gate
+    * drops it).
+    *
+    * Scale shape: the shared [[dupWindowStarts]] pass, an explode of
+    * the start positions into covered positions (× L, the shingle-
+    * explode budget) + distinct, one anti-join at the token grain, and
+    * a per-doc (doc-bounded) sorted reassembly.
     */
-  def oracleSql13: String =
+  def removeDuplicatedSpans(docs: DataFrame, keyCol: String,
+      textCol: String = "text", L: Int = 13,
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
+    val covered = dupWindowStarts(docs, keyCol, textCol, L, rounds)
+      .select(col(keyCol),
+        explode(expr(s"sequence(pos, pos + ${L - 1})")).as("pos"))
+      .distinct()
+    val toks = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"),
+        posexplode(col("tokens")).as(Seq("pos0", "tok")))
+      .select(col(keyCol), col("n_tokens"),
+        (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(keyCol, "pos"), "left_anti")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("kept_tokens"),
+        // positions are unique per doc, so the struct sort is a total
+        // order and the reassembly is deterministic; lists are
+        // doc-bounded
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    toks.select(col(keyCol), col("n_tokens")).distinct()
+      .join(kept, Seq(keyCol), "left")
+      .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("clean_text"))
+      .withColumn("removed_tokens", col("n_tokens") - col("kept_tokens"))
+      .select(keyCol, "n_tokens", "kept_tokens", "removed_tokens", "clean_text")
+  }
+
+  /** The shared L=13 CTE chain (three doublings 1→2→4→8 with the
+    * min-packed-position class representative, the h=8/off=5 overlap
+    * pair, and the duplicated-window filter) — both oracles below
+    * append their tails to it.
+    */
+  private val chain13: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |p0 AS (SELECT doc_id, CAST(pr.pos AS BIGINT) AS pos, CAST(len(toks) AS BIGINT) AS len,
       |    doc_id * 1048576 + pr.pos AS pk, pr.tok AS tok
@@ -470,7 +528,14 @@ object ExactSubstr {
       |w AS (SELECT a.doc_id, a.pos, a.id AS ia, b.id AS ib
       |  FROM r8 a JOIN r8 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 5
       |  WHERE a.pos + 12 <= a.len),
-      |dup AS (SELECT ia, ib FROM w GROUP BY 1, 2 HAVING count(*) > 1),
+      |dup AS (SELECT ia, ib FROM w GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin
+
+  /** DuckDB oracle for [[duplicatedSpanCoverageExact]] at L = 13: the
+    * shared [[chain13]] doublings plus the same LEAD-merge coverage
+    * tail as q_dupspan's oracle.
+    */
+  def oracleSql13: String = chain13 +
+    """,
       |cc AS (SELECT w.doc_id, w.pos, least(13, coalesce(
       |    lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos), w.pos + 13) - w.pos) AS c
       |  FROM w JOIN dup USING (ia, ib)),
@@ -484,4 +549,26 @@ object ExactSubstr {
       |  CAST(floor(CAST(coalesce(covered_tokens, 0) AS DOUBLE)
       |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_micros
       |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[removeDuplicatedSpans]] at L = 13: the shared
+    * [[chain13]] doublings plus the covered-position expansion,
+    * token-grain anti-join and position-ordered reassembly.
+    */
+  def removalOracleSql13: String = chain13 +
+    """,
+      |cwu AS (SELECT w.doc_id, unnest(range(w.pos, w.pos + 13)) AS pos
+      |  FROM w JOIN dup USING (ia, ib)),
+      |cw AS (SELECT DISTINCT doc_id, pos FROM cwu),
+      |kept AS (SELECT p.doc_id, p.pos, p.tok FROM p0 p
+      |  LEFT JOIN cw ON cw.doc_id = p.doc_id AND cw.pos = p.pos
+      |  WHERE cw.pos IS NULL),
+      |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1),
+      |nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM d WHERE len(toks) > 0)
+      |SELECT nn.doc_id, nn.n_tokens,
+      |  coalesce(ag.kept_tokens, 0) AS kept_tokens,
+      |  nn.n_tokens - coalesce(ag.kept_tokens, 0) AS removed_tokens,
+      |  coalesce(ag.clean_text, '') AS clean_text
+      |FROM nn LEFT JOIN ag USING (doc_id)""".stripMargin
 }

@@ -123,4 +123,32 @@ class ExactSubstrSpec extends SparkSpec {
     assert(exact.exceptAll(grams).count() === 0L)
     assert(grams.exceptAll(exact).count() === 0L)
   }
+
+  test("removeDuplicatedSpans cuts every copy of a duplicated 13-gram and reassembles in order") {
+    val a = (1 to 13).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $a"),     // 16 tokens, dup window at pos 4
+      (2L, s"$a v1 v2"),        // 15 tokens, dup window at pos 1
+      (3L, a),                  // fully duplicated -> empty survivor
+      (4L, "w1 w2 w3")          // short doc: untouchable
+    ).toDF("doc_id", "text")
+    val r = ExactSubstr.removeDuplicatedSpans(docs, "doc_id", L = 13)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("kept_tokens"), x.getAs[Long]("removed_tokens"),
+        x.getAs[String]("clean_text")))
+      .toMap
+    assert(r(1L) === (16L, 3L, 13L, "u1 u2 u3"))
+    assert(r(2L) === (15L, 2L, 13L, "v1 v2"))
+    assert(r(3L) === (13L, 0L, 13L, ""))
+    assert(r(4L) === (3L, 3L, 0L, "w1 w2 w3"))
+    // reassembly preserves original token order across a removed middle
+    val mid = Seq(
+      (7L, s"p1 $a p2"),
+      (8L, s"q0 $a")).toDF("doc_id", "text")
+    val m = ExactSubstr.removeDuplicatedSpans(mid, "doc_id", L = 13)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("clean_text")).toMap
+    assert(m(7L) === "p1 p2")
+    assert(m(8L) === "q0")
+  }
 }
