@@ -3134,6 +3134,47 @@ object SparkEntry {
         |  CAST(sd // 2 AS BIGINT) AS tv_micros, sd // 2 <= 300000 AS t_close
         |FROM sm""".stripMargin)),
 
+    // ---- one-pass table profiler ("describe" for new sources): per
+    //      column exact n/null/distinct in long format — key-candidate
+    //      and constant-column detection become plain filters; exact
+    //      multi-distinct via Spark's single-scan Expand ----
+    ("q_profile",
+      (s, d) => graft.quality.Profiler.profile(Tables(s, d).customer,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      Some(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    // ---- Luhn-validated payment-card candidates (checksum-grade PII
+    //      detection — the false-positive filter over q_pii's pattern
+    //      match): synthesized id-derived digit runs, every 13-19 digit
+    //      run extracted and mod-10 verdicted with the identical
+    //      integer arithmetic on both engines ----
+    ("q_luhn",
+      (s, d) => graft.text.TextAnalysis.luhnCandidates(
+        Tables(s, d).documents.select(col("doc_id"), concat(
+          lit("x "),
+          lpad(((col("doc_id") * 7919) % 10000000000000000L).cast("string"), 16, "0"),
+          lit(" y "),
+          lpad(((col("doc_id") * 104729) % 100000000000000L).cast("string"), 14, "0"),
+          lit(" z 123456789 end")).as("text")), "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    'x ' || lpad(CAST((doc_id * 7919) % 10000000000000000 AS VARCHAR), 16, '0')
+        |    || ' y ' || lpad(CAST((doc_id * 104729) % 100000000000000 AS VARCHAR), 14, '0')
+        |    || ' z 123456789 end' AS text FROM documents),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]{13,19}')) AS candidate FROM t)
+        |SELECT doc_id, candidate,
+        |  list_sum(list_transform(range(0, length(candidate)), i ->
+        |    CASE WHEN i % 2 = 1
+        |      THEN CASE WHEN CAST(substr(candidate, length(candidate) - i, 1) AS BIGINT) * 2 > 9
+        |        THEN CAST(substr(candidate, length(candidate) - i, 1) AS BIGINT) * 2 - 9
+        |        ELSE CAST(substr(candidate, length(candidate) - i, 1) AS BIGINT) * 2 END
+        |      ELSE CAST(substr(candidate, length(candidate) - i, 1) AS BIGINT) END)) % 10 = 0
+        |    AS luhn_valid
+        |FROM c""".stripMargin)),
+
     // ---- inter-annotator agreement, Cohen's kappa (raters 0 vs 1): a
     //      synthetic 3-rater panel labels every document into 4
     //      categories with 20% per-rater disagreement noise — planting

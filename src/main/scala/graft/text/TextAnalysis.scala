@@ -633,4 +633,34 @@ object TextAnalysis {
       .withColumn("keep", col("score_micros") >= thresholdMicros)
       .select(keyCol, "n_tokens", "score_micros", "keep")
   }
+
+  /** The Luhn mod-10 validity predicate over a digit-string column —
+    * pure integer arithmetic (right-to-left, every second digit doubled,
+    * >9 reduced by 9), identical as a Spark `aggregate` and a DuckDB
+    * `list_sum(list_transform(...))`, so the verdicts replay exactly.
+    */
+  def luhnValidExpr(c: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, length($c) - 1), 0L, (acc, i) -> acc +
+       |  CASE WHEN i % 2 = 1
+       |    THEN CASE WHEN CAST(substring($c, length($c) - i, 1) AS BIGINT) * 2 > 9
+       |      THEN CAST(substring($c, length($c) - i, 1) AS BIGINT) * 2 - 9
+       |      ELSE CAST(substring($c, length($c) - i, 1) AS BIGINT) * 2 END
+       |    ELSE CAST(substring($c, length($c) - i, 1) AS BIGINT) END) % 10 = 0""".stripMargin)
+
+  /** Luhn-validated payment-card candidates (the checksum upgrade to
+    * [[piiScrub]]'s pattern-only card regex): every 13–19 digit run in
+    * the text, with its mod-10 verdict — the standard false-positive
+    * filter (a random digit run passes Luhn ~10% of the time; an order
+    * id or timestamp masquerading as a PAN almost never does). One
+    * regexp projection + explode; candidates-per-doc bounded by text
+    * length.
+    *
+    * Output: (keyCol, candidate, luhn_valid).
+    */
+  def luhnCandidates(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame =
+    docs.select(col(keyCol),
+        explode(expr(s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)"))
+          .as("candidate"))
+      .withColumn("luhn_valid", luhnValidExpr("candidate"))
 }
