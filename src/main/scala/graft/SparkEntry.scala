@@ -3175,6 +3175,23 @@ object SparkEntry {
         |    AS luhn_valid
         |FROM c""".stripMargin)),
 
+    // ---- vocabulary richness: Chao1 estimated true vocab + Good-Turing
+    //      unseen mass from exact singleton/doubleton counts — the
+    //      crawl-coverage saturation signal; two keyed groupBys + one
+    //      1-row aggregate, estimators once-rounded micros ----
+    ("q_chao1",
+      (s, d) => graft.text.TextAnalysis.vocabRichness(Tables(s, d).documents),
+      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT n_tokens, vocab, f1, f2,
+        |  CAST(f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_extra_micros,
+        |  CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_micros
+        |FROM a""".stripMargin)),
+
     // ---- inter-annotator agreement, Cohen's kappa (raters 0 vs 1): a
     //      synthetic 3-rater panel labels every document into 4
     //      categories with 20% per-rater disagreement noise — planting
@@ -3226,6 +3243,41 @@ object SparkEntry {
         |       THEN (CASE WHEN pbar = CAST(1 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
         |       ELSE (pbar - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
         |FROM x""".stripMargin)),
+
+    // ---- Krippendorff's alpha (nominal) on a deliberately RAGGED
+    //      panel — the missing-ratings case Cohen/Fleiss cannot take:
+    //      the planted 3-rater labels with rater 2 absent on doc_id%7=3
+    //      and only rater 0 present on doc_id%11=5 (those single-rating
+    //      items must drop); coincidence-matrix form, per-item fractions
+    //      once-rounded micros ----
+    ("q_kripp",
+      (s, d) => graft.quality.Agreement.krippendorffAlpha(
+        plantedRaterLabels(Tables(s, d).documents)
+          .filter(!(col("doc_id") % 7 === 3 && col("rater") === 2) &&
+            !(col("doc_id") % 11 === 5 && col("rater") >= 1)),
+        "doc_id", "rater", "label"),
+      Some(s"""WITH $RaterLabelCte,
+        |lf AS (SELECT * FROM l WHERE NOT (doc_id % 7 = 3 AND rater = 2)
+        |    AND NOT (doc_id % 11 = 5 AND rater >= 1)),
+        |cells AS (SELECT doc_id AS item, label, CAST(count(*) AS BIGINT) AS c FROM lf GROUP BY 1, 2),
+        |pi AS (SELECT item, sum(c) AS m, sum(c * (c - 1)) AS occ FROM cells GROUP BY 1),
+        |pk AS (SELECT * FROM pi WHERE m >= 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+        |    CAST(coalesce(sum(occ * 1000000 // (m - 1)), 0) AS BIGINT) AS socc FROM pk),
+        |nc AS (SELECT CAST(coalesce(sum(n_c * n_c), 0) AS BIGINT) AS snc2
+        |  FROM (SELECT c.label, sum(c.c) AS n_c FROM cells c JOIN pk ON pk.item = c.item GROUP BY 1)),
+        |f AS (SELECT n_items, n_ratings,
+        |    n_ratings * 1000000 - socc AS do_m,
+        |    CASE WHEN n_ratings >= 2
+        |      THEN (n_ratings * n_ratings - snc2) * 1000000 // (n_ratings - 1) END AS de_m
+        |  FROM t CROSS JOIN nc)
+        |SELECT n_items, n_ratings, CAST(do_m AS BIGINT) AS do_micros,
+        |  CAST(de_m AS BIGINT) AS de_micros,
+        |  CASE WHEN de_m IS NULL THEN NULL
+        |       WHEN de_m = 0 THEN (CASE WHEN do_m = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |       ELSE CAST(1 AS DOUBLE) - CAST(do_m AS DOUBLE) / CAST(de_m AS DOUBLE) END AS alpha
+        |FROM f""".stripMargin)),
 
     // ---- group-fairness audit (equalized-odds / selection-rate parity
     //      by protected group): planted group-biased classifier field

@@ -111,4 +111,64 @@ object Agreement {
           when(col("pbar") === 1.0d, lit(1.0d)).otherwise(lit(0.0d)))
           .otherwise((col("pbar") - col("pe")) / (lit(1.0d) - col("pe"))))
   }
+
+  /** Krippendorff's alpha (nominal) over a long (item, rater, label)
+    * frame — the agreement statistic that HANDLES MISSING RATINGS, which
+    * real labeling runs always have (Cohen needs a fixed pair, Fleiss a
+    * fixed panel; alpha takes whatever arrived). Items with a single
+    * rating are dropped (they carry no pairable information — the
+    * standard design); everything else contributes its m_u ratings.
+    *
+    * Coincidence-matrix form: with per-item category counts r_uc and
+    * m_u = Σ_c r_uc ≥ 2,
+    *
+    *   n        = Σ_u m_u
+    *   Σo_cc    = Σ_u (Σ_c r_uc(r_uc−1)) / (m_u−1)
+    *   Do       = n − Σo_cc
+    *   De       = (n² − Σ_c n_c²) / (n−1)
+    *   alpha    = 1 − Do/De
+    *
+    * The per-item 1/(m_u−1) terms are the one place fractions enter:
+    * each rounds ONCE to micros (`occ_u·10⁶ div (m_u−1)`) before the
+    * exact Long sum — on a uniform panel this is a single shared
+    * division (no rounding interplay), and in general it defines the
+    * deterministic engine statistic, replayable anywhere. De rounds once
+    * the same way. When De = 0 (all ratings one category) alpha is 1 on
+    * perfect agreement and 0 otherwise, the [[cohenKappa]] convention;
+    * with no pairable items alpha is null. Overflow bound: n²·10⁶ stays
+    * exact while n ≤ 3·10⁶ ratings — the [[graft.graph.Graph.degreeAssortativity]]
+    * stated-bound convention; re-derive before a web-scale label store.
+    *
+    * Output (one row): n_items, n_ratings, do_micros, de_micros, alpha.
+    *
+    * Scale shape: two keyed aggregates (item×label cells, per-item
+    * sums), one label-cardinality aggregate, two broadcast 1-row
+    * combines. No windows, no collects.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cells.groupBy("item")
+      .agg(sum("c").as("m"), sum(col("c") * (col("c") - 1)).as("occ"))
+      .filter(col("m") >= 2)
+    val totals = perItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum("m"), lit(0L)).as("n_ratings"),
+      coalesce(sum(expr("occ * 1000000L div (m - 1)")), lit(0L)).as("_socc"))
+    val nc2 = cells.join(perItem.select("item"), Seq("item"))
+      .groupBy("label").agg(sum("c").as("n_c"))
+      .agg(coalesce(sum(col("n_c") * col("n_c")), lit(0L)).as("_snc2"))
+    totals.crossJoin(broadcast(nc2))
+      .withColumn("do_micros", expr("n_ratings * 1000000L - _socc"))
+      .withColumn("de_micros", expr(
+        "CASE WHEN n_ratings >= 2 THEN (n_ratings * n_ratings - _snc2) * 1000000L div (n_ratings - 1) END"))
+      .withColumn("alpha",
+        when(col("de_micros").isNull, lit(null).cast("double"))
+          .when(col("de_micros") === 0L,
+            when(col("do_micros") === 0L, lit(1.0d)).otherwise(lit(0.0d)))
+          .otherwise(lit(1.0d) -
+            col("do_micros").cast("double") / col("de_micros").cast("double")))
+      .select("n_items", "n_ratings", "do_micros", "de_micros", "alpha")
+  }
 }

@@ -634,6 +634,40 @@ object TextAnalysis {
       .select(keyCol, "n_tokens", "score_micros", "keep")
   }
 
+  /** Vocabulary-richness estimators — how much vocabulary the corpus has
+    * NOT yet seen, the coverage-planning signal for crawl scheduling and
+    * tokenizer sizing: Chao1 (Chao 1984, bias-corrected form — estimated
+    * true vocabulary size from the singleton/doubleton counts) and the
+    * Good–Turing unseen mass (the probability the next token is novel,
+    * p₀ = f₁/N). A corpus whose Chao1 estimate far exceeds its observed
+    * vocabulary is still discovering its domain; one whose unseen mass
+    * approaches zero has saturated.
+    *
+    * Exactness: f₁, f₂, S, N are exact Longs from two keyed aggregates;
+    * both estimators round ONCE via `div` micros. Chao1 uses the
+    * bias-corrected f₁(f₁−1)/(2(f₂+1)) so the f₂ = 0 corpus is total.
+    * Overflow bound: the f₁(f₁−1)·10⁶ numerator is exact while
+    * f₁ ≤ 3·10⁶ singletons (the [[graft.graph.Graph.degreeAssortativity]]
+    * convention: stated, and two orders above anything the test corpora
+    * produce — re-derive before pointing at a web-scale vocabulary).
+    *
+    * Scale shape: one token explode + two map-side-combinable groupBys
+    * (token counts, then count-of-counts) + a 1-row aggregate.
+    */
+  def vocabRichness(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = withTokens(docs, textCol)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_extra_micros",
+        expr("f1 * (f1 - 1) * 1000000L div (2L * (f2 + 1))"))
+      .withColumn("gt_unseen_micros", expr("f1 * 1000000L div n_tokens"))
+  }
+
   /** The Luhn mod-10 validity predicate over a digit-string column —
     * pure integer arithmetic (right-to-left, every second digit doubled,
     * >9 reduced by 9), identical as a Spark `aggregate` and a DuckDB

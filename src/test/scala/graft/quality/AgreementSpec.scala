@@ -92,4 +92,38 @@ class AgreementSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fixed panel"))
   }
+
+  test("krippendorffAlpha: hand-computed coincidence form on even and ragged panels") {
+    import spark.implicits._
+    def alpha(rows: Seq[(Long, Long, String)]) =
+      Agreement.krippendorffAlpha(rows.toDF("item", "rater", "label"),
+        "item", "rater", "label").collect().head
+    // {AA, AB}: n=4, socc=2e6, Do=2e6; De=(16-10)e6 div 3=2e6 -> alpha 0
+    val r1 = alpha(Seq((1L, 0L, "A"), (1L, 1L, "A"), (2L, 0L, "A"), (2L, 1L, "B")))
+    assert(r1.getAs[Long]("do_micros") === 2000000L)
+    assert(r1.getAs[Long]("de_micros") === 2000000L)
+    assert(r1.getAs[Double]("alpha") === 0.0d)
+    // perfect agreement across two categories -> alpha exactly 1
+    val r2 = alpha(Seq((1L, 0L, "A"), (1L, 1L, "A"), (2L, 0L, "B"), (2L, 1L, "B")))
+    assert(r2.getAs[Long]("do_micros") === 0L)
+    assert(r2.getAs[Long]("de_micros") === 2666666L)
+    assert(r2.getAs[Double]("alpha") === 1.0d)
+    // degenerate single-category corpus: De = 0, perfect -> 1
+    val r3 = alpha(Seq((1L, 0L, "A"), (1L, 1L, "A"), (2L, 0L, "A"), (2L, 1L, "A")))
+    assert(r3.getAs[Long]("de_micros") === 0L && r3.getAs[Double]("alpha") === 1.0d)
+    // RAGGED panel (the case Cohen/Fleiss cannot take): m in {3, 2}, a
+    // single-rating item dropped; hand lattice: socc=1e6, Do=4e6, De=3e6
+    val r4 = alpha(Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"),
+      (2L, 0L, "A"), (2L, 1L, "B"),
+      (3L, 0L, "A")))
+    assert(r4.getAs[Long]("n_items") === 2L)
+    assert(r4.getAs[Long]("n_ratings") === 5L)
+    assert(r4.getAs[Long]("do_micros") === 4000000L)
+    assert(r4.getAs[Long]("de_micros") === 3000000L)
+    assert(r4.getAs[Double]("alpha") === 1.0d - 4000000.0d / 3000000.0d)
+    // nothing pairable: null alpha, zero counts
+    val r5 = alpha(Seq((1L, 0L, "A"), (2L, 1L, "B")))
+    assert(r5.getAs[Long]("n_items") === 0L && r5.isNullAt(r5.fieldIndex("alpha")))
+  }
 }

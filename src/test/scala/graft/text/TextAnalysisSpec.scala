@@ -296,4 +296,26 @@ class TextAnalysisSpec extends SparkSpec {
     // no raw PII survives
     assert(!out.values.exists(v => v._2.contains("@b.co") || v._2.contains("555-123")))
   }
+
+  test("vocabRichness: hand-computed Chao1 and Good-Turing unseen mass") {
+    import spark.implicits._
+    def rich(texts: Seq[String]) =
+      TextAnalysis.vocabRichness(texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+        .collect().head
+    // counts a:2 b:2 c:1 -> N=5, S=3, f1=1, f2=2; chao1 extra = 0
+    val r1 = rich(Seq("a a b", "b c"))
+    assert((r1.getAs[Long]("n_tokens"), r1.getAs[Long]("vocab"),
+      r1.getAs[Long]("f1"), r1.getAs[Long]("f2")) === (5L, 3L, 1L, 2L))
+    assert(r1.getAs[Long]("chao1_extra_micros") === 0L)
+    assert(r1.getAs[Long]("gt_unseen_micros") === 200000L)
+    // all singletons: f1=3, f2=0 -> extra = 3*2e6 div 2 = 3e6, unseen 1e6
+    val r2 = rich(Seq("x y z"))
+    assert(r2.getAs[Long]("chao1_extra_micros") === 3000000L)
+    assert(r2.getAs[Long]("gt_unseen_micros") === 1000000L)
+    // saturated corpus (every token repeated): f1=0 -> both estimators 0
+    val r3 = rich(Seq("p q p q", "p q"))
+    assert(r3.getAs[Long]("chao1_extra_micros") === 0L)
+    assert(r3.getAs[Long]("gt_unseen_micros") === 0L)
+  }
 }
