@@ -15,6 +15,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *   2. `curate_funnel`     language/quality/length gates + exact dedup
   *   3. `boilerplate_strip` CCNet-style shared-segment removal
   *   4. `sentence_dedup`    corpus-global duplicated-sentence removal
+  *   4b. `exact_substr_dedup` duplicated 13-gram SPAN removal (suffix classes)
   *   5. `gopher_gate`       rule-based quality filter (cheap rules first)
   *   6. `quality_filter`    hashed linear classifier threshold
   *   7. `mixture_rebalance` temperature sampling toward language balance
@@ -39,6 +40,7 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
   *   sentded/     duplicated sentences removed (first occurrence kept)
+  *   spanded/     duplicated 13-gram spans cut (ExactSubstr removal)
   *   gophered/    docs passing the rule gate
   *   kept/        classifier-approved docs
   *   balanced/    temperature-rebalanced corpus
@@ -59,6 +61,7 @@ object RunCuration {
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
     def sentded: String = s"$root/sentded"
+    def spanded: String = s"$root/spanded"
     def gophered: String = s"$root/gophered"
     def kept: String = s"$root/kept"
     def balanced: String = s"$root/balanced"
@@ -163,10 +166,23 @@ object RunCuration {
           lay.sentded)
         record("sentdeduped", lay.sentded)
       }),
-      Pipeline.Job("gopher_gate", dependsOn = Seq("sentence_dedup"))(() => {
+      Pipeline.Job("exact_substr_dedup", dependsOn = Seq("sentence_dedup"))(() => {
+        // the Lee et al. span cut AFTER line-grain dedup: sentences catch
+        // exact repeated lines, the suffix-class pass catches verbatim
+        // runs that cross line boundaries or hide inside longer text;
+        // fully-hollowed docs (kept_tokens = 0) drop here
+        val docs = spark.read.parquet(lay.sentded)
+        val cut = graft.text.ExactSubstr.removeDuplicatedSpans(docs, "doc_id")
+          .filter(col("kept_tokens") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        write(cut.join(docs.select("doc_id", "lang", "source"), Seq("doc_id")),
+          lay.spanded)
+        record("spandeduped", lay.spanded)
+      }),
+      Pipeline.Job("gopher_gate", dependsOn = Seq("exact_substr_dedup"))(() => {
         // rule-based pre-filter BEFORE the learned classifier (the Gopher
         // ordering: cheap deterministic rules first, model second)
-        val docs = spark.read.parquet(lay.sentded)
+        val docs = spark.read.parquet(lay.spanded)
         val pass = CorpusCuration.gopherQualityRules(docs, "doc_id",
           minTokens = gopherMinTokens)
           .filter(col("keep")).select("doc_id")
@@ -220,8 +236,8 @@ object RunCuration {
       Pipeline.Job("corpus_report", dependsOn = Seq("pack_and_shard"))(() => {
         import spark.implicits._
         val rows = Seq("encoded", "mmkept", "mmimages_kept", "curated", "stripped",
-          "sentdeduped", "gophered", "kept", "balanced", "merges", "splits",
-          "sequences")
+          "sentdeduped", "spandeduped", "gophered", "kept", "balanced", "merges",
+          "splits", "sequences")
           .map(s => (s, stageDocs.getOrElse(s, 0L)))
         graft.sources.Sinks.jsonSingleFile(rows.toDF("stage", "n"), lay.report)
       })

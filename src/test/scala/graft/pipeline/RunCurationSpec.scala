@@ -17,7 +17,7 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 13)
+    assert(r.run.succeeded.size === 14)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
@@ -26,9 +26,16 @@ class RunCurationSpec extends SparkSpec {
     assert(d("curated") <= d("encoded") && d("curated") > 0)
     assert(d("stripped") <= d("curated"))
     assert(d("sentdeduped") <= d("stripped") && d("sentdeduped") > 0)
-    assert(d("gophered") <= d("sentdeduped") && d("gophered") > 0)
+    assert(d("spandeduped") <= d("sentdeduped") && d("spandeduped") > 0)
+    assert(d("gophered") <= d("spandeduped") && d("gophered") > 0)
     assert(d("kept") <= d("gophered") && d("kept") > 0)
     assert(d("balanced") <= d("kept"))
+
+    // the span cut only ever shrinks a doc, and its output carries no
+    // duplicated 13-gram anywhere (idempotence: a second cut is a no-op)
+    val spanded = spark.read.parquet(s"$out/spanded")
+    val recut = graft.text.ExactSubstr.removeDuplicatedSpans(spanded, "doc_id")
+    assert(recut.filter(col("removed_tokens") > 0).count() === 0L)
 
     // multimodal screen branch: one verdict per encoded doc, verdicts
     // partition the set, keep count matches (decode_ok AND text_ok), and
