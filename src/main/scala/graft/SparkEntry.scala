@@ -2237,6 +2237,35 @@ object SparkEntry {
         |   ELSE NULL END AS corr
         |FROM a""".stripMargin)),
 
+    // ---- Spearman rank correlation (the monotone-association screen
+    //      q_corr's Pearson misses): tie-averaged DOUBLED ranks so every
+    //      intermediate is an exact Long; distributed ranks via the
+    //      two-pass prefix sum, never a data-sized window; oracle
+    //      replays via 2·rank() + count(v) − 1 ----
+    ("q_spearman",
+      (s, d) => graft.quality.Drift.spearmanRho(
+        graft.text.TextAnalysis.withTokens(Tables(s, d).documents)
+          .select(col("n_chars"), size(col("tokens")).cast("long").as("n_toks")),
+        "n_chars", "n_toks"),
+      Some("""WITH b AS (SELECT n_chars AS x,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT
+        |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM b),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy FROM r)
+        |SELECT n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))
+        |  END AS rho
+        |FROM a""".stripMargin)),
+
     // ---- A/B statistics (M10) ----
     ("q_abtest",
       (s, d) => {

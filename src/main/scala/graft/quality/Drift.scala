@@ -619,4 +619,72 @@ object Drift {
       .select(col(dayCol), col(valueMicrosCol), col("trend_micros"),
         col("seasonal_micros"), col("residual_micros"))
   }
+
+  /** Doubled average ranks (2·avg-rank is always an integer, the
+    * standard trick for tie-aware rank statistics without fractions):
+    * a (v, rank2) mapping over the column's DISTINCT values, computed
+    * with the same two-pass prefix sum as [[cumCountsByValue]] — one
+    * groupBy, one range-sort of the distinct domain, numPartitions
+    * subtotals through the driver. rank2 = 2·(count of smaller values)
+    * + count(v) + 1 ≡ 2·competition_rank + count(v) − 1, the identity
+    * the SQL-window replay uses.
+    */
+  private def rank2Table(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val vField = df.select(col(valueCol).as("v")).schema.fields.head
+    val rdd = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .rdd.map(r => (r.get(0), r.getLong(1)))
+    val perPart = rdd.mapPartitionsWithIndex(
+        (i, it) => Iterator.single((i, it.foldLeft(0L)(_ + _._2))),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val off = perPart.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = off(i)
+      it.map { case (v, c) => val r2 = 2L * cum + c + 1L; cum += c; Row(v, r2) }
+    }
+    df.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("v", vField.dataType, nullable = false),
+      StructField("rank2", LongType, nullable = false))))
+  }
+
+  /** Spearman rank correlation — the monotone-association screen Pearson
+    * misses (quality scores vs document length rarely track linearly;
+    * they often track in RANK): Pearson over tie-averaged ranks, exact
+    * to the last bit because the doubled ranks are integers and every
+    * sum is an exact Long; rho is one fixed double expression over six
+    * exact sums (the [[graft.graph.Graph.degreeAssortativity]] shape).
+    *
+    * Rows where either side is null are excluded (a pair is a pair).
+    * Overflow bound: Σ rx·ry ≤ 4n³, exact while n ≤ 1.2·10⁶ pairs — the
+    * stated-bound convention; beyond that, sample or move the sums to
+    * wider arithmetic before trusting the tail digits.
+    *
+    * Scale shape: two distinct-domain rank passes (groupBy + range-sort
+    * + two-pass prefix offsets — never a data-sized single-task window),
+    * two keyed value joins to attach ranks, one global aggregate.
+    * Output (one row): n, rho.
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val rx = rank2Table(base, "x").toDF("x", "rx")
+    val ry = rank2Table(base, "y").toDF("y", "ry")
+    base.join(rx, Seq("x")).join(ry, Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("_sx"), sum("ry").as("_sy"),
+        sum(col("rx") * col("rx")).as("_sxx"),
+        sum(col("ry") * col("ry")).as("_syy"),
+        sum(col("rx") * col("ry")).as("_sxy"))
+      .withColumn("rho", expr(
+        """CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0
+          |THEN CAST(n * _sxy - _sx * _sy AS DOUBLE)
+          |  / sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE)
+          |       * CAST(n * _syy - _sy * _sy AS DOUBLE))
+          |END""".stripMargin))
+      .select("n", "rho")
+  }
 }

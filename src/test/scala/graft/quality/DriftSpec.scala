@@ -299,4 +299,26 @@ class DriftSpec extends SparkSpec {
       .filter(col("_recon") =!= col("v_micros")).count()
     assert(rows === 0L)
   }
+
+  test("spearmanRho: monotone 1, reversed -1, hand-computed tie case, constant-side null") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]) = Drift.spearmanRho(
+      rows.toDF("x", "y"), "x", "y").collect().head
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L))).getAs[Double]("rho") === 1.0d)
+    assert(rho(Seq((1L, 30L), (2L, 20L), (3L, 10L))).getAs[Double]("rho") === -1.0d)
+    // ties: x = (1,1,2) -> rank2 (3,3,6); y distinct -> (2,4,6);
+    // rho = 18 / sqrt(18 * 24) = sqrt(3)/2
+    val t = rho(Seq((1L, 5L), (1L, 7L), (2L, 9L)))
+    assert(t.getAs[Long]("n") === 3L)
+    assert(t.getAs[Double]("rho") === 18.0d / math.sqrt(18.0d * 24.0d))
+    // a constant column has zero rank variance -> rho undefined (null)
+    val c = rho(Seq((4L, 1L), (4L, 2L), (4L, 3L)))
+    assert(c.isNullAt(c.fieldIndex("rho")))
+    // exact integer lattice: invariant under repartitioning
+    val df = (1L to 200L).map(i => (i % 17, (i * 31) % 23)).toDF("x", "y")
+    val a = Drift.spearmanRho(df, "x", "y").collect().head.getAs[Double]("rho")
+    val b = Drift.spearmanRho(df.repartition(13), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(a === b)
+  }
 }
