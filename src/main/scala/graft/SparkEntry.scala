@@ -2266,6 +2266,47 @@ object SparkEntry {
         |  END AS rho
         |FROM a""".stripMargin)),
 
+    // ---- Simpson's-paradox screen (pooled vs per-stratum association
+    //      sign between two binary indicators — the aggregation trap):
+    //      exact integer covariance numerators, sign comparison only,
+    //      no division anywhere ----
+    ("q_simpson",
+      (s, d) => graft.ml.Stats.simpsonScreen(Tables(s, d).orders,
+        "o_orderstatus",
+        col("o_totalprice") > 250000.0d,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+      Some("""WITH b AS (SELECT o_orderstatus AS stratum,
+        |    CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS n_x, CAST(sum(y) AS BIGINT) AS n_y,
+        |    CAST(sum(x * y) AS BIGINT) AS n_xy FROM b GROUP BY 1),
+        |pa AS (SELECT *, n * n_xy - n_x * n_y AS assoc_num FROM per),
+        |po AS (SELECT sum(n) * sum(n_xy) - sum(n_x) * sum(n_y) AS pooled_num FROM per)
+        |SELECT stratum, n, n_x, n_y, n_xy, CAST(assoc_num AS BIGINT) AS assoc_num,
+        |  CAST(pooled_num AS BIGINT) AS pooled_num,
+        |  assoc_num != 0 AND pooled_num != 0 AND (assoc_num > 0) != (pooled_num > 0) AS reversed
+        |FROM pa CROSS JOIN po""".stripMargin)),
+
+    // ---- association-rule lift over user × event-type incidence
+    //      (Agrawal market-basket first pass): entity-keyed self-join
+    //      (fan-out bounded by the item domain per entity, never
+    //      user × user), exact supports, once-rounded conf/lift ----
+    ("q_lift",
+      (s, d) => graft.gold.Association.pairLift(
+        Tables(s, d).events, "user_id", "event_type"),
+      Some("""WITH b AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events),
+        |t AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n_entities FROM b),
+        |m AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM b a JOIN b c ON a.e = c.e AND a.i < c.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, s_ab, ma.s AS s_a, mb.s AS s_b, n_entities,
+        |  CAST(s_ab * 1000000 // ma.s AS BIGINT) AS conf_ab_micros,
+        |  CAST(s_ab * 1000000 // mb.s AS BIGINT) AS conf_ba_micros,
+        |  CAST(n_entities * s_ab * 1000000 // (ma.s * mb.s) AS BIGINT) AS lift_micros
+        |FROM p JOIN m ma ON ma.i = p.item_a JOIN m mb ON mb.i = p.item_b CROSS JOIN t""".stripMargin)),
+
     // ---- A/B statistics (M10) ----
     ("q_abtest",
       (s, d) => {

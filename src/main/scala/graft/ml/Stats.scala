@@ -43,4 +43,42 @@ object Stats {
       when(varX > 0 && varY > 0, covNum / (sqrt(varX) * sqrt(varY)))
         .otherwise(lit(null).cast("double")).as("corr"))
   }
+
+  /** Simpson's-paradox screen over two BINARY indicators (Simpson 1951;
+    * the aggregation trap every metrics dashboard eventually falls
+    * into): the pooled association between x and y can carry the
+    * OPPOSITE sign of every per-stratum association when stratum sizes
+    * confound — a pipeline that reports only the pooled number ships
+    * the wrong conclusion. Per stratum and pooled, the exact covariance
+    * numerator n·Σxy − Σx·Σy (an integer whose SIGN is the association
+    * direction — no division, no rounding anywhere), plus a `reversed`
+    * flag where a stratum's sign is nonzero and opposite to the pooled
+    * sign.
+    *
+    * Output: one row per stratum — (stratum, n, n_x, n_y, n_xy,
+    * assoc_num, pooled_num, reversed).
+    *
+    * Scale shape: one keyed groupBy + the blessed broadcast-1-row
+    * pooled combine. Overflow bound: n·n_xy exact while n ≤ 3·10⁹ rows
+    * per stratum.
+    */
+  def simpsonScreen(df: DataFrame, stratumCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.select(col(stratumCol).as("stratum"),
+      when(xCol, 1L).otherwise(0L).as("x"),
+      when(yCol, 1L).otherwise(0L).as("y"))
+    val per = base.groupBy("stratum").agg(
+      count(lit(1)).as("n"), sum("x").as("n_x"), sum("y").as("n_y"),
+      sum(col("x") * col("y")).as("n_xy"))
+      .withColumn("assoc_num", expr("n * n_xy - n_x * n_y"))
+    val pooled = per.agg(sum("n").as("_tn"), sum("n_x").as("_tx"),
+        sum("n_y").as("_ty"), sum("n_xy").as("_txy"))
+      .select(expr("_tn * _txy - _tx * _ty").as("pooled_num"))
+    per.crossJoin(broadcast(pooled))
+      .withColumn("reversed",
+        col("assoc_num") =!= 0L && col("pooled_num") =!= 0L &&
+          (col("assoc_num") > 0L) =!= (col("pooled_num") > 0L))
+      .select("stratum", "n", "n_x", "n_y", "n_xy", "assoc_num",
+        "pooled_num", "reversed")
+  }
 }

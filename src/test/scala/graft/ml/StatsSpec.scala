@@ -34,4 +34,31 @@ class StatsSpec extends SparkSpec {
     assert(a.getAs[Double]("corr") === b.getAs[Double]("corr"))   // bitwise
     assert(a.getAs[Double]("cov_samp") === b.getAs[Double]("cov_samp"))
   }
+
+  test("simpsonScreen: textbook reversal — every stratum positive, pooled negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A: x concentrated where y is common; stratum B mirrored —
+    // per-stratum assoc_num = +4 in both, pooled = 20*4 - 10*10 = -20
+    val rows =
+      Seq.fill(2)(("A", 1L, 1L)) ++ Seq.fill(6)(("A", 0L, 1L)) ++
+        Seq.fill(2)(("A", 0L, 0L)) ++
+      Seq.fill(2)(("B", 1L, 1L)) ++ Seq.fill(6)(("B", 1L, 0L)) ++
+        Seq.fill(2)(("B", 0L, 0L))
+    val got = Stats.simpsonScreen(rows.toDF("s", "xv", "yv"), "s",
+        col("xv") === 1L, col("yv") === 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("assoc_num"),
+        r.getAs[Long]("pooled_num"), r.getAs[Boolean]("reversed")))
+      .toMap
+    assert(got("A") === (4L, -20L, true))
+    assert(got("B") === (4L, -20L, true))
+    // no-association stratum: assoc_num 0 never flags
+    val flat = Stats.simpsonScreen(
+      Seq(("C", 1L, 1L), ("C", 1L, 0L), ("C", 0L, 1L), ("C", 0L, 0L))
+        .toDF("s", "xv", "yv"), "s", col("xv") === 1L, col("yv") === 1L)
+      .collect().head
+    assert(flat.getAs[Long]("assoc_num") === 0L)
+    assert(flat.getAs[Boolean]("reversed") === false)
+  }
 }
