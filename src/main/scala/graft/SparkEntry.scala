@@ -1872,6 +1872,37 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // ---- dimension-truncation recall (Matryoshka screen): how much of
+    //      the exact 64-dim top-5 the 16-dim prefix retains — decides
+    //      whether a cheap low-dim prefilter is safe; both sides the
+    //      exact broadcast-query scan, truncated side sliced BEFORE
+    //      normalizing (as a prefix index would be) ----
+    ("q_trunc",
+      (s, d) => Similarity.truncationRecall(Tables(s, d).embeddings,
+        "vec_id", col("vec_id") < 10, k = 5, dims = 16),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        |pf AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, n.v), z -> z[1] * z[2])) / (q.qnorm * n.norm) AS cosine
+        |  FROM q, n WHERE n.vec_id != q.query_id),
+        |tf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pf)
+        |  WHERE rnk <= 5),
+        |e2 AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n2 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(list_zip(v, v), z -> z[1] * z[2]))) AS norm FROM e2),
+        |q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n2 WHERE vec_id < 10),
+        |pt AS (SELECT q2.query_id, n2.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q2.qv, n2.v), z -> z[1] * z[2])) / (q2.qnorm * n2.norm) AS cosine
+        |  FROM q2, n2 WHERE n2.vec_id != q2.query_id),
+        |tt AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pt)
+        |  WHERE rnk <= 5)
+        |SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS hits,
+        |  CAST(count(t.neighbor_id) * 1000000 // 5 AS BIGINT) AS recall_micros
+        |FROM tf f LEFT JOIN tt t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        |GROUP BY 1""".stripMargin)),
+
     // ANN acceptance metric: PLANTED-PAIR recall — every true near-dup pair
     // (exact cosine >= 0.95; the corpus plants them at ~0.98) must surface
     // its partner in the query's LSH top-k. The oracle derives n_planted

@@ -50,6 +50,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Dimension-truncation recall — the Matryoshka-representation screen
+    * (Kusupati et al. 2022): how much of the FULL-dimension exact top-k
+    * does the first-`dims`-coordinates prefix retain? The number that
+    * decides whether a cheap low-dim prefilter (scan 16 of 64 dims,
+    * re-rank survivors at full width) is safe for a corpus — recall ≈ 1
+    * means the prefix ordering is faithful and the scan cost divides by
+    * d/dims.
+    *
+    * Both sides are the exact [[bruteForceTopK]] contract (broadcast
+    * queries, never corpus × corpus beyond the bounded query set); the
+    * truncated side slices BEFORE normalizing, as a prefix index would.
+    * Output per query: (query_id, hits, recall_micros) with
+    * recall = hits·10⁶ div k once-rounded.
+    */
+  def truncationRecall(df: DataFrame, keyCol: String, queryPred: Column,
+      k: Int, dims: Int, embCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val full = bruteForceTopK(df, keyCol, queryPred, k, embCol)
+      .select("query_id", "neighbor_id")
+    val trunc = bruteForceTopK(
+        df.withColumn("_t", expr(s"slice($embCol, 1, $dims)")),
+        keyCol, queryPred, k, "_t")
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("_hit"))
+      .groupBy("query_id")
+      .agg(sum("_hit").as("hits"))
+      .withColumn("recall_micros", expr(s"hits * 1000000L div ${k}L"))
+  }
+
   /** Mutual nearest neighbors — the bitext/duplicate MINING primitive
     * (CCMatrix-direction: a pair is trusted when each side is the
     * OTHER's best match, which kills the asymmetric hub matches a

@@ -233,4 +233,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getAs[Double]("mean_cosine")
     assert(rep === got)
   }
+
+  test("truncationRecall: prefix ordering divergence measured, full-width prefix is lossless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // q=(1,0,0,0); full top-2 = {B(0.90), C(0.85)}; the 2-dim prefix
+    // ranks A and C at cosine exactly 1.0 -> trunc top-2 = {A, C};
+    // intersection = {C} -> hits 1, recall 500000
+    val pts = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.6f, 0f, 0.8f, 0f)),       // A: strong in dims 1-2 only
+      (2L, Seq(0.9f, 0.43589f, 0f, 0f)),   // B: full-width best
+      (3L, Seq(0.85f, 0f, 0f, 0.526f)),    // C: good both ways
+      (4L, Seq(0.2f, 0.9f, 0f, 0f)))       // D: never close
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncationRecall(pts, "vec_id", col("vec_id") < 1,
+        k = 2, dims = 2).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("hits") === 1L)
+    assert(r.head.getAs[Long]("recall_micros") === 500000L)
+    // a prefix of the full width changes nothing: recall exactly 1
+    val full = Similarity.truncationRecall(pts, "vec_id", col("vec_id") < 1,
+        k = 2, dims = 4).collect()
+    assert(full.head.getAs[Long]("recall_micros") === 1000000L)
+  }
 }
