@@ -96,10 +96,28 @@ object Bench {
     val calibLast = calib()
     val calibRatio = r3(math.max(calibFirst, calibLast) /
       math.max(math.min(calibFirst, calibLast), 1e-9))
+    // Load adjudication IN the artifact (round-10 verdict: the driver ran
+    // on a loaded box and its `slowest5` booked a 3× q_simhash regression
+    // that the same code disproved on a quiet box — only git archaeology
+    // settled it). total_min = sum of per-query minima across the
+    // interleaved runs: the best unloaded estimate the artifact itself
+    // contains. When the calibration probe degraded > 1.2× across the
+    // suite, the artifact self-flags (loaded_box) and publishes
+    // load_adjusted_total = total_min as the defensible headline;
+    // spread_flags lists queries whose max/min exceeded 2× (one-run
+    // outliers a reader must not book as regressions).
+    val totalMin = perQuery.collect { case (_, _, true, mn, _) => mn }.sum
+    val loadedBox = calibRatio > 1.2
+    val spreadFlags = perQuery
+      .collect { case (k, _, true, mn, mx) if mx > 2.0 * math.max(mn, 1e-9) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val loadFields =
+      s""""total_min":${r3(totalMin)},"loaded_box":$loadedBox,"spread_flags":$spreadFlags""" +
+        (if (loadedBox) s""","load_adjusted_total":${r3(totalMin)}""" else "")
     val headline =
-      s"""{"bench_headline":true,"total":${r3(total)},"n_queries":${perQuery.count(_._3)},"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,"slowest5":$slowest5,"sf":"$sfDir"}"""
+      s"""{"bench_headline":true,"total":${r3(total)},"n_queries":${perQuery.count(_._3)},"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,$loadFields,"slowest5":$slowest5,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,"query_min":$mins,"query_max":$maxs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"calib_first":$calibFirst,"calib_last":$calibLast,"calib_ratio":$calibRatio,$loadFields,"query_min":$mins,"query_max":$maxs,"sf":"$sfDir"}"""
     println(headline)
     println(full)
     println(headline)

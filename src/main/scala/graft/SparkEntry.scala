@@ -1645,6 +1645,43 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.new_id JOIN sz sb ON sb.doc_id = p.match_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
 
+    // ---- incremental MAINTENANCE of the standing dedup artifacts
+    //      (PairGraph.appendBatch): same crawl split as q_incdedup
+    //      (id % 10 == 0 arrives nightly); the corpus side's pair table
+    //      and clustering are session-materialized standing state, the
+    //      query appends the batch's edges and re-clusters ONLY touched
+    //      components. Oracle = the FULL-corpus exact closure (q_clusters'
+    //      lab CTE): a green row proves incremental ≡ full rebuild ----
+    ("q_incpairs",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val isBatch = col("doc_id") % 10 === 0
+        val standingPairs = graft.core.Materialize.once(s, s"incpairs_p|$d") {
+          Dedup.jaccardPairsScalable(docs.filter(!isBatch), "doc_id",
+            n = 3, minJaccard = 0.5, numHashTables = 8)
+            .select("doc_a", "doc_b", "jaccard")
+        }
+        val standingClusters = graft.core.Materialize.once(s, s"incpairs_c|$d") {
+          Dedup.dedupClusters(standingPairs)
+        }
+        val (_, clusters) = graft.dedup.PairGraph.appendBatch(
+          standingPairs, standingClusters,
+          docs.filter(!isBatch), docs.filter(isBatch), "doc_id")
+        clusters.toDF("doc_id", "cluster_id")
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |e AS (SELECT doc_a AS es, doc_b AS ed FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |r AS (SELECT es, ed FROM e UNION SELECT r.es, e.ed FROM r, e WHERE r.ed = e.es)
+        |SELECT es AS doc_id, least(es, min(ed)) AS cluster_id FROM r GROUP BY es""".stripMargin)),
+
     // ---- contrastive negative sampling: per anchor (id % 50 == 0), 4
     //      salted-hash negatives excluding the anchor's near-dup pairs
     //      (false negatives poison a contrastive objective) — shares the
@@ -1832,20 +1869,27 @@ object SparkEntry {
     // observed max hamming across near-dup pairs is 5; see COVERAGE.md).
     ("q_simhash",
       (s, d) => {
-        val docs = Tables(s, d).documents
         // maxHamming is a PRECISION knob, not the acceptance test — final
         // acceptance is the exact-jaccard re-rank below, so a generous 15
         // (vs the pigeonhole-guaranteed bands-1 = 7) only admits more
         // candidates. It matters for SHORT docs, where one differing token
         // flips many signature bits: sf0.001 has a jaccard-0.89 pair of
         // ~10-token docs at hamming 9 (sharing 2 bands) that a 7-cut drops.
-        val cand = Dedup.simHashPairs(docs, "doc_id", bands = 8, maxHamming = 15)
-        // acceptPairsByJaccard, not exactJaccardForPairs: the wide hamming
-        // cut emits ~2.4M candidates on the low-entropy sf0.1 corpus, and
-        // the explode-based re-rank fans each doc's shingles across all its
-        // pairs (23s); the pair-local array_intersect form stays one row
-        // per candidate (the 0.5-acceptance itself is unchanged).
-        Dedup.acceptPairsByJaccard(docs, cand, "doc_id", n = 3, minJaccard = 0.5)
+        // Both corpus passes ride standing artifacts: the signature table
+        // (documentsSimHash — the 64-agg token pass paid once per corpus)
+        // and the hashed shingle table (documentsHashedShingles — the same
+        // n=3 re-shingle the accept re-rank used to repeat per run).
+        val cand = Dedup.simHashPairsFromSigs(
+          graft.dedup.PairGraph.documentsSimHash(s, d), "doc_id",
+          bands = 8, maxHamming = 15)
+        // acceptPairsByJaccardHashed, not exactJaccardForPairs: the wide
+        // hamming cut emits ~2.4M candidates on the low-entropy sf0.1
+        // corpus, and the explode-based re-rank fans each doc's shingles
+        // across all its pairs (23s); the pair-local array_intersect form
+        // stays one row per candidate (the 0.5-acceptance is unchanged).
+        Dedup.acceptPairsByJaccardHashed(
+          graft.dedup.PairGraph.documentsHashedShingles(s, d, 3), cand,
+          "doc_id", minJaccard = 0.5)
           .select(col("doc_a"), col("doc_b"), lit(true).as("simhash_close"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -2280,7 +2324,7 @@ object SparkEntry {
         "n_chars", "n_toks"),
       Some("""WITH b AS (SELECT n_chars AS x,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
         |r AS (SELECT
         |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
         |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry

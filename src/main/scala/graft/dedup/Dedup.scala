@@ -138,10 +138,30 @@ object Dedup {
     * values themselves are the output.
     */
   def acceptPairsByJaccard(df: DataFrame, candidates: DataFrame, keyCol: String,
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val arr = shingleArrays(df, keyCol, textCol, n)
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    acceptPairsByJaccardHashed(hashedShingleArrays(df, keyCol, textCol, n),
+      candidates, keyCol, minJaccard)
+
+  /** Per-doc hashed shingle sets — (keyCol, hs: array<long>, sz): the
+    * standing-artifact form of [[shingleArrays]] (xxhash64 per shingle,
+    * narrow long rows instead of n-token strings) that
+    * [[acceptPairsByJaccardHashed]] consumes. Deterministic, so a
+    * materialized copy ≡ recomputing (see
+    * [[graft.dedup.PairGraph.documentsHashedShingles]]).
+    */
+  def hashedShingleArrays(df: DataFrame, keyCol: String,
+      textCol: String = "text", n: Int = 3): DataFrame =
+    shingleArrays(df, keyCol, textCol, n)
       .select(col(keyCol), expr("transform(sh, s -> xxhash64(s))").as("hs"),
         size(col("sh")).cast("long").as("sz"))
+
+  /** [[acceptPairsByJaccard]] over a pre-built (keyCol, hs, sz) hashed
+    * shingle frame — lets callers inject the session's standing artifact
+    * instead of re-shingling the corpus per invocation.
+    */
+  def acceptPairsByJaccardHashed(hashed: DataFrame, candidates: DataFrame,
+      keyCol: String, minJaccard: Double = 0.5): DataFrame = {
+    val arr = hashed.select(col(keyCol), col("hs"), col("sz"))
     candidates.select("doc_a", "doc_b")
       .join(arr.toDF("doc_a", "hs_a", "size_a"), Seq("doc_a"))
       .join(arr.toDF("doc_b", "hs_b", "size_b"), Seq("doc_b"))
@@ -794,9 +814,18 @@ object Dedup {
     * filter by exact Hamming distance <= maxHamming.
     */
   def simHashPairs(df: DataFrame, keyCol: String, textCol: String = "text",
+      bands: Int = 4, maxHamming: Int = 8): DataFrame =
+    simHashPairsFromSigs(simHash(df, keyCol, textCol).cache(), keyCol,
+      bands, maxHamming)
+
+  /** [[simHashPairs]] over a pre-built (keyCol, simhash) signature frame —
+    * in production the 64-bit signatures are a standing corpus artifact
+    * (one 64-agg token pass per refresh, not per consumer); see
+    * [[graft.dedup.PairGraph.documentsSimHash]].
+    */
+  def simHashPairsFromSigs(sigs: DataFrame, keyCol: String,
       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val width = 64 / bands
-    val sigs = simHash(df, keyCol, textCol).cache()
     val banded = sigs.select(col(keyCol), col("simhash"),
       explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'key', (simhash >> (b * $width)) & ${(1L << width) - 1}L))"))

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** Session-memoized near-duplicate pair graph.
@@ -61,5 +62,108 @@ object PairGraph {
         .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("_df"),
           org.apache.spark.sql.functions.min("doc_id").as("first_doc"))
+    }
+
+  /** Session-memoized per-doc HASHED shingle sets over `documents` —
+    * (doc_id, hs: array<long>, sz), the form every candidate-acceptance
+    * re-rank consumes ([[Dedup.acceptPairsByJaccardHashed]]). In
+    * production the hashed shingle table is a standing corpus artifact
+    * refreshed with the corpus (narrow long rows, no n-token strings);
+    * deterministic (xxhash64 over distinct shingles), so reading ≡
+    * recomputing.
+    */
+  def documentsHashedShingles(spark: SparkSession, dataDir: String,
+      n: Int): DataFrame =
+    graft.core.Materialize.once(spark, s"hshingles|$dataDir|$n") {
+      Dedup.hashedShingleArrays(Tables(spark, dataDir).documents, "doc_id",
+        n = n)
+    }
+
+  /** Canonicalized near-dup edges a NEW batch adds to a standing corpus —
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b, from
+    * [[Dedup.incrementalJaccardNearDups]] (same banded-MinHash signature
+    * function and exact re-rank as [[Dedup.jaccardPairsScalable]], so the
+    * standing pairs ∪ these edges EQUALS a full rebuild over
+    * corpus ∪ batch, deterministically — candidates are pairs sharing a
+    * (table, min-signature) bucket on both paths). Work scales with the
+    * batch and its signature collisions, never the corpus pair count.
+    */
+  def batchEdges(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, numTables: Int = 8): DataFrame =
+    Dedup.incrementalJaccardNearDups(batch, corpus, keyCol, n = n,
+        minJaccard = minJaccard, numTables = numTables)
+      .select(least(col("new_id"), col("match_id")).as("doc_a"),
+        greatest(col("new_id"), col("match_id")).as("doc_b"),
+        col("jaccard"))
+
+  /** The standing pair rows living in clusters TOUCHED by the new edges —
+    * the only part of the standing graph incremental re-clustering must
+    * re-read. A standing pair's endpoints share one standing cluster by
+    * construction, so membership of doc_a decides the pair. Exposed (not
+    * inlined in [[appendBatch]]) so specs can assert the re-clustering
+    * input scales with the batch, not the corpus.
+    */
+  def touchedSubgraph(standingPairs: DataFrame, standingClusters: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val touchedNodes = newEdges.select(col("doc_a").as("id"))
+      .unionByName(newEdges.select(col("doc_b").as("id"))).distinct()
+    val touchedClusters = standingClusters.join(touchedNodes, Seq("id"))
+      .select("cluster_id").distinct()
+    val touchedMembers = standingClusters.join(touchedClusters, Seq("cluster_id"))
+      .select(col("id").as("doc_a"))
+    standingPairs.join(touchedMembers, Seq("doc_a"), "left_semi")
+      .select("doc_a", "doc_b")
+  }
+
+  /** Incremental maintenance of the standing dedup artifacts — the
+    * nightly-crawl contract the reference's watermark-driven extraction
+    * honors for tables (see `lambda/snowflake_extractor/watermark_manager.py:211-259`),
+    * applied to the pair graph and its clustering: append a batch by
+    * (1) computing ONLY the batch's edges against the standing signatures
+    * ([[batchEdges]]), (2) unioning them into the persisted pair table,
+    * and (3) re-running min-label propagation ONLY on the components the
+    * new edges touch ([[touchedSubgraph]] ∪ new edges) — every untouched
+    * standing cluster row is carried verbatim.
+    *
+    * Equivalence (the q_incpairs oracle gate): components of
+    * standing ∪ new = components of a full rebuild over corpus ∪ batch,
+    * because untouched components receive no new edges and touched
+    * components are re-solved on exactly their full edge set; labels are
+    * min-member-id on both paths. Returns (updated pairs
+    * (doc_a, doc_b, jaccard), updated clusters (id, cluster_id)).
+    *
+    * Scale shape: batch-sized signature join + touched-membership keyed
+    * joins + label propagation over touched components only. A nightly
+    * crawl touching k clusters re-clusters those k, not the corpus.
+    */
+  def appendBatch(standingPairs: DataFrame, standingClusters: DataFrame,
+      corpus: DataFrame, batch: DataFrame, keyCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      numTables: Int = 8): (DataFrame, DataFrame) = {
+    val newEdges = batchEdges(corpus, batch, keyCol, n, minJaccard, numTables)
+      .localCheckpoint() // consumed by 3 plans below: pay the edge scan once
+    val pairs = standingPairs.select("doc_a", "doc_b", "jaccard")
+      .unionByName(newEdges)
+    val touchedNodes = newEdges.select(col("doc_a").as("id"))
+      .unionByName(newEdges.select(col("doc_b").as("id"))).distinct()
+    val touchedClusters = standingClusters.join(touchedNodes, Seq("id"))
+      .select("cluster_id").distinct()
+    val subEdges = touchedSubgraph(standingPairs, standingClusters, newEdges)
+      .unionByName(newEdges.select("doc_a", "doc_b"))
+    val relabeled = Dedup.dedupClusters(subEdges)
+    val untouched = standingClusters.join(touchedClusters, Seq("cluster_id"), "left_anti")
+    (pairs, untouched.select("id", "cluster_id")
+      .unionByName(relabeled.select("id", "cluster_id")))
+  }
+
+  /** Session-memoized 64-bit SimHash signatures over `documents` —
+    * (doc_id, simhash). The signature table is the canonical standing
+    * artifact of SimHash dedup (one 64-agg token pass per corpus refresh;
+    * every banding/matching consumer reads 16-byte rows). Deterministic
+    * (xxhash64 votes), so reading ≡ recomputing.
+    */
+  def documentsSimHash(spark: SparkSession, dataDir: String): DataFrame =
+    graft.core.Materialize.once(spark, s"simhash|$dataDir") {
+      Dedup.simHash(Tables(spark, dataDir).documents, "doc_id")
     }
 }

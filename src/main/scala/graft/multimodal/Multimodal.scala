@@ -164,15 +164,20 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
-    val ySize = w * h
-    val cSize = chroma match {
-      case c if c.startsWith("420") => ((w + 1) / 2) * ((h + 1) / 2)
-      case "422"                    => ((w + 1) / 2) * h
-      case "444"                    => w * h
-      case "mono"                   => 0
+    // Long math throughout: a malformed header with huge W/H would overflow
+    // Int (negative frameSize slips past the bounds check and the frame walk
+    // then reads out of range). Reject any frame bigger than the stream.
+    val ySizeL = w.toLong * h.toLong
+    val cSizeL: Long = chroma match {
+      case c if c.startsWith("420") => ((w + 1L) / 2L) * ((h + 1L) / 2L)
+      case "422"                    => ((w + 1L) / 2L) * h.toLong
+      case "444"                    => w.toLong * h.toLong
+      case "mono"                   => 0L
       case _                        => return None
     }
-    val frameSize = ySize + 2 * cSize
+    val frameSizeL = ySizeL + 2L * cSizeL
+    if (frameSizeL <= 0L || frameSizeL > bytes.length.toLong) return None
+    val frameSize = frameSizeL.toInt
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     var off = eol + 1
     while (off < bytes.length) {

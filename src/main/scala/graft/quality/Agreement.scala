@@ -160,6 +160,11 @@ object Agreement {
       .groupBy("label").agg(sum("c").as("n_c"))
       .agg(coalesce(sum(col("n_c") * col("n_c")), lit(0L)).as("_snc2"))
     totals.crossJoin(broadcast(nc2))
+      // loud-failure guard on the stated n²·10⁶ exactness bound: beyond
+      // 3e6 ratings De would overflow Long — throw, never return a
+      // silently-wrong alpha (filter-hosted so pruning can't drop it).
+      .filter(expr("assert_true(n_ratings <= 3000000L, " +
+        "'krippendorffAlpha: n_ratings > 3e6 exceeds the exact n^2*1e6 Long bound') IS NULL"))
       .withColumn("do_micros", expr("n_ratings * 1000000L - _socc"))
       .withColumn("de_micros", expr(
         "CASE WHEN n_ratings >= 2 THEN (n_ratings * n_ratings - _snc2) * 1000000L div (n_ratings - 1) END"))

@@ -50,7 +50,7 @@ object Calibration {
     * per-bin |acc − conf| gaps) and the Brier score, both in micros.
     */
   def calibrationSummary(df: DataFrame, scoreCol: String, labelCol: String,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10, maxRowsExact: Long = 9000000000000L): DataFrame = {
     val ece = reliabilityTable(df, scoreCol, labelCol, bins)
       .agg(sum("n").as("n_total"),
         sum(col("n") * col("gap_micros")).as("wgap"))
@@ -60,6 +60,11 @@ object Calibration {
       sum(expr(s"(($scoreCol - $labelCol * 1000000L) * ($scoreCol - $labelCol * 1000000L)) div 1000000"))
         .as("brier_sum"),
       count(lit(1)).as("n_rows"))
+      // loud-failure guard: each Brier term ≤ 10⁶, so the exact-Long sum
+      // holds while n_rows ≤ 9·10¹² (the default; parameterized so specs
+      // can trigger it) — throw past it, never alias.
+      .filter(expr(s"assert_true(n_rows <= ${maxRowsExact}L, " +
+        "'calibrationSummary: n_rows exceeds the exact Brier-sum Long bound') IS NULL"))
     ece.crossJoin(broadcast(brier))
       .withColumn("brier_micros", expr("brier_sum div n_rows"))
       .select("n_total", "ece_micros", "brier_micros")

@@ -679,6 +679,12 @@ object Drift {
         sum(col("rx") * col("rx")).as("_sxx"),
         sum(col("ry") * col("ry")).as("_syy"),
         sum(col("rx") * col("ry")).as("_sxy"))
+      // loud-failure guard on the stated exactness bound (Σ rx·ry ≤ 4n³):
+      // beyond 1.2e6 pairs the Long products could alias — throw, never
+      // return a silently-wrong rho. assert_true lives in a filter so
+      // column pruning cannot drop it.
+      .filter(expr("assert_true(n <= 1200000L, " +
+        "'spearmanRho: n > 1.2e6 pairs exceeds the exact-Long rank-product bound') IS NULL"))
       .withColumn("rho", expr(
         """CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0
           |THEN CAST(n * _sxy - _sx * _sy AS DOUBLE)

@@ -42,6 +42,9 @@ object Coreset {
       s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
       .as("vq"))
     val d2 = "aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    val n = quant.select(col("vec_id")).distinct().count()
+    require(n >= k,
+      s"kCenterGreedy needs at least k=$k distinct points, corpus has $n")
     // seed: the minimum id (deterministic, data-independent choice)
     val seed = quant.orderBy(col("vec_id")).limit(1).collect()(0)
     var chosen = Vector((1L, seed.getLong(0), -1L))

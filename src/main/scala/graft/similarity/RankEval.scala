@@ -62,10 +62,15 @@ object RankEval {
     *    floored independently so the sum is order-free
     *  - recall_micros = found_rel · 10⁶ div n_rel
     */
-  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int,
+  def rankingMetrics(run: DataFrame, qrelsRaw: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "neighbor_id",
       rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
     require(k >= 1, s"cutoff must be positive: $k")
+    // Enforce the documented rel ≥ 1 contract: TREC-style qrels carry
+    // explicit rel = 0 (judged non-relevant) rows, which must not count
+    // into found_rel / MRR / AP / recall. Filter rather than require —
+    // negative judgments are legitimate input, they just aren't relevant.
+    val qrels = qrelsRaw.filter(col(relCol) >= 1)
     val wCase = dcgWeightCase(k, rankCol)
 
     // Ideal DCG + totals from the judgments alone: the window runs over

@@ -48,6 +48,15 @@ object ExactSubstr {
     */
   private val PosBits = 20
 
+  /** Loud-failure guard on the packed-position injectivity bound: a
+    * ≥ 2²⁰-token doc entering [[suffixClassRounds]]/[[orderedSuffixRounds]]
+    * directly would silently alias pk values. One per-doc check,
+    * filter-hosted so column pruning cannot drop it.
+    */
+  private def guardDocLen(tokenized: DataFrame): DataFrame =
+    tokenized.filter(expr(s"assert_true(size(tokens) < ${1L << PosBits}, " +
+      "'ExactSubstr: document exceeds the 2^20-token packed-position bound') IS NULL"))
+
   /** (keyCol, pos, len, pk, id) — equality-class ids for token-prefixes of
     * length min(`prefixLen`, tokens remaining); `prefixLen` must be a
     * power of two. pos is 1-based; len is the doc's token count.
@@ -66,8 +75,8 @@ object ExactSubstr {
       prefixLen: Int = 8): Seq[(Int, DataFrame)] = {
     require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two: $prefixLen")
-    val p0 = TextAnalysis.withTokens(docs, textCol)
-      .filter(size(col("tokens")) > 0)
+    val p0 = guardDocLen(TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0))
       .select(col(keyCol), size(col("tokens")).cast("long").as("len"),
         posexplode(col("tokens")).as(Seq("pos0", "tok")))
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
@@ -172,8 +181,8 @@ object ExactSubstr {
       textCol: String = "text", prefixLen: Int): Seq[(Int, DataFrame)] = {
     require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two: $prefixLen")
-    val p0 = TextAnalysis.withTokens(docs, textCol)
-      .filter(size(col("tokens")) > 0)
+    val p0 = guardDocLen(TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("tokens")) > 0))
       .select(col(keyCol), size(col("tokens")).cast("long").as("len"),
         posexplode(col("tokens")).as(Seq("pos0", "tok")))
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),

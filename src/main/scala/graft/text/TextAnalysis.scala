@@ -663,6 +663,10 @@ object TextAnalysis {
         count(lit(1)).as("vocab"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      // loud-failure guard on the stated f₁(f₁−1)·10⁶ exactness bound:
+      // beyond 3e6 singletons the Chao1 numerator would overflow Long.
+      .filter(expr("assert_true(f1 <= 3000000L, " +
+        "'vocabRichness: f1 > 3e6 singletons exceeds the exact Chao1 Long bound') IS NULL"))
       .withColumn("chao1_extra_micros",
         expr("f1 * (f1 - 1) * 1000000L div (2L * (f2 + 1))"))
       .withColumn("gt_unseen_micros", expr("f1 * 1000000L div n_tokens"))

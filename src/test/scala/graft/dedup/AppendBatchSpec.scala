@@ -1,0 +1,112 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the standing pair graph + clustering
+  * (PairGraph.appendBatch): the re-clustering input must scale with the
+  * BATCH (only touched components re-enter label propagation), and the
+  * maintained result must equal a full rebuild over corpus ∪ batch —
+  * including the hard case where one batch doc BRIDGES two standing
+  * clusters.
+  */
+class AppendBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three disjoint exact-duplicate families + a singleton. Exact dups
+  // (jaccard 1.0) cannot be missed by banding: identical shingle sets
+  // give identical min-signatures in every table.
+  private val tA = "alpha one two three four five six seven eight nine"
+  private val tB = "bravo uno dos tres cuatro cinco seis siete ocho nueve"
+  private val tC = "charlie un deux trois quatre cinq six7 sept huit neuf"
+  private lazy val corpus = Seq(
+    (1L, tA), (2L, tA),
+    (11L, tB), (12L, tB),
+    (21L, tC), (22L, tC),
+    (31L, "singleton text with nothing shared anywhere else at all ok")
+  ).toDF("doc_id", "text")
+
+  private lazy val standingPairs = Dedup.jaccardPairsScalable(
+    corpus, "doc_id", n = 3, minJaccard = 0.5, numHashTables = 8)
+    .select("doc_a", "doc_b", "jaccard").localCheckpoint()
+  private lazy val standingClusters =
+    Dedup.dedupClusters(standingPairs).localCheckpoint()
+
+  private def clustersOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("touched subgraph carries ONLY the clusters the batch touches") {
+    // batch doc 41 duplicates family B; 42 is novel
+    val batch = Seq((40L, tB), (42L, "entirely novel crawl content right here")
+      ).toDF("doc_id", "text")
+    val edges = PairGraph.batchEdges(corpus, batch, "doc_id")
+    // 40 pairs with 11 and 12 only
+    assert(edges.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((11L, 40L), (12L, 40L)))
+    val sub = PairGraph.touchedSubgraph(standingPairs, standingClusters, edges)
+    // only family B's standing pair re-enters clustering — families A and
+    // C (and the singleton) are not re-read
+    assert(sub.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((11L, 12L)))
+  }
+
+  test("appendBatch == full rebuild; untouched clusters carried verbatim") {
+    val batch = Seq((40L, tB), (42L, "entirely novel crawl content right here")
+      ).toDF("doc_id", "text")
+    val (pairs, clusters) = PairGraph.appendBatch(
+      standingPairs, standingClusters, corpus, batch, "doc_id")
+    val full = corpus.unionByName(batch)
+    val rebuiltPairs = Dedup.jaccardPairsScalable(full, "doc_id",
+      n = 3, minJaccard = 0.5, numHashTables = 8)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(pairs.collect().map(_.toSeq).toSet ===
+      rebuiltPairs.collect().map(_.toSeq).toSet)
+    val got = clustersOf(clusters)
+    assert(got === clustersOf(Dedup.dedupClusters(rebuiltPairs)))
+    // family B extended, min label kept; A and C labels untouched
+    assert(got === Map(1L -> 1L, 2L -> 1L, 11L -> 11L, 12L -> 11L,
+      40L -> 11L, 21L -> 21L, 22L -> 21L))
+  }
+
+  test("a bridging batch doc merges two standing clusters, min label wins") {
+    // w4..w15 overlaps both tD (w1..w12) and tE (w7..w18) at jaccard
+    // 7/13 ≈ 0.538 >= 0.5, while j(tD, tE) = 4/16 = 0.25 keeps the two
+    // standing families apart
+    val w = (1 to 18).map(i => s"w$i")
+    val tD = w.slice(0, 12).mkString(" ")
+    val tE = w.slice(6, 18).mkString(" ")
+    val bridge = w.slice(3, 15).mkString(" ")
+    val corpus2 = Seq((1L, tD), (2L, tD), (11L, tE), (12L, tE))
+      .toDF("doc_id", "text")
+    val sp = Dedup.jaccardPairsScalable(corpus2, "doc_id",
+      n = 3, minJaccard = 0.5, numHashTables = 8)
+      .select("doc_a", "doc_b", "jaccard").localCheckpoint()
+    val sc = Dedup.dedupClusters(sp).localCheckpoint()
+    assert(clustersOf(sc) === Map(1L -> 1L, 2L -> 1L, 11L -> 11L, 12L -> 11L))
+    val batch = Seq((40L, bridge)).toDF("doc_id", "text")
+    val (pairs, clusters) = PairGraph.appendBatch(sp, sc, corpus2, batch, "doc_id")
+    val got = clustersOf(clusters)
+    // both standing components re-solve into ONE, labeled by min id 1
+    assert(got === Map(1L -> 1L, 2L -> 1L, 11L -> 1L, 12L -> 1L, 40L -> 1L))
+    // and equals the full rebuild on the unioned corpus
+    val rebuilt = Dedup.dedupClusters(Dedup.jaccardPairsScalable(
+      corpus2.unionByName(batch), "doc_id",
+      n = 3, minJaccard = 0.5, numHashTables = 8))
+    assert(got === clustersOf(rebuilt))
+    // exactly the bridge's edges (it matches both copies of each family)
+    assert(pairs.count() === sp.count() + 4)
+  }
+
+  test("an edgeless batch changes nothing and re-clusters nothing") {
+    val batch = Seq((50L, "totally fresh unseen material zzz qqq xxx yyy www vvv")
+      ).toDF("doc_id", "text")
+    val edges = PairGraph.batchEdges(corpus, batch, "doc_id")
+    assert(edges.count() === 0L)
+    assert(PairGraph.touchedSubgraph(standingPairs, standingClusters, edges)
+      .count() === 0L)
+    val (pairs, clusters) = PairGraph.appendBatch(
+      standingPairs, standingClusters, corpus, batch, "doc_id")
+    assert(pairs.count() === standingPairs.count())
+    assert(clustersOf(clusters) === clustersOf(standingClusters))
+  }
+}

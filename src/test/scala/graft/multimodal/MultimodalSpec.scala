@@ -181,6 +181,16 @@ class MultimodalSpec extends SparkSpec {
     // truncated stream and wrong magic are rejected, not half-parsed
     assert(Multimodal.decodeY4m(y4mBytes(Seq(0, 255)).dropRight(1)).isEmpty)
     assert(Multimodal.decodeY4m("MPEG4 junk\n".getBytes("US-ASCII")).isEmpty)
+    // malformed header with huge W/H: frameSize would overflow Int
+    // (50000*50000*1.5 > 2^31) — must return None, not walk off the
+    // frame array and crash the task
+    val huge = ("YUV4MPEG2 W50000 H50000 F30:1 C420\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    assert(Multimodal.decodeY4m(huge).isEmpty)
+    // ditto a frame claiming more bytes than the whole stream
+    val tooBig = ("YUV4MPEG2 W1000 H1000 F30:1 C420\nFRAME\nxy")
+      .getBytes("US-ASCII")
+    assert(Multimodal.decodeY4m(tooBig).isEmpty)
     // decode() routes y4m before the synthetic fallback
     assert(Multimodal.decode(y4mBytes(Seq(10))).getString(0) === "video/y4m")
   }

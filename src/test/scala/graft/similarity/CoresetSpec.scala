@@ -24,6 +24,16 @@ class CoresetSpec extends SparkSpec {
       (4L, -1L, 1000000000000L)))         // objective: (1e6)^2
   }
 
+  test("k larger than the corpus fails loudly, not with an opaque index error") {
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(3f, 0f)))
+    val e = intercept[IllegalArgumentException] { run(3, pts) }
+    assert(e.getMessage.contains("at least k=3"))
+    val empty = intercept[IllegalArgumentException] {
+      run(1, Seq.empty[(Long, Seq[Float])])
+    }
+    assert(empty.getMessage.contains("corpus has 0"))
+  }
+
   test("argmax ties break to the smaller id; duplicates collapse the objective to 0") {
     val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(3f, 0f)), (3L, Seq(3f, 0f)))
     assert(run(2, pts) === Seq(

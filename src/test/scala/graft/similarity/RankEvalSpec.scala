@@ -61,6 +61,24 @@ class RankEvalSpec extends SparkSpec {
       "a judged query absent from the run scores zero, not null")
   }
 
+  test("explicit rel = 0 judgments are excluded, not counted as relevant") {
+    // q1: doc 10 judged rel 0 (TREC-style negative), doc 11 rel 1.
+    // Run finds 10@1, 11@2: the rel-0 hit must not enter found_rel,
+    // first_rel_rank, AP, or recall.
+    val run = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((1L, 10L, 0), (1L, 11L, 1)).toDF("query_id", "neighbor_id", "rel")
+    val r = RankEval.rankingMetrics(run, qrels, k = 3).collect().head
+    val w = RankEval.dcgWeightMicros(3)
+    assert(r.getAs[Long]("n_rel") === 1L)
+    assert(r.getAs[Long]("found_rel") === 1L)
+    assert(r.getAs[Long]("mrr_micros") === 1000000L / 2L, "first RELEVANT at rank 2")
+    assert(r.getAs[Long]("dcg_micros") === w(1))
+    assert(r.getAs[Long]("idcg_micros") === w(0))
+    assert(r.getAs[Long]("recall_micros") === 1000000L)
+    // AP: one hit, at rank 2, hit_idx 1 -> 500000 div 1
+    assert(r.getAs[Long]("ap_micros") === 500000L)
+  }
+
   test("cutoff k: hits below the cutoff do not count, idcg truncates at k") {
     val run = Seq((1L, 10L, 1L), (1L, 11L, 4L)).toDF("query_id", "neighbor_id", "rank")
     val qrels = Seq((1L, 10L, 1), (1L, 11L, 3), (1L, 12L, 1), (1L, 13L, 1), (1L, 14L, 1))
