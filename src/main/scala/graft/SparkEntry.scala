@@ -190,6 +190,40 @@ object SparkEntry {
     hs.map(h => (h, all.filter(col("h") === h).drop("h")))
   }
 
+  /** Session-materialized INCREMENTAL-index standing state for the
+    * q_incdedup crawl split (corpus = doc_id % 10 != 0): the corpus-side
+    * ordered ladder levels 1..8 plus the dictionaries that make a ladder
+    * an incremental index ([[graft.text.ExactSubstr]] section note) —
+    * token dict, per-doubling pair dicts, and the L=13 window-occurrence
+    * counts. All deterministic; in production these persist across
+    * crawls and refresh with the corpus.
+    */
+  private def incSubstrState(spark: SparkSession, dir: String)
+      : (Seq[(Int, DataFrame)], DataFrame, DataFrame, Map[Int, DataFrame]) = {
+    import graft.text.ExactSubstr
+    val corpus = Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
+    val hs = Seq(1, 2, 4, 8)
+    val all = graft.core.Materialize.once(spark, s"incsub_ladder|$dir") {
+      ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 8)
+        .map { case (h, df) => df.withColumn("h", lit(h)) }
+        .reduce(_ unionByName _)
+    }
+    val rounds = hs.map(h => (h, all.filter(col("h") === h).drop("h")))
+    val byLevel = rounds.toMap
+    val tokDict = graft.core.Materialize.once(spark, s"incsub_tok|$dir") {
+      ExactSubstr.corpusTokenDict(corpus, "doc_id")
+    }
+    val pairDicts = Seq(2, 4, 8).map { l =>
+      l -> graft.core.Materialize.once(spark, s"incsub_pd$l|$dir") {
+        ExactSubstr.pairDictFromLadder(byLevel(l / 2), byLevel(l), l / 2, "doc_id")
+      }
+    }.toMap
+    val winCounts = graft.core.Materialize.once(spark, s"incsub_win|$dir") {
+      ExactSubstr.corpusWindowCounts(byLevel(8), "doc_id", L = 13)
+    }
+    (rounds, tokDict, winCounts, pairDicts)
+  }
+
   /** Session-materialized adjacent-suffix LCP pair table over
     * `documents` in `dir` — the descent over the shared ladder is paid
     * once; q_maxdup_exact and q_lcpstats read the artifact (the
@@ -3743,6 +3777,22 @@ object SparkEntry {
         Tables(s, d).documents, "doc_id", L = 13,
         rounds = Some(suffixLadderFor(s, d))),
       Some(graft.text.ExactSubstr.oracleSql13)),
+
+    // ---- INCREMENTAL ExactSubstr: the nightly crawl (doc_id % 10 == 0)
+    //      coverage-checked against the standing corpus-side ladder via
+    //      dictionary extension (batch tokens/pairs probe the ladder's
+    //      token/pair dicts; novel content ranks above the corpus max) —
+    //      no corpus position re-ranked. Oracle = the FULL-union chain13
+    //      restricted to batch docs: green ⇒ incremental ≡ rebuild ----
+    ("q_incsubstr",
+      (s, d) => {
+        val (rounds, tokDict, winCounts, pairDicts) = incSubstrState(s, d)
+        graft.text.ExactSubstr.batchSpanCoverageVsCorpus(
+          Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", L = 13, corpusRounds = rounds, tokenDict = tokDict,
+          corpusWinCounts = winCounts, pairDicts = pairDicts)
+      },
+      Some(graft.text.ExactSubstr.incOracleSql13)),
 
     // ---- ExactSubstr span REMOVAL (the Lee et al. §4.2 transform the
     //      coverage statistic only measures): every token covered by a

@@ -443,10 +443,20 @@ object ExactSubstr {
     */
   def duplicatedSpanCoverageExact(docs: DataFrame, keyCol: String,
       textCol: String = "text", L: Int = 13,
-      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame =
+    coverageFromStarts(docs, keyCol, textCol, L,
+      dupWindowStarts(docs, keyCol, textCol, L, rounds))
+
+  /** The shared coverage tail: LEAD-merge duplicated window starts into
+    * per-doc covered-token counts over docs with ≥ L tokens. `starts` is
+    * (keyCol, pos) — from [[dupWindowStarts]] (whole-corpus path) or the
+    * incremental batch-vs-corpus path.
+    */
+  private def coverageFromStarts(docs: DataFrame, keyCol: String,
+      textCol: String, L: Int, starts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("pos")
-    val cov = dupWindowStarts(docs, keyCol, textCol, L, rounds)
+    val cov = starts
       .withColumn("_next", lead(col("pos"), 1).over(w))
       .withColumn("_c", when(col("_next").isNull, lit(L.toLong))
         .otherwise(least(lit(L.toLong), col("_next") - col("pos"))))
@@ -580,4 +590,192 @@ object ExactSubstr {
       |  nn.n_tokens - coalesce(ag.kept_tokens, 0) AS removed_tokens,
       |  coalesce(ag.clean_text, '') AS clean_text
       |FROM nn LEFT JOIN ag USING (doc_id)""".stripMargin
+
+  // ===== Incremental batch-vs-corpus (standing-ladder extension) =====
+  //
+  // The ladder's position rows alone cannot rank NEW documents — class
+  // ids are corpus-relative. What makes the standing ladder an
+  // incremental INDEX is its dictionaries: the level-1 token→rank map
+  // and, per doubling, the (rank_h(p), rank_h(p+h)) → rank_2h map. With
+  // those, a nightly batch acquires ranks EQUALITY-consistent with the
+  // corpus by pure dictionary probes (batch-sized keyed joins) — known
+  // content adopts the corpus rank, novel content gets fresh ranks
+  // appended above the corpus maximum. Extended ranks preserve equality
+  // (equal content ⟺ equal rank, across the batch/corpus boundary), not
+  // lexicographic order — sufficient for duplicate detection; a use that
+  // needs ORDER (LCP descent) still requires the periodic full re-sort,
+  // which is the honest rebuild-cost contract for that statistic.
+
+  /** Level-1 token dictionary of a standing corpus ladder — (tok, rank),
+    * the same dense index over distinct tokens [[orderedSuffixRounds]]
+    * assigns internally (deterministic, hence materializable as standing
+    * state alongside the ladder).
+    */
+  def corpusTokenDict(corpus: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame =
+    denseIndex(
+      guardDocLen(TextAnalysis.withTokens(corpus, textCol)
+          .filter(size(col("tokens")) > 0))
+        .select(explode(col("tokens")).as("tok")).distinct(),
+      Seq("tok"), "rank")
+
+  /** The (ra, rb) → r2 doubling dictionary implicit in a standing
+    * ladder, rederived from its materialized levels h and 2h: one
+    * projection + distinct over corpus positions — index-build-time
+    * work paid once per level when the standing state is refreshed,
+    * not a re-sort or re-rank.
+    */
+  def pairDictFromLadder(levelH: DataFrame, level2H: DataFrame, h: Int,
+      keyCol: String): DataFrame = {
+    val left = levelH.select(col(keyCol), col("pos"), col("rank").as("ra"))
+    val right = levelH.select(col(keyCol), (col("pos") - h).as("pos"),
+      col("rank").as("rb"))
+    left.join(right, Seq(keyCol, "pos"), "left")
+      .withColumn("rb", coalesce(col("rb"), lit(-1L)))
+      .join(level2H.select(col(keyCol), col("pos"), col("rank").as("r2")),
+        Seq(keyCol, "pos"))
+      .select("ra", "rb", "r2").distinct()
+  }
+
+  private def maxOrMinus1(df: DataFrame, c: String): Long = {
+    val v = df.agg(max(col(c))).head.get(0)
+    if (v == null) -1L else v.asInstanceOf[Long]
+  }
+
+  /** Batch suffix ranks equality-consistent with a standing corpus
+    * ladder (see section note): per level 1, 2, …, `prefixLen`, the
+    * batch's (keyCol, pos, len, pk, rank) frame. `pairDicts` optionally
+    * injects materialized doubling dictionaries keyed by target level;
+    * absent entries are derived live via [[pairDictFromLadder]].
+    *
+    * Work: batch positions × log₂(prefixLen) keyed dictionary probes.
+    * No corpus position is re-ranked or re-sorted.
+    */
+  def batchRanksVsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String, corpusRounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame, prefixLen: Int,
+      pairDicts: Map[Int, DataFrame] = Map.empty): Seq[(Int, DataFrame)] = {
+    require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two: $prefixLen")
+    val byLevel = corpusRounds.toMap
+    require(byLevel.contains(prefixLen) || prefixLen == 1,
+      s"standing ladder lacks level $prefixLen")
+    val p0 = guardDocLen(TextAnalysis.withTokens(batch, textCol)
+      .filter(size(col("tokens")) > 0))
+      .select(col(keyCol), size(col("tokens")).cast("long").as("len"),
+        posexplode(col("tokens")).as(Seq("pos0", "tok")))
+      .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
+        (col(keyCol).cast("long") * (1L << PosBits) + col("pos0") + 1).as("pk"),
+        col("tok"))
+    val maxTok = maxOrMinus1(tokenDict, "rank")
+    val novelToks = denseIndex(
+      p0.select("tok").distinct()
+        .join(tokenDict.select("tok"), Seq("tok"), "left_anti"),
+      Seq("tok"), "_ni")
+      .select(col("tok"), (col("_ni") + maxTok + 1).as("rank"))
+    var r = p0.join(tokenDict.unionByName(novelToks), Seq("tok"))
+      .select(col(keyCol), col("pos"), col("len"), col("pk"), col("rank"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
+    var k = 1
+    while (k < prefixLen) {
+      val dict = pairDicts.getOrElse(2 * k,
+        pairDictFromLadder(byLevel(k), byLevel(2 * k), k, keyCol))
+      val maxR2 = maxOrMinus1(dict, "r2")
+      val right = r.select(col(keyCol), (col("pos") - k).as("pos"),
+        col("rank").as("_rb"))
+      val paired = r.join(right, Seq(keyCol, "pos"), "left")
+        .withColumn("_rb", coalesce(col("_rb"), lit(-1L)))
+      val withDict = paired.join(dict.toDF("rank", "_rb", "_r2"),
+        Seq("rank", "_rb"), "left")
+        .localCheckpoint() // consumed twice (novel-pair scan + final join)
+      val novelPairs = denseIndex(
+        withDict.filter(col("_r2").isNull).select("rank", "_rb").distinct(),
+        Seq("rank", "_rb"), "_ni")
+        .select(col("rank"), col("_rb"), (col("_ni") + maxR2 + 1).as("_r2n"))
+      r = withDict.join(novelPairs, Seq("rank", "_rb"), "left")
+        .select(col(keyCol), col("pos"), col("len"), col("pk"),
+          coalesce(col("_r2"), col("_r2n")).as("rank"))
+        .localCheckpoint()
+      k *= 2
+      out += ((k, r))
+    }
+    out.toSeq
+  }
+
+  /** Full-L-window keys (keyCol, pos, ia, ib) from a level-h rank frame:
+    * h = 2^⌊log₂L⌋, the window at p identified by (rank(p), rank(p+L−h))
+    * — the standard overlap pair (see object doc).
+    */
+  private def windowKeys(r: DataFrame, keyCol: String, L: Int): DataFrame = {
+    val h = Integer.highestOneBit(L)
+    val off = L - h
+    val base = r.select(col(keyCol), col("pos"), col("len"),
+      col("rank").as("ia"))
+    val right = r.select(col(keyCol), (col("pos") - off).as("pos"),
+      col("rank").as("ib"))
+    (if (off == 0) base.withColumn("ib", col("ia"))
+     else base.join(right, Seq(keyCol, "pos")))
+      .filter(col("pos") + (L - 1) <= col("len"))
+      .select(col(keyCol), col("pos"), col("ia"), col("ib"))
+  }
+
+  /** Corpus L-window occurrence counts — (ia, ib, ccnt): the standing
+    * artifact incremental coverage probes. One projection + keyed count
+    * over the materialized ladder's level h, refreshed with the ladder.
+    */
+  def corpusWindowCounts(corpusLevelH: DataFrame, keyCol: String,
+      L: Int): DataFrame =
+    windowKeys(corpusLevelH, keyCol, L).groupBy("ia", "ib")
+      .agg(count(lit(1)).as("ccnt"))
+
+  /** Incremental ExactSubstr coverage: EXACTLY
+    * [[duplicatedSpanCoverageExact]] over corpus ∪ batch RESTRICTED to
+    * the batch docs, computed without re-ranking a single corpus
+    * position. A batch L-window is duplicated iff its content occurs in
+    * the standing corpus (ccnt ≥ 1 — the batch copy makes it ≥ 2 in the
+    * union) or at ≥ 2 batch positions. Batch windows acquire
+    * corpus-consistent identities via [[batchRanksVsCorpus]]; novel-rank
+    * windows can never probe a corpus row (their ranks exceed the
+    * corpus maximum), which is exactly right — novel content has no
+    * corpus twin. Same LEAD-merge coverage tail as the full path.
+    */
+  def batchSpanCoverageVsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String = "text", L: Int = 13,
+      corpusRounds: Seq[(Int, DataFrame)], tokenDict: DataFrame,
+      corpusWinCounts: DataFrame,
+      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame = {
+    val h = Integer.highestOneBit(L)
+    val br = batchRanksVsCorpus(batch, keyCol, textCol, corpusRounds,
+      tokenDict, h, pairDicts).last._2
+    val bw = windowKeys(br, keyCol, L).localCheckpoint() // starts + counts
+    val dupKeys = bw.groupBy("ia", "ib").agg(count(lit(1)).as("bcnt"))
+      .join(corpusWinCounts, Seq("ia", "ib"), "left")
+      .filter(col("bcnt") >= 2 || coalesce(col("ccnt"), lit(0L)) >= 1)
+      .select("ia", "ib")
+    val starts = bw.join(dupKeys, Seq("ia", "ib"), "left_semi")
+      .select(col(keyCol), col("pos"))
+    coverageFromStarts(batch, keyCol, textCol, L, starts)
+  }
+
+  /** DuckDB oracle for [[batchSpanCoverageVsCorpus]] under the registry's
+    * crawl split: the FULL-corpus [[oracleSql13]] chain restricted to the
+    * batch docs (doc_id % 10 = 0) — a green row proves the incremental
+    * path ≡ the full rebuild on the union, restricted to the batch.
+    */
+  def incOracleSql13: String = chain13 +
+    """,
+      |cc AS (SELECT w.doc_id, w.pos, least(13, coalesce(
+      |    lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos), w.pos + 13) - w.pos) AS c
+      |  FROM w JOIN dup USING (ia, ib) WHERE w.doc_id % 10 = 0),
+      |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |    CAST(sum(c) AS BIGINT) AS covered_tokens FROM cc GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM d WHERE len(toks) >= 13 AND doc_id % 10 = 0)
+      |SELECT n.doc_id, n_tokens,
+      |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+      |  coalesce(covered_tokens, 0) AS covered_tokens,
+      |  CAST(floor(CAST(coalesce(covered_tokens, 0) AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dup_micros
+      |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
 }

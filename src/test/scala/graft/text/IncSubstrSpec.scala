@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental batch-vs-corpus ExactSubstr (the standing-ladder
+  * dictionary extension): batch ranks must be equality-consistent with
+  * the corpus ladder, novel content must rank above the corpus maximum,
+  * and incremental coverage must EQUAL the full rebuild on the union
+  * restricted to batch docs — without re-ranking a corpus position.
+  */
+class IncSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a13 = (1 to 13).map(i => s"a$i").mkString(" ")
+  private val b13 = (1 to 13).map(i => s"b$i").mkString(" ")
+
+  private lazy val corpus = Seq(
+    (1L, s"$a13 c1 c2 c3"),                            // one copy of a-block
+    (2L, (1 to 20).map(i => s"z$i").mkString(" ")),    // disjoint filler
+    (3L, s"w1 w2 $b13")                                // one copy of b-block
+  ).toDF("doc_id", "text")
+
+  private def state(c: DataFrame) = {
+    val rounds = ExactSubstr.orderedSuffixRounds(c, "doc_id", prefixLen = 8)
+    val dict = ExactSubstr.corpusTokenDict(c, "doc_id")
+    val wins = ExactSubstr.corpusWindowCounts(rounds.last._2, "doc_id", L = 13)
+    (rounds, dict, wins)
+  }
+
+  private def incremental(c: DataFrame, batch: DataFrame) = {
+    val (rounds, dict, wins) = state(c)
+    ExactSubstr.batchSpanCoverageVsCorpus(batch, "doc_id", L = 13,
+      corpusRounds = rounds, tokenDict = dict, corpusWinCounts = wins)
+  }
+
+  private def fullRestricted(c: DataFrame, batch: DataFrame) = {
+    val batchIds = batch.select("doc_id")
+    ExactSubstr.duplicatedSpanCoverageExact(c.unionByName(batch), "doc_id", L = 13)
+      .join(batchIds, Seq("doc_id"), "left_semi")
+  }
+
+  private def rows(df: DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("n_dup_spans"), r.getAs[Long]("covered_tokens"))).toMap
+
+  test("a batch copy of a ONCE-seen corpus block is covered; novel text is not") {
+    // doc 10 carries the corpus a-block (corpus count 1 -> union count 2),
+    // doc 11 is entirely novel tokens (must flow through with 0 coverage)
+    val batch = Seq(
+      (10L, s"$a13 n1 n2 n3"),
+      (11L, (1 to 15).map(i => s"nv$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = rows(incremental(corpus, batch))
+    assert(got(10L) === (16L, 1L, 13L))
+    assert(got(11L) === (15L, 0L, 0L))
+    assert(got === rows(fullRestricted(corpus, batch)))
+  }
+
+  test("batch-internal duplicates are caught without any corpus occurrence") {
+    val n13 = (1 to 13).map(i => s"q$i").mkString(" ") // absent from corpus
+    val batch = Seq(
+      (10L, s"$n13 t1 t2"),
+      (20L, s"u1 $n13")
+    ).toDF("doc_id", "text")
+    val got = rows(incremental(corpus, batch))
+    assert(got(10L) === (15L, 1L, 13L))
+    assert(got(20L) === (14L, 1L, 13L))
+    assert(got === rows(fullRestricted(corpus, batch)))
+  }
+
+  test("novel batch tokens rank strictly above the corpus maximum") {
+    val (rounds, dict, _) = state(corpus)
+    val batch = Seq((10L, "brand new words only here")).toDF("doc_id", "text")
+    val br = ExactSubstr.batchRanksVsCorpus(batch, "doc_id", "text",
+      rounds, dict, prefixLen = 8)
+    val maxCorpus = dict.agg(max("rank")).head.getLong(0)
+    val minBatchL1 = br.head._2.agg(min("rank")).head.getLong(0)
+    assert(minBatchL1 > maxCorpus,
+      "novel tokens must never collide with a corpus rank")
+    // and a KNOWN token adopts the exact corpus rank (equality contract)
+    val known = Seq((30L, "a1 a2 a3")).toDF("doc_id", "text")
+    val kr = ExactSubstr.batchRanksVsCorpus(known, "doc_id", "text",
+      rounds, dict, prefixLen = 1).head._2
+    val corpusA1 = dict.filter(col("tok") === "a1").head.getLong(1)
+    assert(kr.filter(col("pos") === 1).head.getAs[Long]("rank") === corpusA1)
+  }
+
+  test("randomized union-equivalence: incremental == rebuild restricted to batch") {
+    // overlapping half-blocks, self-repeats, short docs, shared prefixes
+    val c = Seq(
+      (1L, s"$a13 $b13"),
+      (2L, s"$a13 mid $a13"),
+      (3L, "tiny doc"),
+      (4L, (1 to 30).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"pfx $a13 sfx"),                          // corpus-matched
+      (11L, (5 to 25).map(i => s"f$i").mkString(" ")), // corpus 21-gram slice
+      (12L, s"$b13"),                                  // exactly one window
+      (13L, "short"),                                  // < L tokens: excluded
+      (14L, (1 to 14).map(i => s"g$i").mkString(" "))  // novel, no dups
+    ).toDF("doc_id", "text")
+    assert(rows(incremental(c, batch)) === rows(fullRestricted(c, batch)))
+  }
+}
