@@ -2142,6 +2142,39 @@ object SparkEntry {
         |  CAST(1000000 AS BIGINT) AS recall_micros
         |FROM p, n""".stripMargin)),
 
+    // ---- COMPRESSED-audio dedup through the REAL FLAC decode
+    //      (Flac.decodeFlac — fixed-predictor/16-bit subset, CRCs
+    //      verified): base clips are genuine FLAC encodes, planted twins
+    //      arrive as perturbed-PCM WAVs, so every found pair proves the
+    //      decode end-to-end (a wrong decode cannot reproduce the WAV
+    //      twin's energy fingerprint inside the banded hamming budget).
+    //      Same grain-agnostic banded generator + id-arithmetic oracle ----
+    ("q_flacdedup",
+      (s, d) => {
+        val docs = Tables(s, d).documents.select("doc_id")
+        val clips = Multimodal.syntheticBlockFlacs(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          Multimodal.audioEnergyHashes(clips, "aud_id"), "aud_id",
+          bands = 4, maxHamming = 3)
+        val planted = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(10000000L)).as("doc_b"))
+        val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
+        clips.agg(count(lit(1)).as("n_clips"))
+          .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
+          .withColumn("recall_micros",
+            when(col("n_planted") === 0, lit(1000000L))
+              .otherwise(expr("planted_found * 1000000L div n_planted")))
+      },
+      Some("""WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 20 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n.n_docs + p.n_planted AS n_clips, p.n_planted AS n_planted,
+        |  p.n_planted AS n_pairs, p.n_planted AS planted_found,
+        |  CAST(1000000 AS BIGINT) AS recall_micros
+        |FROM p, n""".stripMargin)),
+
     // ---- perceptual VIDEO dedup — the fourth and last planned dedup
     //      grain (text, image, audio, video): temporal luma-gradient
     //      fingerprints over REAL decoded YUV4MPEG2 frame walks

@@ -1,0 +1,408 @@
+package graft.multimodal
+
+/** Pure-JVM FLAC codec for the FIXED-PREDICTOR / 16-bit / mono subset —
+  * the lossless compressed-audio decode that closes the modality gap
+  * left by rounds 8-10 (WAV/PCM, PNG/BMP/GIF/JPEG, Y4M were already real
+  * decodes; compressed audio fell back to the labeled synthetic stub).
+  *
+  * Implements enough of the PUBLIC xiph.org FLAC format specification:
+  *  - `fLaC` magic + metadata blocks (STREAMINFO parsed, others skipped)
+  *  - frame sync (14-bit 0x3FFE), blocking strategy, coded block-size /
+  *    sample-rate / channel / sample-size fields, UTF-8-coded frame
+  *    number, CRC-8 header check
+  *  - CONSTANT, VERBATIM and FIXED (order 0-4) subframes with wasted
+  *    bits, 4/5-bit Rice residual partitions (escape code → verbatim)
+  *  - CRC-16 frame footer check
+  *
+  * Out of subset and honestly REJECTED (decode returns None, callers
+  * fall through to [[Multimodal.syntheticFeatures]]): LPC subframes,
+  * multi-channel / stereo decorrelation, sample sizes ≠ 16. Both CRCs
+  * are VERIFIED — a corrupted stream fails loudly to None, never decodes
+  * to garbage samples. Lossless: decode(encode(pcm)) == pcm exactly
+  * (FlacSpec asserts the round trip bit-for-bit).
+  *
+  * Reference behavior anchor: the reference treats media as opaque
+  * payloads with typed metadata (`glue/etl_jobs/README.md` data-format
+  * table); the codec here is engine-side enrichment for the audio dedup
+  * grain, derived from the public spec only.
+  */
+object Flac {
+
+  /** Decoded FLAC stream: STREAMINFO fields plus the full PCM samples
+    * (16-bit values widened to Int). */
+  final case class FlacMeta(sampleRateHz: Int, nChannels: Int,
+      bitsPerSample: Int, samples: Array[Int])
+
+  // ---- CRCs (FLAC frame checks: CRC-8 poly 0x07, CRC-16 poly 0x8005,
+  //      both init 0, MSB-first, non-reflected) ----
+
+  private[multimodal] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[multimodal] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- bit-level IO (FLAC is MSB-first) ----
+
+  private final class BitReader(bytes: Array[Byte], startByte: Int) {
+    var bytePos: Int = startByte
+    private var bitPos = 0
+    def readBit(): Int = {
+      val b = (bytes(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val u = readBits(n)
+      (u << (64 - n) >> (64 - n)).toInt // sign-extend
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+    def aligned: Boolean = bitPos == 0
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def atEnd: Boolean = bytePos >= bytes.length
+  }
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0
+    private var nbits = 0
+    def writeBit(b: Int): Unit = {
+      acc = (acc << 1) | (b & 1)
+      nbits += 1
+      if (nbits == 8) { buf += acc.toByte; acc = 0; nbits = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def align(): Unit = while (nbits != 0) writeBit(0)
+    def toArray: Array[Byte] = { align(); buf.toArray }
+  }
+
+  // ---- UTF-8-coded frame/sample number (the FLAC-extended form) ----
+
+  private def readCodedNumber(r: BitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var n = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0) { n += 1; mask >>= 1 }
+    if (n < 1 || n > 6) throw new IllegalArgumentException("bad coded number")
+    var v = if (mask == 0) 0L else (b0 & (mask - 1)).toLong // 7-byte form: no lead payload
+    var i = 0
+    while (i < n) {
+      val c = r.readBits(8).toInt
+      if ((c & 0xc0) != 0x80) throw new IllegalArgumentException("bad continuation")
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  private def writeCodedNumber(w: BitWriter, value: Long): Unit = {
+    if (value < 0x80) { w.writeBits(value, 8); return }
+    // count payload bits -> continuation byte count
+    var bits = 64 - java.lang.Long.numberOfLeadingZeros(value)
+    var n = 1
+    while (bits > (6 - n) + 6 * n && n < 6) n += 1
+    val lead = ((0xff << (7 - n)) & 0xff) | ((value >>> (6 * n)) & ((1 << (6 - n)) - 1)).toInt
+    w.writeBits(lead.toLong, 8)
+    var i = n - 1
+    while (i >= 0) {
+      w.writeBits(0x80L | ((value >>> (6 * i)) & 0x3f), 8)
+      i -= 1
+    }
+  }
+
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array(),
+    Array(1),
+    Array(2, -1),
+    Array(3, -3, 1),
+    Array(4, -6, 4, -1))
+
+  // ---- decoder ----
+
+  /** Decode a subset FLAC stream. None for anything malformed, out of
+    * subset, or failing a CRC — never garbage samples.
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[FlacMeta] = {
+    try {
+      if (bytes.length < 42 ||
+        new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) != "fLaC")
+        return None
+      var off = 4
+      var last = false
+      var rate = -1
+      var channels = -1
+      var bps = -1
+      var first = true
+      while (!last) {
+        val header = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        last = (header & 0x80000000) != 0
+        val btype = (header >>> 24) & 0x7f
+        val blen = header & 0xffffff
+        if (first) {
+          if (btype != 0 || blen != 34) return None // STREAMINFO must lead
+          val o = off + 4
+          rate = ((bytes(o + 10) & 0xff) << 12) | ((bytes(o + 11) & 0xff) << 4) |
+            ((bytes(o + 12) & 0xff) >> 4)
+          channels = ((bytes(o + 12) >> 1) & 0x07) + 1
+          bps = (((bytes(o + 12) & 0x01) << 4) | ((bytes(o + 13) & 0xff) >> 4)) + 1
+          first = false
+        }
+        off += 4 + blen
+      }
+      if (rate <= 0 || channels != 1 || bps != 16) return None // subset
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      val r = new BitReader(bytes, off)
+      while (!r.atEnd) {
+        val frameStart = r.bytePos
+        if (r.readBits(14) != 0x3ffe) return None // lost sync
+        r.readBit() // reserved
+        r.readBit() // blocking strategy (fixed/variable both fine)
+        val bsCode = r.readBits(4).toInt
+        val srCode = r.readBits(4).toInt
+        val chanAssign = r.readBits(4).toInt
+        val ssCode = r.readBits(3).toInt
+        if (r.readBit() != 0) return None // reserved
+        readCodedNumber(r)
+        val blockSize = bsCode match {
+          case 0 => return None
+          case 1 => 192
+          case c if c >= 2 && c <= 5 => 576 << (c - 2)
+          case 6 => r.readBits(8).toInt + 1
+          case 7 => r.readBits(16).toInt + 1
+          case c => 256 << (c - 8)
+        }
+        srCode match { // rate comes from STREAMINFO; just consume the field
+          case 12 => r.readBits(8)
+          case 13 | 14 => r.readBits(16)
+          case 15 => return None
+          case _ => ()
+        }
+        if (chanAssign != 0) return None // subset: mono only
+        val frameBps = ssCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case _ => return None
+        }
+        if (frameBps != 16) return None
+        // header CRC-8 covers everything up to (not incl.) the CRC byte
+        if (!r.aligned) return None
+        val crcPos = r.bytePos
+        if (r.readBits(8).toInt != crc8(bytes, frameStart, crcPos)) return None
+        // one subframe (mono)
+        if (r.readBit() != 0) return None // padding
+        val sfType = r.readBits(6).toInt
+        var wasted = 0
+        if (r.readBit() == 1) wasted = r.readUnary() + 1
+        val effBps = frameBps - wasted
+        val block = new Array[Int](blockSize)
+        if (sfType == 0) { // CONSTANT
+          val v = r.readSigned(effBps)
+          java.util.Arrays.fill(block, v)
+        } else if (sfType == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { block(i) = r.readSigned(effBps); i += 1 }
+        } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
+          val order = sfType - 8
+          if (order > blockSize) return None
+          var i = 0
+          while (i < order) { block(i) = r.readSigned(effBps); i += 1 }
+          // residuals: Rice partitions
+          val method = r.readBits(2).toInt
+          if (method > 1) return None
+          val pBits = if (method == 0) 4 else 5
+          val escape = (1 << pBits) - 1
+          val partOrder = r.readBits(4).toInt
+          val nParts = 1 << partOrder
+          if (blockSize % nParts != 0) return None
+          var p = 0
+          var idx = order
+          while (p < nParts) {
+            val count = (blockSize >> partOrder) - (if (p == 0) order else 0)
+            val param = r.readBits(pBits).toInt
+            var j = 0
+            if (param == escape) {
+              val rawBits = r.readBits(5).toInt
+              while (j < count) {
+                block(idx) = if (rawBits == 0) 0 else r.readSigned(rawBits)
+                idx += 1; j += 1
+              }
+            } else {
+              while (j < count) {
+                val q = r.readUnary()
+                val u = (q.toLong << param) | r.readBits(param)
+                block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // un-zigzag
+                idx += 1; j += 1
+              }
+            }
+            p += 1
+          }
+          // restore the fixed prediction
+          val coefs = FixedCoefs(order)
+          i = order
+          while (i < blockSize) {
+            var pred = 0L
+            var c = 0
+            while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+            block(i) = (block(i) + pred).toInt
+            i += 1
+          }
+        } else return None // LPC / reserved: out of subset
+        if (wasted > 0) {
+          var i = 0
+          while (i < blockSize) { block(i) = block(i) << wasted; i += 1 }
+        }
+        r.align()
+        val footPos = r.bytePos
+        if (r.readBits(16).toInt != crc16(bytes, frameStart, footPos)) return None
+        out ++= block
+      }
+      if (out.isEmpty) None
+      else Some(FlacMeta(rate, 1, 16, out.toArray))
+    } catch { case _: Exception => None } // truncation/malformed -> None
+  }
+
+  // ---- encoder (fixed-predictor subset; used by specs and the planted
+  //      q_flacdedup twins — and a valid writer in its own right) ----
+
+  /** Encode 16-bit mono PCM as subset FLAC with FIXED predictors: per
+    * frame the best order in 0..2 by total |residual|, one Rice
+    * partition with a parameter fitted to the mean residual magnitude.
+    */
+  def encodeFlacFixed(samples: Array[Short], sampleRateHz: Int,
+      blockSize: Int = 1024): Array[Byte] = {
+    require(samples.nonEmpty, "empty PCM")
+    require(sampleRateHz > 0 && sampleRateHz < (1 << 20), s"bad rate $sampleRateHz")
+    val head = new BitWriter
+    head.writeBits(0x664c6143L, 32) // fLaC
+    head.writeBits(1L, 1)  // last metadata block
+    head.writeBits(0L, 7)  // STREAMINFO
+    head.writeBits(34L, 24)
+    head.writeBits(blockSize.toLong, 16) // min block
+    head.writeBits(blockSize.toLong, 16) // max block
+    head.writeBits(0L, 24) // min frame size unknown
+    head.writeBits(0L, 24) // max frame size unknown
+    head.writeBits(sampleRateHz.toLong, 20)
+    head.writeBits(0L, 3)  // channels - 1
+    head.writeBits(15L, 5) // bps - 1
+    head.writeBits(samples.length.toLong, 36)
+    head.writeBits(0L, 64); head.writeBits(0L, 64) // md5 unknown
+    val outParts = scala.collection.mutable.ArrayBuffer(head.toArray)
+    var frameIdx = 0L
+    var s0 = 0
+    while (s0 < samples.length) {
+      val n = math.min(blockSize, samples.length - s0)
+      val w = new BitWriter
+      w.writeBits(0x3ffeL, 14)
+      w.writeBit(0) // reserved
+      w.writeBit(0) // fixed blocking strategy
+      w.writeBits(7L, 4)  // block size: 16-bit value - 1 follows
+      w.writeBits(0L, 4)  // sample rate: from STREAMINFO
+      w.writeBits(0L, 4)  // channel assignment: mono
+      w.writeBits(4L, 3)  // sample size: 16 bit
+      w.writeBit(0)       // reserved
+      writeCodedNumber(w, frameIdx)
+      w.writeBits((n - 1).toLong, 16)
+      val headerBytes = w.toArray // aligned by construction
+      val crc8v = crc8(headerBytes, 0, headerBytes.length)
+      // best fixed order 0..2 by total residual magnitude
+      def residuals(order: Int): Array[Long] = {
+        val res = new Array[Long](n - order)
+        var i = order
+        while (i < n) {
+          var pred = 0L
+          var c = 0
+          while (c < order) { pred += FixedCoefs(order)(c).toLong * samples(s0 + i - 1 - c); c += 1 }
+          res(i - order) = samples(s0 + i).toLong - pred
+          i += 1
+        }
+        res
+      }
+      val cand = (0 to math.min(2, n - 1)).map(o => (o, residuals(o)))
+      val (order, res) = cand.minBy { case (_, rr) => rr.iterator.map(math.abs).sum }
+      val body = new BitWriter
+      body.writeBits(crc8v.toLong, 8)
+      body.writeBit(0) // subframe padding
+      body.writeBits((8 + order).toLong, 6) // FIXED order
+      body.writeBit(0) // no wasted bits
+      var i = 0
+      while (i < order) { body.writeBits(samples(s0 + i).toLong & 0xffff, 16); i += 1 }
+      // one Rice partition, param fitted to mean |residual|
+      val meanAbs = if (res.isEmpty) 0L else res.iterator.map(math.abs).sum / math.max(1, res.length)
+      var param = 0
+      while ((1L << param) < meanAbs + 1 && param < 14) param += 1
+      body.writeBits(0L, 2)  // coding method: 4-bit Rice
+      body.writeBits(0L, 4)  // partition order 0
+      body.writeBits(param.toLong, 4)
+      var j = 0
+      while (j < res.length) {
+        val v = res(j)
+        val u = (v << 1) ^ (v >> 63) // zigzag
+        body.writeUnary((u >>> param).toInt)
+        body.writeBits(u & ((1L << param) - 1), param)
+        j += 1
+      }
+      body.align()
+      val frame = headerBytes ++ body.toArray
+      val crc16v = crc16(frame, 0, frame.length)
+      outParts += frame
+      outParts += Array(((crc16v >> 8) & 0xff).toByte, (crc16v & 0xff).toByte)
+      frameIdx += 1
+      s0 += n
+    }
+    val total = outParts.iterator.map(_.length).sum
+    val out = new Array[Byte](total)
+    var o = 0
+    outParts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+    out
+  }
+}

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * dependency). Video decode is REAL for uncompressed YUV4MPEG2
   * ([[decodeY4m]]: header parse + frame walk + per-frame luma/motion
   * stats and true frame extraction — the raw interchange format ffmpeg
-  * emits). COMPRESSED video/audio codecs are not available in this
-  * environment, so those payloads fall back to the clearly-marked
-  * deterministic [[syntheticFeatures]]; everything Spark-side — schema,
-  * batching, partition-local iteration, output shape — is identical for
-  * all paths.
+  * emits). Compressed audio is REAL for the FLAC fixed-predictor/16-bit
+  * subset ([[Flac.decodeFlac]]: pure-JVM Rice/fixed-prediction decode
+  * with verified CRCs). Remaining compressed codecs (MP3, H.264, …)
+  * have no in-sandbox decoder, so those payloads fall back to the
+  * clearly-marked deterministic [[syntheticFeatures]]; everything
+  * Spark-side — schema, batching, partition-local iteration, output
+  * shape — is identical for all paths.
   *
   * Scale design: per-row byte work happens inside mapPartitions (no driver
   * collect, no shuffle); metadata stays columnar so filters on media_type /
@@ -230,9 +232,12 @@ object Multimodal {
     case Some((mt, w, h, _)) => Row(mt, w, h, bytes.length.toLong)
     case None => decodeWav(bytes) match {
       case Some(_) => Row("audio/wav", null, null, bytes.length.toLong)
-      case None => decodeY4m(bytes) match {
-        case Some(m) => Row("video/y4m", m.width, m.height, bytes.length.toLong)
-        case None    => syntheticFeatures(bytes)
+      case None => Flac.decodeFlac(bytes) match {
+        case Some(_) => Row("audio/flac", null, null, bytes.length.toLong)
+        case None => decodeY4m(bytes) match {
+          case Some(m) => Row("video/y4m", m.width, m.height, bytes.length.toLong)
+          case None    => syntheticFeatures(bytes)
+        }
       }
     }
   }
@@ -780,13 +785,49 @@ object Multimodal {
     }
   }
 
+  /** [[audioEnergyHash64]] at the FLAC grain: the identical 65-window
+    * integer mean-|amplitude| gradient over [[Flac.decodeFlac]]'s REAL
+    * decoded samples — lossless decode means the same PCM yields the
+    * same fingerprint through either container (FlacSpec asserts
+    * WAV/FLAC hash equality), so cross-container near-dups band
+    * together. None for out-of-subset or sub-window streams (the
+    * no-fake-fingerprints contract).
+    */
+  def flacEnergyHash64(bytes: Array[Byte]): Option[Long] = {
+    val nWindows = 65
+    Flac.decodeFlac(bytes).flatMap { m =>
+      if (m.nChannels != 1 || m.samples.length < nWindows) None
+      else {
+        val wLen = m.samples.length / nWindows
+        val energy = new Array[Long](nWindows)
+        var w = 0
+        while (w < nWindows) {
+          var sum = 0L
+          var i = 0
+          while (i < wLen) { sum += math.abs(m.samples(w * wLen + i)); i += 1 }
+          energy(w) = sum / wLen
+          w += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b) < energy(b + 1)) bits |= 1L << b
+          b += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
   /** DataFrame-level audio fingerprint extraction: (key, dhash) with null
     * for undecodable / non-mono / sub-window payloads — the exact
     * [[dHashes]] contract, so the grain-agnostic banded pair generator
     * ([[graft.dedup.ImageDedup.dHashPairs]] — it only ever sees the
-    * 8-byte fingerprint column) consumes it unchanged. mapPartitions:
-    * PCM byte work stays executor-side; downstream shuffles carry 8
-    * bytes per clip, never the audio.
+    * 8-byte fingerprint column) consumes it unchanged. Routes by
+    * container: PCM WAV first (cheap RIFF magic), then subset FLAC —
+    * one clip table may mix both and near-dups band across containers.
+    * mapPartitions: PCM byte work stays executor-side; downstream
+    * shuffles carry 8 bytes per clip, never the audio.
     */
   def audioEnergyHashes(df: DataFrame, keyCol: String,
       mediaCol: String = "media"): DataFrame = {
@@ -797,8 +838,9 @@ object Multimodal {
       df.schema(keyCol), StructField("dhash", LongType)))
     val rdd = df.rdd.mapPartitions { iter =>
       iter.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
         Row(r.get(keyIdx),
-          audioEnergyHash64(r.getAs[Array[Byte]](mediaIdx))
+          audioEnergyHash64(bytes).orElse(flacEnergyHash64(bytes))
             .map(java.lang.Long.valueOf).orNull)
       }
     }
@@ -821,11 +863,8 @@ object Multimodal {
     */
   def blockWav(tag: String, levelDelta: Int = 0,
       bumpWindow: Option[Int] = None, bumpDelta: Int = 24): Array[Byte] = {
-    val nWindows = 65
-    val wLen = 64
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val nFrames = nWindows * wLen
-    val dataLen = nFrames * 2
+    val samples = blockSamples(tag, levelDelta, bumpWindow, bumpDelta)
+    val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -834,6 +873,20 @@ object Multimodal {
       .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
       .putShort(2).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** [[blockWav]]'s raw PCM (shared by the WAV and FLAC containers so
+    * cross-container twins carry IDENTICAL samples): 65 windows × 64
+    * frames of a ±A_w square wave, A_w planted per window from md5.
+    */
+  private def blockSamples(tag: String, levelDelta: Int = 0,
+      bumpWindow: Option[Int] = None, bumpDelta: Int = 24): Array[Short] = {
+    val nWindows = 65
+    val wLen = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Short](nWindows * wLen)
     var w = 0
     while (w < nWindows) {
       val d = md.digest(s"$tag|$w".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -842,13 +895,20 @@ object Multimodal {
       val amp = (level * 128).toShort
       var i = 0
       while (i < wLen) {
-        bb.putShort(if ((i & 1) == 0) amp else (-amp).toShort)
+        out(w * wLen + i) = if ((i & 1) == 0) amp else (-amp).toShort
         i += 1
       }
       w += 1
     }
-    bb.array()
+    out
   }
+
+  /** [[blockWav]]'s PCM in a REAL subset-FLAC container
+    * ([[Flac.encodeFlacFixed]]): same planted samples, compressed. */
+  def blockFlac(tag: String, levelDelta: Int = 0,
+      bumpWindow: Option[Int] = None, bumpDelta: Int = 24): Array[Byte] =
+    Flac.encodeFlacFixed(
+      blockSamples(tag, levelDelta, bumpWindow, bumpDelta), 8000)
 
   /** Synthetic audio corpus with planted near-duplicates — the
     * [[syntheticBlockImages]] planting scheme at the audio grain: every
@@ -864,6 +924,27 @@ object Multimodal {
       plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame =
     mapIds(df, keyCol, idCol = "aud_id") { id =>
       val base = Row(id, blockWav(s"aud|$id"))
+      if (id % plantEvery == 0) {
+        val twin =
+          if ((id / plantEvery) % 2 == 0) blockWav(s"aud|$id", levelDelta = 8)
+          else blockWav(s"aud|$id", bumpWindow = Some(30))
+        Iterator(base, Row(id + idOffset, twin))
+      } else Iterator(base)
+    }
+
+  /** CROSS-CONTAINER audio corpus with planted near-duplicates: every
+    * base clip is a REAL subset-FLAC encode ([[blockFlac]]) and every
+    * planted twin arrives as the PERTURBED PCM in a WAV container — a
+    * found pair therefore proves the FLAC decode end-to-end (a wrong
+    * decode could not reproduce the WAV twin's energy fingerprint
+    * within the banded hamming budget). Same id-arithmetic planting as
+    * [[syntheticBlockWavs]], so the same SQL oracle derives the pair
+    * set from the source table alone.
+    */
+  def syntheticBlockFlacs(df: DataFrame, keyCol: String,
+      plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame =
+    mapIds(df, keyCol, idCol = "aud_id") { id =>
+      val base = Row(id, blockFlac(s"aud|$id"))
       if (id % plantEvery == 0) {
         val twin =
           if ((id / plantEvery) % 2 == 0) blockWav(s"aud|$id", levelDelta = 8)
