@@ -12,6 +12,8 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *   1. `encoding_gate`    mojibake / replacement-char / C0 quarantine
   *   1b. `multimodal_screen` caption-image keep/quarantine routing (branch)
   *   1c. `image_dedup`      perceptual image dedup + representatives (branch)
+  *   1d. `audio_dedup`      perceptual audio dedup, FLAC+WAV clips (branch)
+  *   1e. `video_dedup`      perceptual video dedup over Y4M clips (branch)
   *   2. `curate_funnel`     language/quality/length gates + exact dedup
   *   3. `boilerplate_strip` CCNet-style shared-segment removal
   *   4. `sentence_dedup`    corpus-global duplicated-sentence removal
@@ -37,6 +39,8 @@ import graft.text.{CorpusCuration, TextAnalysis}
   *   encoded/     docs whose text decodes cleanly (enc_clean)
   *   mmscreen/    caption-image consistency verdicts (decode x quality)
   *   mmimages/    per-image near-dup routing (img_id, cluster_id, is_kept)
+  *   mmaudio/     per-clip audio near-dup routing (aud_id, cluster_id, is_kept)
+  *   mmvideo/     per-clip video near-dup routing (vid_id, cluster_id, is_kept)
   *   curated/     docs surviving the funnel (exact-deduped)
   *   stripped/    boilerplate-free text (lang/source re-attached)
   *   sentded/     duplicated sentences removed (first occurrence kept)
@@ -58,6 +62,8 @@ object RunCuration {
     def encoded: String = s"$root/encoded"
     def mmscreen: String = s"$root/mmscreen"
     def mmimages: String = s"$root/mmimages"
+    def mmaudio: String = s"$root/mmaudio"
+    def mmvideo: String = s"$root/mmvideo"
     def curated: String = s"$root/curated"
     def stripped: String = s"$root/stripped"
     def sentded: String = s"$root/sentded"
@@ -138,6 +144,41 @@ object RunCuration {
           pairs, "img_id", "_q").drop("_q")
         write(routed, lay.mmimages)
         stageDocs("mmimages_kept") = spark.read.parquet(lay.mmimages)
+          .filter(col("is_kept")).count()
+      }),
+      Pipeline.Job("audio_dedup", dependsOn = Seq("multimodal_screen"))(() => {
+        // audio-grain dedup on the branch — and deliberately CROSS-
+        // container: base clips are real subset-FLAC encodes, planted
+        // twins perturbed-PCM WAVs, so the routing table's collapses
+        // exercise the FLAC decode end-to-end inside the DAG (the same
+        // grain-agnostic banded generator; one representative per
+        // cluster by min aud_id, as the image branch).
+        val docs = spark.read.parquet(lay.encoded).select("doc_id")
+        val clips = graft.multimodal.Multimodal.syntheticBlockFlacs(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          graft.multimodal.Multimodal.audioEnergyHashes(clips, "aud_id"), "aud_id",
+          bands = 4, maxHamming = 3)
+        val routed = graft.dedup.Dedup.keepRepresentatives(
+          clips.select(col("aud_id"), (-col("aud_id")).as("_q")),
+          pairs, "aud_id", "_q").drop("_q")
+        write(routed, lay.mmaudio)
+        stageDocs("mmaudio_kept") = spark.read.parquet(lay.mmaudio)
+          .filter(col("is_kept")).count()
+      }),
+      Pipeline.Job("video_dedup", dependsOn = Seq("multimodal_screen"))(() => {
+        // video-grain dedup on the branch: temporal luma-gradient
+        // fingerprints over REAL Y4M frame walks, same banded generator
+        // and keep-one-representative routing.
+        val docs = spark.read.parquet(lay.encoded).select("doc_id")
+        val clips = graft.multimodal.Multimodal.syntheticBlockY4ms(docs, "doc_id")
+        val pairs = graft.dedup.ImageDedup.dHashPairs(
+          graft.multimodal.Multimodal.videoTemporalHashes(clips, "vid_id"), "vid_id",
+          bands = 4, maxHamming = 3)
+        val routed = graft.dedup.Dedup.keepRepresentatives(
+          clips.select(col("vid_id"), (-col("vid_id")).as("_q")),
+          pairs, "vid_id", "_q").drop("_q")
+        write(routed, lay.mmvideo)
+        stageDocs("mmvideo_kept") = spark.read.parquet(lay.mmvideo)
           .filter(col("is_kept")).count()
       }),
       Pipeline.Job("curate_funnel", dependsOn = Seq("encoding_gate"))(() => {

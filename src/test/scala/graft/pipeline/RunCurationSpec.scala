@@ -17,7 +17,7 @@ class RunCurationSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("curation-e2e").toString
     val r = RunCuration.run(spark, docsDir, out, policy = fastPolicy)
     assert(r.run.failed.isEmpty && r.run.skipped.isEmpty)
-    assert(r.run.succeeded.size === 14)
+    assert(r.run.succeeded.size === 16)
 
     // the funnel only ever removes documents
     val raw = spark.read.parquet(s"$docsDir/documents.parquet").count()
@@ -60,6 +60,21 @@ class RunCurationSpec extends SparkSpec {
     assert(mi.groupBy("cluster_id")
       .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("k"))
       .filter(col("k") =!= 1L).count() === 0L)
+
+    // audio/video dedup branches: same reconciliation as the image
+    // grain — one routing row per clip (bases + planted twins), every
+    // twin collapses into its base's cluster, exactly one representative
+    // kept per cluster. The audio branch is CROSS-container (FLAC bases,
+    // WAV twins), so these collapses exercise the FLAC decode in the DAG.
+    for ((dir, keptKey) <- Seq(("mmaudio", "mmaudio_kept"),
+        ("mmvideo", "mmvideo_kept"))) {
+      val routed = spark.read.parquet(s"$out/$dir")
+      assert(routed.count() === d("encoded") + nTwins, dir)
+      assert(d(keptKey) === d("encoded"), s"$dir: twins must collapse")
+      assert(routed.groupBy("cluster_id")
+        .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("k"))
+        .filter(col("k") =!= 1L).count() === 0L, dir)
+    }
 
     // kept rows carry their classifier score, all above the threshold
     val kept = spark.read.parquet(s"$out/kept")
