@@ -3733,6 +3733,20 @@ object SparkEntry {
         Tables(s, d).documents, unigramModelFor(s, d), "doc_id"),
       Some(graft.text.UnigramLm.segOracleSql(maxPieceLen = 4, maxVocab = 200))),
 
+    // ---- ONE unigram-LM EM refinement round under the fixed init model
+    //      — the last learner whose refinement was spec-only, now
+    //      oracle-gated: the E-step's forward-backward lattice runs in
+    //      EXACT fixed-point integers (base 10¹⁵, floor-once terms), so
+    //      DuckDB replays it term for term in HUGEINT (recursive-CTE
+    //      lattices; beta = alpha on the reversed word) and the M-step
+    //      renormalization is pure integer division on both sides ----
+    ("q_unigram_em",
+      (s, d) => graft.text.UnigramLm.emRoundOnDocs(
+        Tables(s, d).documents,
+        unigramModelFor(s, d).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap),
+      Some(graft.text.UnigramLm.emOracleSql)),
+
     // ---- tokenizer fertility by language (XLM-R §3.1's fairness
     //      metric): chars-per-BPE-token and BPE-tokens-per-word per lang
     //      under the learned merges, exact integer-micros floor

@@ -68,14 +68,30 @@ object UnigramLm {
       .select("piece", "cnt", "p_micros")
   }
 
+  /** Fixed-point lattice base for the EM E-step: alpha/beta masses live
+    * in units of 10⁻¹⁵ (alpha(0) = 10¹⁵), each lattice term floors ONCE
+    * (`alpha·p div 10⁶`) — ~15 significant digits, double-precision
+    * class, but INTEGER-exact: the quantized DP is the defined engine
+    * statistic, order-free (integer sums commute) and replayable
+    * anywhere with 128-bit arithmetic (DuckDB HUGEINT: every
+    * intermediate ≤ ~10³⁶ by the α ≤ B, Σ_l p_l ≤ 10⁶ mass bounds).
+    */
+  private val LatticeBase = BigInt(10).pow(15)
+  private val Micros = BigInt(1000000)
+
   /** One EM round over the word table: E-step runs forward–backward on
-    * each word's segmentation lattice against the broadcast piece model,
-    * quantizes the word's per-piece expected counts to micros and weights
-    * by word frequency (exact long sums across the corpus); M-step
-    * renormalizes to probabilities in micros. Pieces whose expected count
-    * rounds to zero keep p_micros = 1 if single-char (cover guarantee)
-    * and drop otherwise — the Kudo prune, driven by the data.
-    * Output: (piece, ec_micros, p_micros).
+    * each word's segmentation lattice against the broadcast piece model
+    * in EXACT fixed-point integers ([[LatticeBase]] — no float anywhere,
+    * so the round is deterministic, partition-order independent, and a
+    * DuckDB oracle replays it term for term); per-piece expected counts
+    * quantize once to micros (round-half-up against the word's lattice
+    * mass z) and weight by word frequency; M-step renormalizes to
+    * probabilities in micros. A word whose quantized z underflows to 0
+    * (possible only for very long words made of rare pieces) contributes
+    * nothing — identically on every replaying engine. Pieces whose
+    * expected count rounds to zero keep p_micros = 1 if single-char
+    * (cover guarantee) and drop otherwise — the Kudo prune, driven by
+    * the data. Output: (piece, ec_micros, p_micros).
     */
   def emRound(words: DataFrame, pieces: Map[String, Long]): DataFrame = {
     val spark = words.sparkSession
@@ -86,31 +102,36 @@ object UnigramLm {
       .flatMap { case (w, wc) =>
         val m = bc.value
         val L = w.length
-        val alpha = new Array[Double](L + 1); alpha(0) = 1.0
-        val beta = new Array[Double](L + 1); beta(L) = 1.0
+        val alpha = Array.fill(L + 1)(BigInt(0)); alpha(0) = LatticeBase
+        val beta = Array.fill(L + 1)(BigInt(0)); beta(L) = LatticeBase
         for (i <- 1 to L; l <- 1 to math.min(maxLen, i)) {
           m.get(w.substring(i - l, i)).foreach { p =>
-            alpha(i) += alpha(i - l) * (p / 1e6)
+            alpha(i) += alpha(i - l) * p / Micros // floor once per term
           }
         }
         for (i <- L - 1 to 0 by -1; l <- 1 to math.min(maxLen, L - i)) {
           m.get(w.substring(i, i + l)).foreach { p =>
-            beta(i) += (p / 1e6) * beta(i + l)
+            beta(i) += beta(i + l) * p / Micros
           }
         }
         val z = alpha(L)
-        if (z <= 0) Iterator.empty
+        if (z.signum <= 0) Iterator.empty
         else {
-          val acc = scala.collection.mutable.Map.empty[String, Double]
+          val acc = scala.collection.mutable.Map.empty[String, BigInt]
           for (i <- 0 until L; l <- 1 to math.min(maxLen, L - i)) {
             val s = w.substring(i, i + l)
             m.get(s).foreach { p =>
-              val e = alpha(i) * (p / 1e6) * beta(i + l) / z
-              if (e > 0) acc(s) = acc.getOrElse(s, 0.0) + e
+              // edge mass in lattice units, floored once by 10⁶ so every
+              // term ≤ B² div 10⁶ = 10²⁴ and per-piece sums stay far
+              // inside 128-bit for ANY word length (the replay bound)
+              val t = alpha(i) * p * beta(i + l) / Micros
+              if (t.signum > 0) acc(s) = acc.getOrElse(s, BigInt(0)) + t
             }
           }
-          acc.iterator.map { case (s, e) =>
-            (s, math.floor(e * 1e6 + 0.5).toLong * wc)
+          val den = (LatticeBase / Micros) * z // 10⁹·z — the e_micros unit
+          acc.iterator.map { case (s, num) =>
+            // E_micros = round(num / (10⁹·z)): round-half-up in integers
+            (s, ((num * 2 + den) / (den * 2)).toLong * wc)
           }
         }
       }
@@ -118,13 +139,24 @@ object UnigramLm {
       .groupBy("piece").agg(sum("ec").as("ec_micros"))
     val total = ec.agg(sum("ec_micros").as("_t"))
     ec.crossJoin(broadcast(total))
-      .withColumn("p_micros", expr("ec_micros * 1000000L div _t"))
+      // internal DECIMAL hop: ec·10⁶ exceeds Long past ~9·10¹² expected
+      // micros (a corpus-scale round gets there); div floors, output is
+      // BIGINT — no decimal column escapes (the oracle-compare contract)
+      .withColumn("p_micros", expr(
+        "CAST((CAST(ec_micros AS DECIMAL(28, 0)) * 1000000) div CAST(_t AS DECIMAL(28, 0)) AS BIGINT)"))
       .withColumn("p_micros",
         when(length(col("piece")) === 1, greatest(lit(1L), col("p_micros")))
           .otherwise(col("p_micros")))
       .filter(col("p_micros") >= 1L)
       .select("piece", "ec_micros", "p_micros")
   }
+
+  /** One EM round straight from the docs under a given model — the
+    * registry surface q_unigram_em oracle-gates (the last learner whose
+    * refinement step was spec-only). */
+  def emRoundOnDocs(docs: DataFrame, model: Map[String, Long],
+      textCol: String = "text"): DataFrame =
+    emRound(wordTable(docs, textCol), model)
 
   /** Train: candidate init + `rounds` EM refinements. Returns the final
     * (piece, ec_micros, p_micros) model table. The piece map collected to
@@ -255,7 +287,10 @@ object UnigramLm {
         |  FROM kept, tot
         |),
         |mp AS (SELECT map(list(piece), list(nll)) AS m FROM nll),""".stripMargin
-    val dp = s"""
+
+
+
+  val dp = s"""
         |rec AS (
         |  SELECT word, 0 AS i,
         |    [struct_pack(c := CAST(0 AS BIGINT), negl := CAST(0 AS BIGINT), piece := '', seg := '')] AS st
@@ -291,4 +326,97 @@ object UnigramLm {
         |FROM j GROUP BY 1""".stripMargin
     head + model + dp
   }
+
+  /** DuckDB oracle for ONE [[emRound]] under the candidate-init model
+    * (maxPieceLen = 4, maxVocab = 200 — the registry's fixed model): the
+    * init model replayed exactly as [[segOracleSql]] replays it, then
+    * the integer fixed-point forward lattice as a recursive CTE (alpha
+    * appended per position, each term `alpha·p // 10⁶` — HUGEINT, the
+    * same floor the engine takes in BigInt), the backward lattice as the
+    * SAME recursion on the reversed word with reversed-piece lookups
+    * (beta(i) = alphaRev(L−i), exact because integer sums are
+    * order-free), per-occurrence edge masses `alpha·p·beta // 10⁶`,
+    * round-half-up expected micros against 10⁹·z, word-frequency
+    * weighting, and the engine's M-step renormalization with the
+    * single-char cover floor. Words whose quantized z underflows to 0
+    * drop identically on both sides.
+    */
+  def emOracleSql: String =
+    """WITH RECURSIVE toks0 AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |),
+      |occ AS (
+      |  SELECT doc_id, pr.pos AS pos, pr.tok AS tok
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks) + 1),
+      |            i -> struct_pack(pos := i, tok := toks[i]))) AS pr
+      |        FROM toks0 WHERE len(toks) > 0)
+      |),
+      |wt AS (
+      |  SELECT tok AS word, count(*) AS wc FROM occ WHERE len(tok) > 0 GROUP BY 1
+      |),
+      |subs AS (
+      |  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+      |    SELECT wc, unnest(flatten(list_transform(range(1, len(word) + 1),
+      |      i -> list_transform(range(i, least(len(word), i + 3) + 1),
+      |        j -> word[i:j])))) AS piece
+      |    FROM wt) GROUP BY 1
+      |),
+      |kept AS (
+      |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs WHERE len(piece) > 1
+      |    ORDER BY cnt DESC, piece LIMIT 200)
+      |),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept),
+      |pm AS (SELECT piece, CAST(greatest(1, cnt * 1000000 // t) AS HUGEINT) AS p FROM kept, tot),
+      |mp AS (SELECT map(list(piece), list(p)) AS m FROM pm),
+      |af AS (
+      |  SELECT word, 0 AS i, [CAST(1000000000000000 AS HUGEINT)] AS st FROM wt
+      |  UNION ALL
+      |  SELECT word, i + 1,
+      |    list_append(st, coalesce(list_sum(list_filter(list_transform(range(1, least(4, i + 1) + 1),
+      |        l -> st[i + 2 - l] * map_extract(mp.m, word[i + 2 - l : i + 1])[1] // 1000000),
+      |      x -> x IS NOT NULL)), CAST(0 AS HUGEINT)))
+      |  FROM af, mp WHERE i < len(word)
+      |),
+      |ab AS (
+      |  SELECT word, reverse(word) AS rw, 0 AS i, [CAST(1000000000000000 AS HUGEINT)] AS st FROM wt
+      |  UNION ALL
+      |  SELECT word, rw, i + 1,
+      |    list_append(st, coalesce(list_sum(list_filter(list_transform(range(1, least(4, i + 1) + 1),
+      |        l -> st[i + 2 - l] * map_extract(mp.m, reverse(rw[i + 2 - l : i + 1]))[1] // 1000000),
+      |      x -> x IS NOT NULL)), CAST(0 AS HUGEINT)))
+      |  FROM ab, mp WHERE i < len(rw)
+      |),
+      |ff AS (SELECT word, st FROM af WHERE i = len(word)),
+      |bb AS (SELECT word, st FROM ab WHERE i = len(word)),
+      |zt AS (SELECT word, st[len(word) + 1] AS z FROM ff),
+      |g0 AS (SELECT word, unnest(range(0, len(word))) AS gi FROM wt),
+      |g AS (SELECT word, gi, unnest(range(1, least(4, len(word) - gi) + 1)) AS gl FROM g0),
+      |terms AS (
+      |  SELECT g.word, g.word[g.gi + 1 : g.gi + g.gl] AS piece,
+      |    ff.st[g.gi + 1] * map_extract(mp.m, g.word[g.gi + 1 : g.gi + g.gl])[1]
+      |      * bb.st[len(g.word) - g.gi - g.gl + 1] // 1000000 AS tm
+      |  FROM g JOIN ff USING (word) JOIN bb USING (word), mp
+      |),
+      |tf AS (SELECT word, piece, tm FROM terms WHERE tm IS NOT NULL AND tm > 0),
+      |ew AS (
+      |  SELECT tf.word, tf.piece,
+      |    (2 * sum(tf.tm) + 1000000000 * zt.z) // (2 * 1000000000 * zt.z) AS e
+      |  FROM tf JOIN zt USING (word)
+      |  WHERE zt.z > 0
+      |  GROUP BY tf.word, tf.piece, zt.z
+      |),
+      |ecx AS (SELECT ew.piece, CAST(sum(ew.e * wt.wc) AS BIGINT) AS ec_micros
+      |  FROM ew JOIN wt USING (word) GROUP BY 1),
+      |tot2 AS (SELECT CAST(sum(ec_micros) AS HUGEINT) AS t2 FROM ecx)
+      |SELECT ecx.piece, ec_micros,
+      |  CAST(CASE WHEN len(ecx.piece) = 1
+      |    THEN greatest(1, CAST(ec_micros AS HUGEINT) * 1000000 // t2)
+      |    ELSE CAST(ec_micros AS HUGEINT) * 1000000 // t2 END AS BIGINT) AS p_micros
+      |FROM ecx, tot2
+      |WHERE CASE WHEN len(ecx.piece) = 1
+      |    THEN greatest(1, CAST(ec_micros AS HUGEINT) * 1000000 // t2)
+      |    ELSE CAST(ec_micros AS HUGEINT) * 1000000 // t2 END >= 1""".stripMargin
 }
