@@ -40,7 +40,11 @@ object Bench {
     }
     calib() // one untimed pass so codegen/JIT of the probe itself is warm
     val calibFirst = calib()
+    // optional query filter (LOCAL iteration only — the driver passes no
+    // args, so official artifacts always cover the full registry)
+    val only = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // run-major order (full suite, then again): back-to-back repeats of
     // one query would share its page-cache/JIT warmth and understate the
     // median; interleaving keeps each timing an honest cold-ish sample.

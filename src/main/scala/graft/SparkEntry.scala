@@ -1716,6 +1716,40 @@ object SparkEntry {
         |r AS (SELECT es, ed FROM e UNION SELECT r.es, e.ed FROM r, e WHERE r.ed = e.es)
         |SELECT es AS doc_id, least(es, min(ed)) AS cluster_id FROM r GROUP BY es""".stripMargin)),
 
+    // ---- incremental maintenance of the standing SHINGLE-STATS
+    //      artifact (the df/first-owner table four queries share):
+    //      batch counts ADD into the standing table, first owner is the
+    //      min — oracle = full rebuild over all documents, compared
+    //      through a compact per-df fingerprint (count + md5-derived
+    //      signature sum pinning every (shingle, df, first_doc) triple) ----
+    ("q_incshstats",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val isBatch = col("doc_id") % 10 === 0
+        val standing = graft.core.Materialize.once(s, s"incsh|$d") {
+          Dedup.shingles(docs.filter(!isBatch), "doc_id", n = 3)
+            .groupBy("shingle")
+            .agg(count(lit(1)).as("_df"), min("doc_id").as("first_doc"))
+        }
+        graft.dedup.PairGraph.appendShingleStats(
+            standing, docs.filter(isBatch), "doc_id", n = 3)
+          .withColumn("_sig", conv(substring(md5(
+              concat(col("shingle"), lit(":"), col("first_doc").cast("string"))
+                .cast("binary")), 1, 8), 16, 10).cast("long"))
+          .groupBy(col("_df").as("df"))
+          .agg(count(lit(1)).as("n_shingles"), sum("_sig").as("sig_sum"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |      FROM dd WHERE len(toks) >= 3),
+        |st AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS first_doc
+        |      FROM s GROUP BY 1),
+        |sg AS (SELECT df, ('0x' || substr(md5(shingle || ':' || CAST(first_doc AS VARCHAR)), 1, 8))::BIGINT AS sig
+        |      FROM st)
+        |SELECT df, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(sig) AS BIGINT) AS sig_sum
+        |FROM sg GROUP BY 1""".stripMargin)),
+
     // ---- contrastive negative sampling: per anchor (id % 50 == 0), 4
     //      salted-hash negatives excluding the anchor's near-dup pairs
     //      (false negatives poison a contrastive objective) — shares the
@@ -1913,8 +1947,12 @@ object SparkEntry {
         // (documentsSimHash — the 64-agg token pass paid once per corpus)
         // and the hashed shingle table (documentsHashedShingles — the same
         // n=3 re-shingle the accept re-rank used to repeat per run).
+        // .cache() on the artifact reads: the banding self-join consumes
+        // the signature frame twice and the accept join the shingle frame
+        // twice — the in-memory form keeps the self-join's exchange
+        // reusable (measured ~1.5-2 s at sf0.1 vs re-scanning parquet)
         val cand = Dedup.simHashPairsFromSigs(
-          graft.dedup.PairGraph.documentsSimHash(s, d), "doc_id",
+          graft.dedup.PairGraph.documentsSimHash(s, d).cache(), "doc_id",
           bands = 8, maxHamming = 15)
         // acceptPairsByJaccardHashed, not exactJaccardForPairs: the wide
         // hamming cut emits ~2.4M candidates on the low-entropy sf0.1
@@ -1922,7 +1960,7 @@ object SparkEntry {
         // across all its pairs (23s); the pair-local array_intersect form
         // stays one row per candidate (the 0.5-acceptance is unchanged).
         Dedup.acceptPairsByJaccardHashed(
-          graft.dedup.PairGraph.documentsHashedShingles(s, d, 3), cand,
+          graft.dedup.PairGraph.documentsHashedShingles(s, d, 3).cache(), cand,
           "doc_id", minJaccard = 0.5)
           .select(col("doc_a"), col("doc_b"), lit(true).as("simhash_close"))
       },

@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned commit-after-write store for STANDING artifacts (pair
+  * graphs, cluster tables, shingle stats, suffix-ladder dictionaries):
+  * each commit writes every table under `root/v<N>/<name>/` and ONLY
+  * THEN creates the `root/v<N>/_COMMIT` marker — the reference's
+  * at-least-once contract (advance the watermark only after the write
+  * lands, `lambda/snowflake_extractor/watermark_manager.py:211-259`)
+  * applied to artifact maintenance. Readers resolve the highest version
+  * THAT HAS a marker, so a writer dying mid-commit leaves the previous
+  * version live and the half-written directory inert; re-running the
+  * append overwrites it (idempotent recovery, no cleanup step needed).
+  *
+  * Hadoop-FS based (local paths in tests, HDFS/S3 in production).
+  */
+object ArtifactStore {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val VersionRe = "v(\\d+)".r
+
+  /** Highest committed version under `root`, if any. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return None
+    val versions = f.listStatus(rootPath).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      })
+      .filter(v => f.exists(new Path(s"$root/v$v/_COMMIT")))
+      .toSeq
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** Write every table, THEN the marker. Returns the committed version. */
+  def commit(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "nothing to commit")
+    val v = latestVersion(spark, root).getOrElse(0L) + 1L
+    tables.foreach { case (name, df) =>
+      require(name.nonEmpty && !name.startsWith("_"), s"bad table name $name")
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$v/$name")
+    }
+    // the point of the design: the marker is LAST — a crash anywhere
+    // above leaves the previous committed version the readable one
+    fs(spark, root).create(new Path(s"$root/v$v/_COMMIT"), true).close()
+    v
+  }
+
+  /** Read a table from the latest committed version. */
+  def read(spark: SparkSession, root: String, name: String): Option[DataFrame] =
+    latestVersion(spark, root).map(v => spark.read.parquet(s"$root/v$v/$name"))
+
+  /** Read a table from a specific committed version (time travel for
+    * audits / reproducing a historical run). */
+  def readAt(spark: SparkSession, root: String, name: String,
+      version: Long): Option[DataFrame] = {
+    val f = fs(spark, root)
+    if (f.exists(new Path(s"$root/v$version/_COMMIT")))
+      Some(spark.read.parquet(s"$root/v$version/$name"))
+    else None
+  }
+}

@@ -64,6 +64,55 @@ object PairGraph {
           org.apache.spark.sql.functions.min("doc_id").as("first_doc"))
     }
 
+  /** [[appendBatch]] against a PERSISTED store — the full production
+    * loop: bootstrap (no committed version yet) builds the standing
+    * pairs + clusters from the corpus and commits v1; each append reads
+    * the latest committed version, merges the batch, and commits the
+    * next version ONLY after both tables land
+    * ([[graft.core.ArtifactStore]] marker-last contract). A writer dying
+    * mid-append leaves the previous version live; re-running the same
+    * append is idempotent (it overwrites the torn directory). Returns
+    * the committed version.
+    */
+  def appendBatchCommitted(spark: SparkSession, root: String,
+      corpus: DataFrame, batch: DataFrame, keyCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, numTables: Int = 8): Long = {
+    import graft.core.ArtifactStore
+    if (ArtifactStore.latestVersion(spark, root).isEmpty) {
+      // bootstrap: the corpus IS the initial standing state (v1)
+      val p = Dedup.jaccardPairsScalable(corpus, keyCol,
+        n = n, minJaccard = minJaccard, numHashTables = numTables)
+        .select("doc_a", "doc_b", "jaccard")
+      ArtifactStore.commit(spark, root,
+        Map("pairs" -> p, "clusters" -> Dedup.dedupClusters(p)))
+    }
+    val standingPairs = ArtifactStore.read(spark, root, "pairs").get
+    val standingClusters = ArtifactStore.read(spark, root, "clusters").get
+    val (pairs, clusters) = appendBatch(standingPairs, standingClusters,
+      corpus, batch, keyCol, n, minJaccard, numTables)
+    ArtifactStore.commit(spark, root,
+      Map("pairs" -> pairs, "clusters" -> clusters))
+  }
+
+  /** Incremental maintenance of the standing shingle-stats artifact
+    * (df + first owner): merge a new batch's per-shingle counts into the
+    * standing table — counts ADD, first owner is the MIN doc id — which
+    * equals a full rebuild over corpus ∪ batch exactly (both are keyed
+    * integer aggregates; q_incshstats oracle-gates the equivalence).
+    * Work: one batch-sized shingle pass + a merge keyed on the shingle;
+    * the standing table streams through the merge, it is never
+    * re-derived from corpus text.
+    */
+  def appendShingleStats(standing: DataFrame, batch: DataFrame,
+      keyCol: String, n: Int): DataFrame = {
+    val b = Dedup.shingles(batch, keyCol, n = n)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("_df"), min(keyCol).as("first_doc"))
+    standing.select("shingle", "_df", "first_doc").unionByName(b)
+      .groupBy("shingle")
+      .agg(sum("_df").as("_df"), min("first_doc").as("first_doc"))
+  }
+
   /** Session-memoized per-doc HASHED shingle sets over `documents` —
     * (doc_id, hs: array<long>, sz), the form every candidate-acceptance
     * re-rank consumes ([[Dedup.acceptPairsByJaccardHashed]]). In

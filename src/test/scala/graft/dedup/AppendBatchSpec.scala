@@ -97,6 +97,25 @@ class AppendBatchSpec extends SparkSpec {
     assert(pairs.count() === sp.count() + 4)
   }
 
+  test("appendShingleStats merge equals a full rebuild over the union") {
+    val batch = Seq((40L, tB), (42L, "entirely novel crawl content right here")
+      ).toDF("doc_id", "text")
+    val standing = Dedup.shingles(corpus, "doc_id", n = 3)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("_df"), min("doc_id").as("first_doc"))
+    val merged = PairGraph.appendShingleStats(standing, batch, "doc_id", n = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rebuilt = Dedup.shingles(corpus.unionByName(batch), "doc_id", n = 3)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("_df"), min("doc_id").as("first_doc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged === rebuilt)
+    // the merge really did add: tB's shingles gained df, novel ones appeared
+    val tBShingle = tB.split(" ").slice(0, 3).mkString(" ")
+    assert(merged(tBShingle)._1 === 3L) // docs 11, 12, 40
+    assert(merged(tBShingle)._2 === 11L) // first owner keeps the corpus min
+  }
+
   test("an edgeless batch changes nothing and re-clusters nothing") {
     val batch = Seq((50L, "totally fresh unseen material zzz qqq xxx yyy www vvv")
       ).toDF("doc_id", "text")
