@@ -58,6 +58,32 @@ object ArtifactStore {
   def read(spark: SparkSession, root: String, name: String): Option[DataFrame] =
     latestVersion(spark, root).map(v => spark.read.parquet(s"$root/v$v/$name"))
 
+  /** Retention: delete every version directory strictly OLDER than the
+    * newest `keepLast` committed versions (torn uncommitted dirs below
+    * that cutoff go too; anything at or above it is left alone — a torn
+    * dir newer than the cutoff may be an in-flight writer). Returns the
+    * versions deleted.
+    */
+  def prune(spark: SparkSession, root: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return Seq.empty
+    val all = f.listStatus(rootPath).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      }).toSeq
+    val committed = all
+      .filter(v => f.exists(new Path(s"$root/v$v/_COMMIT"))).sorted
+    if (committed.isEmpty) return Seq.empty
+    val cutoff = committed.takeRight(keepLast).head
+    val victims = all.filter(_ < cutoff).sorted
+    victims.foreach(v => f.delete(new Path(s"$root/v$v"), true))
+    victims
+  }
+
   /** Read a table from a specific committed version (time travel for
     * audits / reproducing a historical run). */
   def readAt(spark: SparkSession, root: String, name: String,

@@ -185,6 +185,48 @@ object Streaming {
       accepted.write.mode("append").parquet(corpusPath)
   }
 
+  /** Streaming maintenance of the STANDING pair-graph artifacts — the
+    * round-trip of the incremental contract: each micro-batch of crawled
+    * documents (1) appends its near-dup edges into the committed
+    * pair/cluster tables via
+    * [[graft.dedup.PairGraph.appendBatchCommitted]] (marker-last
+    * versioned commits: a batch dying mid-commit leaves the previous
+    * version live and the checkpoint replays it), then (2) appends the
+    * docs themselves to the corpus. Work per batch scales with the
+    * batch; the corpus is never re-paired with itself; every committed
+    * version remains auditable ([[graft.core.ArtifactStore.readAt]]).
+    */
+  def pairGraphMaintenanceStream(docs: DataFrame, corpusPath: String,
+      artifactsRoot: String, checkpoint: String, keyCol: String = "doc_id",
+      minJaccard: Double = 0.5): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pairGraphMaintenanceBatch(batch, corpusPath, artifactsRoot,
+          keyCol, minJaccard): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the pair-graph maintenance (public so batch jobs
+    * reuse the same loop). Returns the committed artifact version.
+    */
+  def pairGraphMaintenanceBatch(batch: DataFrame, corpusPath: String,
+      artifactsRoot: String, keyCol: String, minJaccard: Double): Long = {
+    val spark = batch.sparkSession
+    val corpus = try spark.read.parquet(corpusPath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val v = graft.dedup.PairGraph.appendBatchCommitted(
+      spark, artifactsRoot, corpus, batch, keyCol, minJaccard = minJaccard)
+    if (!batch.isEmpty)
+      batch.write.mode("append").parquet(corpusPath)
+    v
+  }
+
   /** Streaming SCD2 — slowly-changing-dimension maintenance driven by a
     * change stream: each micro-batch MERGEs into the persisted dimension
     * history with [[graft.operators.Scd2.merge]] (changed keys close

@@ -39,6 +39,24 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.readAt(spark, root, "t", 99L).isEmpty)
   }
 
+  test("prune keeps the newest committed versions, spares in-flight dirs") {
+    val root = tmpRoot()
+    (1 to 4).foreach { i =>
+      ArtifactStore.commit(spark, root,
+        Map("t" -> Seq((i.toLong, "x")).toDF("id", "v")))
+    }
+    // a torn dir NEWER than every committed version: an in-flight writer
+    Seq((99L, "w")).toDF("id", "v").write.parquet(s"$root/v5/t")
+    assert(ArtifactStore.prune(spark, root, keepLast = 2) === Seq(1L, 2L))
+    assert(ArtifactStore.latestVersion(spark, root) === Some(4L))
+    assert(ArtifactStore.readAt(spark, root, "t", 3L).isDefined)
+    assert(ArtifactStore.readAt(spark, root, "t", 1L).isEmpty)
+    // the torn v5 survived; committing now lands as v5 -> marker appears
+    val v = ArtifactStore.commit(spark, root,
+      Map("t" -> Seq((5L, "y")).toDF("id", "v")))
+    assert(v === 5L && ArtifactStore.latestVersion(spark, root) === Some(5L))
+  }
+
   test("appendBatchCommitted: bootstrap v1, append v2, crash-safe recovery") {
     val root = tmpRoot()
     val tA = "alpha one two three four five six seven eight nine"

@@ -116,6 +116,43 @@ class StreamingSpec extends SparkSpec {
     assert(led === Set((2L, 1L, "batch"), (3L, 1L, "corpus")))
   }
 
+  test("streaming pair-graph maintenance: versions commit per batch, the " +
+      "final clustering equals a full rebuild over everything ingested") {
+    val in = java.nio.file.Files.createTempDirectory("pgm-in").toString
+    val corpus = java.nio.file.Files.createTempDirectory("pgm-c").toString + "/corpus"
+    val arts = java.nio.file.Files.createTempDirectory("pgm-a").toString + "/artifacts"
+    val ckpt = java.nio.file.Files.createTempDirectory("pgm-k").toString
+    val tA = "alpha one two three four five six seven eight nine"
+    val tB = "bravo uno dos tres cuatro cinco seis siete ocho nueve"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // batch 1: family A (two copies) + a B singleton
+    write(Seq((1L, tA), (2L, tA), (11L, tB)))
+    val schema = spark.read.parquet(in).schema
+    Streaming.pairGraphMaintenanceStream(Streaming.fileStream(spark, in, schema),
+      corpus, arts, ckpt, "doc_id")
+    // bootstrap (empty corpus) committed v1, batch 1 appended as v2
+    assert(graft.core.ArtifactStore.latestVersion(spark, arts) === Some(2L))
+    // batch 2: a new copy of B arrives -> only B's component re-resolves
+    write(Seq((20L, tB)))
+    Streaming.pairGraphMaintenanceStream(Streaming.fileStream(spark, in, schema),
+      corpus, arts, ckpt, "doc_id")
+    assert(graft.core.ArtifactStore.latestVersion(spark, arts) === Some(3L))
+    val clusters = graft.core.ArtifactStore.read(spark, arts, "clusters").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 11L -> 11L, 20L -> 11L))
+    // == full rebuild over everything the stream ingested
+    val all = spark.read.parquet(corpus)
+    val rebuilt = graft.dedup.Dedup.dedupClusters(
+      graft.dedup.Dedup.jaccardPairsScalable(all, "doc_id",
+        n = 3, minJaccard = 0.5, numHashTables = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === rebuilt)
+    // the pre-batch-2 state stays auditable: v2 has no doc 20
+    val v2c = graft.core.ArtifactStore.readAt(spark, arts, "clusters", 2L).get
+    assert(v2c.filter(col("id") === 20L).count() === 0L)
+  }
+
   test("streaming SCD2: changed keys close their version and open a new " +
       "one, history accumulates across micro-batches") {
     val in = java.nio.file.Files.createTempDirectory("scd-in").toString
