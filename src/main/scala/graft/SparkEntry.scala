@@ -2047,6 +2047,35 @@ object SparkEntry {
       },
       Some(PlantedRecallOracleSql)),
 
+    // ---- incremental maintenance of the standing IVF index: centroids
+    //      FROZEN from the corpus fit, the planted twins arrive as a
+    //      batch and are assigned WITHOUT refit (ivfAssign — the same
+    //      pure argmin either path, so incremental ≡ assigning the
+    //      union); every twin must still surface through the appended
+    //      index (recall 1.0 — an index that only ever saw the corpus
+    //      at fit time finds the batch's near-dups) ----
+    ("q_incivf",
+      (s, d) => {
+        val emb = plantedEmbeddings(s, d)
+        val directed = plantedDirected(s, d)
+        val corpus = emb.filter(col("vec_id") < 10000000L)
+        val batch = emb.filter(col("vec_id") >= 10000000L)
+        val centroids = graft.core.Materialize.once(s, s"incivf_c|$d") {
+          Similarity.ivfCentroids(corpus, nClusters = 16)
+        }
+        val standing = graft.core.Materialize.once(s, s"incivf_a|$d") {
+          Similarity.ivfAssign(corpus, "vec_id", centroids)
+        }
+        val assigned = standing.unionByName(
+          Similarity.ivfAssign(batch, "vec_id", centroids))
+        val run = Similarity.ivfTopKFromIndex(assigned,
+          a => a.join(broadcast(directed.select(col("query_id").as("vec_id"))),
+            Seq("vec_id")),
+          centroids, k = 5, nProbe = 8)
+        plantedRecall(directed, run)
+      },
+      Some(PlantedRecallOracleSql)),
+
     // Same planted-pair property for PQ-ADC (4 subspaces x 16 codes, the
     // compressed linear scan): a planted partner shares the query's codes
     // in every unchanged subspace by construction — identical subvectors
@@ -3296,6 +3325,34 @@ object SparkEntry {
         .select(col("token"), col("df"),
           md5(expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')"))
             .as("postings_md5")),
+      Some("""WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |t AS (SELECT DISTINCT doc_id, token FROM t0),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')) AS postings_md5
+        |FROM t GROUP BY 1
+        |HAVING count(*) <= (SELECT n FROM n) * 0.8""".stripMargin)),
+
+    // ---- incremental maintenance of the standing INVERTED INDEX: the
+    //      artifact persists UNFILTERED posting stats (df caps depend on
+    //      the current corpus size, so the stop-list applies at read);
+    //      the crawl batch merges in with df adds + postings re-sort,
+    //      provably a full rebuild; oracle = q_invidx's full-corpus SQL ----
+    ("q_incinvidx",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val isBatch = col("doc_id") % 10 === 0
+        val standing = graft.core.Materialize.once(s, s"incinv|$d") {
+          TextAnalysis.invertedIndexStats(docs.filter(!isBatch), "doc_id")
+        }
+        val merged = TextAnalysis.appendInvertedIndex(
+          standing, docs.filter(isBatch), "doc_id")
+        TextAnalysis.applyDfCap(merged,
+            docs.agg(count(lit(1)).as("_n")), maxDfRatio = 0.8)
+          .select(col("token"), col("df"),
+            md5(expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')"))
+              .as("postings_md5"))
+      },
       Some("""WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |t AS (SELECT DISTINCT doc_id, token FROM t0),
         |n AS (SELECT count(*) AS n FROM documents)

@@ -217,25 +217,72 @@ object Similarity {
   private def ivfTopKWith(df: DataFrame, keyCol: String,
       selectQueries: DataFrame => DataFrame, k: Int,
       nClusters: Int, nProbe: Int, seed: Long, embCol: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(df, nClusters, seed, embCol)
+    val assigned = ivfAssign(df, keyCol, centroids, embCol)
+    ivfTopKFromIndex(assigned,
+      a => selectQueries(a.select(col(keyCol), col("v"), col("norm"),
+        col("cell"))),
+      centroids, k, nProbe)
+  }
 
-    val base = withNorm(df, embCol)
-      .select(col(keyCol), col("v"), col("norm"))
+  /** The IVF coarse quantizer's centroid table — (cell, centroid): a
+    * seeded KMeans fit, few iterations (cells only route candidates, the
+    * exact re-rank fixes assignment fuzziness; 4 iters measured
+    * recall-equivalent to 8 on the planted-pair gate at half the fit
+    * cost). This is the FROZEN half of a standing IVF index: appends
+    * assign against it without refitting.
+    */
+  def ivfCentroids(df: DataFrame, nClusters: Int, seed: Long = 42L,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = withNorm(df, embCol).select(col("v"))
       .withColumn("features", array_to_vector(col("v")))
-    // coarse quantizer: few iterations suffice — cells only route
-    // candidates, exact re-rank fixes any assignment fuzziness (4 iters
-    // measured recall-equivalent to 8 on the planted-pair gate, at half
-    // the fit cost — the fit dominates this query's wall time)
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(4)
       .setFeaturesCol("features").setPredictionCol("cell").fit(base)
-    val assigned = model.transform(base).select(col(keyCol), col("v"), col("norm"), col("cell"))
-
-    val centroids = df.sparkSession.createDataFrame(
+    df.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) })
       .toDF("cell", "centroid")
+  }
 
+  /** Assign vectors to a FROZEN centroid table — the IVF index append:
+    * argmin squared-L2 with ties to the lower cell id (a stated total
+    * order, so incremental assignment of a batch is definitionally
+    * identical to assigning the union: the same pure per-row function
+    * either way). The centroid table is MODEL-sized (nClusters rows —
+    * the bounded-by-contract collect this package uses for codebooks),
+    * so the argmin compiles to one least-of-structs projection: zero
+    * shuffle, no explode. Output: (keyCol, v, norm, cell).
+    */
+  def ivfAssign(df: DataFrame, keyCol: String, centroids: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val structs = cents.map { case (cell, c) =>
+      // string-literal doubles: Double.toString round-trips exactly
+      val arr = c.map(x => s"CAST('$x' AS DOUBLE)")
+        .mkString("array(", ",", ")")
+      s"named_struct('d2', aggregate(zip_with(v, $arr, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 'cell', $cell)"
+    }
+    val argmin =
+      if (structs.length == 1) s"(${structs.head}).cell"
+      else s"least(${structs.mkString(", ")}).cell"
+    withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+      .withColumn("cell", expr(argmin))
+  }
+
+  /** Query a prebuilt IVF index — (assigned, centroids) as produced by
+    * [[ivfAssign]]/[[ivfCentroids]] (or read back from a persisted
+    * store): nProbe nearest cells by cosine, exact re-rank of their
+    * members. The query path of a STANDING index that appends without
+    * refit.
+    */
+  def ivfTopKFromIndex(assigned: DataFrame,
+      selectQueries: DataFrame => DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // probe assignment: each query's nProbe nearest centroids (by cosine)
     val probes = selectQueries(assigned)
       .toDF("query_id", "qv", "qnorm", "qcell")

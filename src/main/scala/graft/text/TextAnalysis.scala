@@ -563,20 +563,50 @@ object TextAnalysis {
     * idiom, no separate count job).
     */
   def invertedIndex(docs: DataFrame, keyCol: String,
-      textCol: String = "text", maxDfRatio: Double = 0.5): DataFrame = {
-    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
-      s"maxDfRatio must be in (0,1]: $maxDfRatio")
-    val n = docs.agg(count(lit(1)).as("_n"))
+      textCol: String = "text", maxDfRatio: Double = 0.5): DataFrame =
+    applyDfCap(invertedIndexStats(docs, keyCol, textCol),
+      docs.agg(count(lit(1)).as("_n")), maxDfRatio)
+
+  /** The UNFILTERED posting stats — (token, df, postings) with no df
+    * cap: the form the standing index artifact persists, because the
+    * stop-list threshold depends on the CURRENT corpus size (df ≤ N·r)
+    * and must re-apply at read time as the corpus grows. Mergeable:
+    * [[appendInvertedIndex]] folds a batch in without touching corpus
+    * text.
+    */
+  def invertedIndexStats(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame =
     withTokens(docs, textCol)
       .select(col(keyCol), explode(col("tokens")).as("token"))
       .distinct()
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col(keyCol))).as("postings"))
-      .crossJoin(broadcast(n))
+
+  /** The read-time stop-list: df ≤ N·maxDfRatio against a 1-row corpus
+    * count frame. */
+  def applyDfCap(stats: DataFrame, nDocs: DataFrame,
+      maxDfRatio: Double): DataFrame = {
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0,1]: $maxDfRatio")
+    stats.crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("_n") * lit(maxDfRatio))
       .drop("_n")
   }
+
+  /** Incremental maintenance of the standing posting stats: batch keys
+    * are NEW (unique across corpus ∪ batch), so per-token df ADDS and
+    * postings concatenate — re-sorted once, which equals a full rebuild
+    * over the union exactly (q_incinvidx oracle-gates it). Work: one
+    * batch-sized token pass + a merge keyed on the token.
+    */
+  def appendInvertedIndex(standing: DataFrame, batch: DataFrame,
+      keyCol: String, textCol: String = "text"): DataFrame =
+    standing.select("token", "df", "postings")
+      .unionByName(invertedIndexStats(batch, keyCol, textCol))
+      .groupBy("token")
+      .agg(sum("df").as("df"),
+        sort_array(flatten(collect_list(col("postings")))).as("postings"))
 
   /** A deterministic stand-in weight table for [[hashedQualityScore]]:
     * one row per bucket in [0, nBuckets) with a pseudo-weight in

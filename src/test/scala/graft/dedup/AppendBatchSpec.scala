@@ -116,6 +116,27 @@ class AppendBatchSpec extends SparkSpec {
     assert(merged(tBShingle)._2 === 11L) // first owner keeps the corpus min
   }
 
+  test("appendInvertedIndex merge equals a full rebuild; the df cap " +
+      "re-applies against the GROWN corpus size") {
+    import graft.text.TextAnalysis
+    val batch = Seq((40L, tB), (42L, "entirely novel crawl content right here")
+      ).toDF("doc_id", "text")
+    val standing = TextAnalysis.invertedIndexStats(corpus, "doc_id")
+    val merged = TextAnalysis.appendInvertedIndex(standing, batch, "doc_id")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val rebuilt = TextAnalysis.invertedIndexStats(
+      corpus.unionByName(batch), "doc_id")
+    assert(m(merged) === m(rebuilt))
+    // tB's tokens gained doc 40, postings stay sorted
+    assert(m(merged)("bravo") === ((3L, Seq(11L, 12L, 40L))))
+    // the read-time cap uses the UNION's size: df 3 of 9 docs passes a
+    // 0.4 ratio (3 <= 3.6) that the 7-doc corpus alone would fail (2.8)
+    val capped = TextAnalysis.applyDfCap(merged,
+      corpus.unionByName(batch).agg(count(lit(1)).as("_n")), 0.4)
+    assert(m(capped).contains("bravo"))
+  }
+
   test("an edgeless batch changes nothing and re-clusters nothing") {
     val batch = Seq((50L, "totally fresh unseen material zzz qqq xxx yyy www vvv")
       ).toDF("doc_id", "text")

@@ -257,4 +257,36 @@ class SimilaritySpec extends SparkSpec {
         k = 2, dims = 4).collect()
     assert(full.head.getAs[Long]("recall_micros") === 1000000L)
   }
+
+  test("ivfAssign: exact argmin cells, ties to the lower cell id, and a " +
+      "batch appended to a frozen index is queryable without refit") {
+    val centroids = Seq((0, Seq(1.0, 1.0)), (1, Seq(10.0, 0.0)), (2, Seq(0.0, 10.0)))
+      .toDF("cell", "centroid")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(9f, 1f)), (3L, Seq(1f, 9f)),
+      // (5.5, 0.5): d2 = 4.5^2 + 0.5^2 to BOTH cells 0 and 1 (exact in
+      // binary floats) -> tie -> lower cell id 0
+      (4L, Seq(5.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", centroids)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(assigned === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
+    // append a batch near cell 1 under the SAME frozen centroids; the
+    // index finds the batch vector as the corpus query's top neighbor
+    val batch = Seq((10L, Seq(9.1f, 1.1f))).toDF("vec_id", "embedding")
+    val all = Similarity.ivfAssign(corpus, "vec_id", centroids)
+      .unionByName(Similarity.ivfAssign(batch, "vec_id", centroids))
+    val run = Similarity.ivfTopKFromIndex(all,
+      a => a.filter(col("vec_id") === 2L), centroids, k = 1, nProbe = 1)
+      .collect()
+    assert(run.length === 1)
+    assert(run.head.getAs[Long]("neighbor_id") === 10L,
+      "the appended batch vector must surface through the frozen index")
+    // incremental assignment == assigning the union (same pure function)
+    val unionAssigned = Similarity.ivfAssign(corpus.unionByName(batch),
+      "vec_id", centroids).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(all.collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+      === unionAssigned)
+  }
 }
