@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, PairGraph}
+
+/** Scale validation for incremental standing-artifact maintenance: a
+  * FIXED-size crawl batch is appended against corpora of increasing
+  * size, comparing the incremental path (batch edges + touched-component
+  * re-cluster, standing artifacts pre-materialized) with a full rebuild
+  * over the union. The claim under test: append wall time is governed by
+  * the batch, the rebuild's by the corpus — so the gap WIDENS with the
+  * corpus, which is exactly why the standing artifacts exist.
+  *
+  * Usage: runMain graft.IncScaleBench [n1 n2 ...]   (default 20000 80000)
+  */
+object IncScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(20000, 80000)
+    val batchN = 2000
+    val spark = graft.core.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids.select(col("id").as("doc_id"),
+      expr("""concat_ws(' ', transform(sequence(1, 60),
+        | j -> concat('t', CAST(abs(xxhash64(id, j)) % 1000 AS STRING))))""".stripMargin)
+        .as("text"))
+    for (n <- sizes) {
+      val corpus = synth(spark.range(n)).cache()
+      // batch: half novel docs, half near-copies of corpus docs 0..batchN/2
+      // (every 15th token swapped — the DedupScaleBench planted shape)
+      val novel = synth(spark.range(n + batchN / 2, n + batchN))
+      val copies = spark.range(batchN / 2).select((col("id") + n).as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 60),
+          | j -> CASE WHEN j % 15 = 0 THEN concat('x', CAST(j AS STRING))
+          |   ELSE concat('t', CAST(abs(xxhash64(id, j)) % 1000 AS STRING)) END))""".stripMargin)
+          .as("text"))
+      val batch = novel.unionByName(copies).cache()
+      corpus.count(); batch.count()
+      // standing artifacts, pre-materialized (not billed to the append —
+      // in production they persist from yesterday's run)
+      val standingPairs = Dedup.jaccardPairsScalable(corpus, "doc_id",
+        n = 3, minJaccard = 0.5, numHashTables = 8)
+        .select("doc_a", "doc_b", "jaccard").localCheckpoint()
+      val standingClusters = Dedup.dedupClusters(standingPairs).localCheckpoint()
+
+      val t0 = System.nanoTime()
+      val (pairs, clusters) = PairGraph.appendBatch(
+        standingPairs, standingClusters, corpus, batch, "doc_id")
+      val (np, nc) = (pairs.count(), clusters.count())
+      val dtInc = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val rebuilt = Dedup.jaccardPairsScalable(corpus.unionByName(batch),
+        "doc_id", n = 3, minJaccard = 0.5, numHashTables = 8)
+        .select("doc_a", "doc_b", "jaccard").localCheckpoint()
+      val nrc = Dedup.dedupClusters(rebuilt).count()
+      val dtFull = (System.nanoTime() - t1) / 1e9
+
+      println(f"corpus=$n batch=$batchN pairs=$np clusters=$nc (rebuild $nrc) " +
+        f"append=$dtInc%.1f s rebuild=$dtFull%.1f s speedup=${dtFull / dtInc}%.1fx")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
