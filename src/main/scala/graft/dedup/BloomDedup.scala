@@ -58,6 +58,31 @@ object BloomDedup {
     out.toByteArray
   }
 
+  /** Incremental maintenance of the filter artifact: fold a new batch's
+    * fingerprints into an existing filter WITHOUT re-scanning history —
+    * one batch-sized build + a bit-OR merge. Bloom insertion is
+    * idempotent bit-setting, so for a fixed (expectedItems, fpp) sizing
+    * the merged filter is BIT-IDENTICAL to one built over
+    * history ∪ batch (BloomDedupSpec asserts the byte equality); size
+    * `expectedItems` for the corpus's target population, not today's
+    * count, exactly as a fresh build would.
+    */
+  def addBatch(filterBytes: Array[Byte], batch: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): Array[Byte] = {
+    val standing = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+    val batchFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        buildFilter(batch, textCol, expectedItems, fpp)))
+    require(standing.isCompatible(batchFilter),
+      "filter sizing changed: rebuild the standing filter instead of merging")
+    standing.mergeInPlace(batchFilter)
+    val out = new ByteArrayOutputStream()
+    standing.writeTo(out)
+    out.toByteArray
+  }
+
   /** Phase 1: split a batch on the filter probe. Adds `maybe_dup` —
     * `false` rows are guaranteed-new (no false negatives); `true` rows
     * need the exact verify. Pure codegen'd projection.

@@ -46,4 +46,20 @@ class BloomDedupSpec extends SparkSpec {
     // 160 new docs at fpp 1%: expected ~1.6 false positives; 16 = 10x margin
     assert(falsePos <= 16L)
   }
+
+  test("addBatch merge is BIT-IDENTICAL to rebuilding over the union") {
+    val standing = BloomDedup.buildFilter(history, expectedItems = 1000)
+    val newDocs = (5001L to 5100L)
+      .map(i => (i, s"tomorrow's crawl document $i")).toDF("doc_id", "text")
+    val merged = BloomDedup.addBatch(standing, newDocs, expectedItems = 1000)
+    val rebuilt = BloomDedup.buildFilter(history.unionByName(newDocs),
+      expectedItems = 1000)
+    assert(java.util.Arrays.equals(merged, rebuilt),
+      "bit-OR merge must equal the full rebuild for a fixed sizing")
+    // and incompatible sizings refuse to merge rather than corrupting
+    val e = intercept[IllegalArgumentException] {
+      BloomDedup.addBatch(standing, newDocs, expectedItems = 5000)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }
