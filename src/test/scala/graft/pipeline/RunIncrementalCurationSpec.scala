@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The nightly-crawl loop: two successive runs over a growing document
+  * table — watermark advances commit-after-write, the standing artifacts
+  * version per run, the cluster table stays corpus-complete (== a full
+  * rebuild over everything curated so far), gated-out docs never reach
+  * the corpus, and an idle run is a true no-op.
+  */
+class RunIncrementalCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = graft.text.CorpusCuration.Config(
+    minQuality = 0.0, minTokens = 5, maxTokens = 1000, languages = Seq("en"))
+
+  private def mk(id: Long, text: String) =
+    (id, text, "en", "web", text.length.toLong)
+
+  // 20 tokens; `tail` swaps the last token so copies are NEAR-dups that
+  // survive curate's exact dedup but pair at 3-gram jaccard ~0.71
+  private def t20(tag: String, tail: String = "z0") =
+    ((1 to 19).map(i => s"$tag$i") :+ tail).mkString(" ")
+
+  test("nightly runs: watermark + artifact versions advance, clusters " +
+      "stay corpus-complete, idle run is a no-op") {
+    val docsDir = java.nio.file.Files.createTempDirectory("inc-docs").toString
+    val out = java.nio.file.Files.createTempDirectory("inc-out").toString
+    def writeDocs(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(s"$docsDir/documents.parquet")
+
+    // night 1: near-dup family A (1, 2), singleton 11, and doc 5 failing
+    // the length gate (3 tokens < minTokens)
+    writeDocs(Seq(mk(1L, t20("a")), mk(2L, t20("a", "z1")),
+      mk(5L, "too short doc"), mk(11L, t20("b"))))
+    val r1 = RunIncrementalCuration.run(spark, docsDir, out, cfg)
+    assert(r1.batchDocs === 4L && r1.keptDocs === 3L)
+    assert(r1.watermark === Some(11L))
+    assert(r1.artifactVersion === 2L, "bootstrap v1 (empty) + night-1 append v2")
+    val c1 = graft.core.ArtifactStore.read(spark, s"$out/artifacts", "clusters").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 === Map(1L -> 1L, 2L -> 1L))
+    assert(spark.read.parquet(s"$out/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+
+    // night 2: doc 21 near-dups the STANDING family A, 22 is novel
+    writeDocs(Seq(mk(21L, t20("a", "z2")), mk(22L, t20("c"))))
+    val r2 = RunIncrementalCuration.run(spark, docsDir, out, cfg)
+    assert(r2.batchDocs === 2L && r2.keptDocs === 2L)
+    assert(r2.watermark === Some(22L))
+    assert(r2.artifactVersion === 3L)
+    val c2 = graft.core.ArtifactStore.read(spark, s"$out/artifacts", "clusters").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === Map(1L -> 1L, 2L -> 1L, 21L -> 1L))
+    // corpus-complete: equals a full rebuild over everything curated
+    val rebuilt = graft.dedup.Dedup.dedupClusters(
+      graft.dedup.Dedup.jaccardPairsScalable(
+        spark.read.parquet(s"$out/curated"), "doc_id",
+        n = 3, minJaccard = 0.5, numHashTables = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === rebuilt)
+    assert(spark.read.parquet(s"$out/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 21L, 22L))
+
+    // idle night: nothing new — version and watermark unchanged
+    val r3 = RunIncrementalCuration.run(spark, docsDir, out, cfg)
+    assert(r3.batchDocs === 0L && r3.keptDocs === 0L)
+    assert(r3.artifactVersion === 3L && r3.watermark === Some(22L))
+  }
+}
