@@ -1,25 +1,33 @@
 package graft.multimodal
 
-/** Pure-JVM FLAC codec for the FIXED-PREDICTOR / 16-bit / mono subset —
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM FLAC codec for the 16-bit subset a real encoder emits —
   * the lossless compressed-audio decode that closes the modality gap
   * left by rounds 8-10 (WAV/PCM, PNG/BMP/GIF/JPEG, Y4M were already real
   * decodes; compressed audio fell back to the labeled synthetic stub).
   *
-  * Implements enough of the PUBLIC xiph.org FLAC format specification:
+  * Implements the PUBLIC xiph.org FLAC format specification:
   *  - `fLaC` magic + metadata blocks (STREAMINFO parsed, others skipped)
   *  - frame sync (14-bit 0x3FFE), blocking strategy, coded block-size /
   *    sample-rate / channel / sample-size fields, UTF-8-coded frame
   *    number, CRC-8 header check
-  *  - CONSTANT, VERBATIM and FIXED (order 0-4) subframes with wasted
-  *    bits, 4/5-bit Rice residual partitions (escape code → verbatim)
+  *  - CONSTANT, VERBATIM, FIXED (order 0-4) and LPC (any order, the
+  *    quantized-coefficient predictor real encoders emit) subframes,
+  *    with wasted bits and 4/5-bit Rice residual partitions (escape →
+  *    verbatim)
+  *  - mono and STEREO, including the inter-channel decorrelation modes
+  *    (left/side, right/side, mid/side — the side channel carries its
+  *    spec-mandated extra bit)
   *  - CRC-16 frame footer check
   *
   * Out of subset and honestly REJECTED (decode returns None, callers
-  * fall through to [[Multimodal.syntheticFeatures]]): LPC subframes,
-  * multi-channel / stereo decorrelation, sample sizes ≠ 16. Both CRCs
-  * are VERIFIED — a corrupted stream fails loudly to None, never decodes
-  * to garbage samples. Lossless: decode(encode(pcm)) == pcm exactly
-  * (FlacSpec asserts the round trip bit-for-bit).
+  * fall through to [[Multimodal.syntheticFeatures]]): > 2 channels,
+  * sample sizes ≠ 16, negative LPC shifts. Both CRCs are VERIFIED — a
+  * corrupted stream fails loudly to None, never decodes to garbage
+  * samples. Lossless: decode(encode(pcm)) == pcm exactly (FlacSpec
+  * asserts the round trip bit-for-bit, for mono FIXED, mono LPC, and
+  * every stereo mode).
   *
   * Reference behavior anchor: the reference treats media as opaque
   * payloads with typed metadata (`glue/etl_jobs/README.md` data-format
@@ -29,9 +37,12 @@ package graft.multimodal
 object Flac {
 
   /** Decoded FLAC stream: STREAMINFO fields plus the full PCM samples
-    * (16-bit values widened to Int). */
+    * (16-bit values widened to Int; stereo interleaved L,R,L,R…). */
   final case class FlacMeta(sampleRateHz: Int, nChannels: Int,
       bitsPerSample: Int, samples: Array[Int])
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"malformed flac: $msg")
 
   // ---- CRCs (FLAC frame checks: CRC-8 poly 0x07, CRC-16 poly 0x8005,
   //      both init 0, MSB-first, non-reflected) ----
@@ -128,12 +139,12 @@ object Flac {
     var n = 0
     var mask = 0x40
     while ((b0 & mask) != 0) { n += 1; mask >>= 1 }
-    if (n < 1 || n > 6) throw new IllegalArgumentException("bad coded number")
+    if (n < 1 || n > 6) bad("coded number lead byte")
     var v = if (mask == 0) 0L else (b0 & (mask - 1)).toLong // 7-byte form: no lead payload
     var i = 0
     while (i < n) {
       val c = r.readBits(8).toInt
-      if ((c & 0xc0) != 0x80) throw new IllegalArgumentException("bad continuation")
+      if ((c & 0xc0) != 0x80) bad("coded number continuation")
       v = (v << 6) | (c & 0x3f)
       i += 1
     }
@@ -143,7 +154,7 @@ object Flac {
   private def writeCodedNumber(w: BitWriter, value: Long): Unit = {
     if (value < 0x80) { w.writeBits(value, 8); return }
     // count payload bits -> continuation byte count
-    var bits = 64 - java.lang.Long.numberOfLeadingZeros(value)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(value)
     var n = 1
     while (bits > (6 - n) + 6 * n && n < 6) n += 1
     val lead = ((0xff << (7 - n)) & 0xff) | ((value >>> (6 * n)) & ((1 << (6 - n)) - 1)).toInt
@@ -163,6 +174,100 @@ object Flac {
     Array(4, -6, 4, -1))
 
   // ---- decoder ----
+
+  /** Rice-partitioned residuals into block(order until blockSize). */
+  private def readResiduals(r: BitReader, blockSize: Int, order: Int,
+      block: Array[Int]): Unit = {
+    val method = r.readBits(2).toInt
+    if (method > 1) bad("residual method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val partOrder = r.readBits(4).toInt
+    val nParts = 1 << partOrder
+    if (blockSize % nParts != 0) bad("partition order")
+    var p = 0
+    var idx = order
+    while (p < nParts) {
+      val count = (blockSize >> partOrder) - (if (p == 0) order else 0)
+      if (count < 0) bad("order exceeds first partition")
+      val param = r.readBits(pBits).toInt
+      var j = 0
+      if (param == escape) {
+        val rawBits = r.readBits(5).toInt
+        while (j < count) {
+          block(idx) = if (rawBits == 0) 0 else r.readSigned(rawBits)
+          idx += 1; j += 1
+        }
+      } else {
+        while (j < count) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) | r.readBits(param)
+          block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // un-zigzag
+          idx += 1; j += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One subframe at the given effective bits-per-sample (the side
+    * channel of a decorrelated stereo frame carries bps+1). Throws on
+    * malformed / out-of-subset content (caught by [[decodeFlac]]).
+    */
+  private def readSubframe(r: BitReader, blockSize: Int, bpsIn: Int): Array[Int] = {
+    if (r.readBit() != 0) bad("subframe padding bit")
+    val sfType = r.readBits(6).toInt
+    var wasted = 0
+    if (r.readBit() == 1) wasted = r.readUnary() + 1
+    val effBps = bpsIn - wasted
+    if (effBps <= 0 || effBps > 32) bad("effective bps")
+    val block = new Array[Int](blockSize)
+    if (sfType == 0) { // CONSTANT
+      java.util.Arrays.fill(block, r.readSigned(effBps))
+    } else if (sfType == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { block(i) = r.readSigned(effBps); i += 1 }
+    } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
+      val order = sfType - 8
+      if (order > blockSize) bad("fixed order exceeds block")
+      var i = 0
+      while (i < order) { block(i) = r.readSigned(effBps); i += 1 }
+      readResiduals(r, blockSize, order, block)
+      val coefs = FixedCoefs(order)
+      i = order
+      while (i < blockSize) {
+        var pred = 0L
+        var c = 0
+        while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+        block(i) = (block(i) + pred).toInt
+        i += 1
+      }
+    } else if (sfType >= 32) { // LPC, order 1-32
+      val order = sfType - 31
+      if (order > blockSize) bad("lpc order exceeds block")
+      var i = 0
+      while (i < order) { block(i) = r.readSigned(effBps); i += 1 }
+      val precision = r.readBits(4).toInt + 1
+      if (precision == 16) bad("lpc precision escape") // 0b1111 invalid
+      val shift = r.readSigned(5)
+      if (shift < 0) bad("negative lpc shift") // out of subset
+      val coefs = Array.fill(order)(r.readSigned(precision))
+      readResiduals(r, blockSize, order, block)
+      i = order
+      while (i < blockSize) {
+        var pred = 0L
+        var c = 0
+        while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+        block(i) = (block(i) + (pred >> shift)).toInt
+        i += 1
+      }
+    } else bad("reserved subframe type")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { block(i) = block(i) << wasted; i += 1 }
+    }
+    block
+  }
 
   /** Decode a subset FLAC stream. None for anything malformed, out of
     * subset, or failing a CRC — never garbage samples.
@@ -195,7 +300,7 @@ object Flac {
         }
         off += 4 + blen
       }
-      if (rate <= 0 || channels != 1 || bps != 16) return None // subset
+      if (rate <= 0 || channels < 1 || channels > 2 || bps != 16) return None // subset
       val out = new scala.collection.mutable.ArrayBuffer[Int]()
       val r = new BitReader(bytes, off)
       while (!r.atEnd) {
@@ -223,7 +328,15 @@ object Flac {
           case 15 => return None
           case _ => ()
         }
-        if (chanAssign != 0) return None // subset: mono only
+        // channel layout: 0 = mono, 1 = stereo independent,
+        // 8/9/10 = left-side / right-side / mid-side (2 channels);
+        // 3..8-channel independent layouts are out of subset
+        val chCount = chanAssign match {
+          case 0 => 1
+          case 1 | 8 | 9 | 10 => 2
+          case _ => return None
+        }
+        if (chCount != channels) return None
         val frameBps = ssCode match {
           case 0 => bps
           case 1 => 8
@@ -238,89 +351,57 @@ object Flac {
         if (!r.aligned) return None
         val crcPos = r.bytePos
         if (r.readBits(8).toInt != crc8(bytes, frameStart, crcPos)) return None
-        // one subframe (mono)
-        if (r.readBit() != 0) return None // padding
-        val sfType = r.readBits(6).toInt
-        var wasted = 0
-        if (r.readBit() == 1) wasted = r.readUnary() + 1
-        val effBps = frameBps - wasted
-        val block = new Array[Int](blockSize)
-        if (sfType == 0) { // CONSTANT
-          val v = r.readSigned(effBps)
-          java.util.Arrays.fill(block, v)
-        } else if (sfType == 1) { // VERBATIM
-          var i = 0
-          while (i < blockSize) { block(i) = r.readSigned(effBps); i += 1 }
-        } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
-          val order = sfType - 8
-          if (order > blockSize) return None
-          var i = 0
-          while (i < order) { block(i) = r.readSigned(effBps); i += 1 }
-          // residuals: Rice partitions
-          val method = r.readBits(2).toInt
-          if (method > 1) return None
-          val pBits = if (method == 0) 4 else 5
-          val escape = (1 << pBits) - 1
-          val partOrder = r.readBits(4).toInt
-          val nParts = 1 << partOrder
-          if (blockSize % nParts != 0) return None
-          var p = 0
-          var idx = order
-          while (p < nParts) {
-            val count = (blockSize >> partOrder) - (if (p == 0) order else 0)
-            val param = r.readBits(pBits).toInt
-            var j = 0
-            if (param == escape) {
-              val rawBits = r.readBits(5).toInt
-              while (j < count) {
-                block(idx) = if (rawBits == 0) 0 else r.readSigned(rawBits)
-                idx += 1; j += 1
-              }
-            } else {
-              while (j < count) {
-                val q = r.readUnary()
-                val u = (q.toLong << param) | r.readBits(param)
-                block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // un-zigzag
-                idx += 1; j += 1
-              }
-            }
-            p += 1
+        val chBlocks = (0 until chCount).map { ch =>
+          // the SIDE channel of a decorrelated pair carries one extra bit
+          val extra = chanAssign match {
+            case 8 if ch == 1 => 1
+            case 9 if ch == 0 => 1
+            case 10 if ch == 1 => 1
+            case _ => 0
           }
-          // restore the fixed prediction
-          val coefs = FixedCoefs(order)
-          i = order
-          while (i < blockSize) {
-            var pred = 0L
-            var c = 0
-            while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
-            block(i) = (block(i) + pred).toInt
-            i += 1
-          }
-        } else return None // LPC / reserved: out of subset
-        if (wasted > 0) {
-          var i = 0
-          while (i < blockSize) { block(i) = block(i) << wasted; i += 1 }
+          readSubframe(r, blockSize, frameBps + extra)
         }
         r.align()
         val footPos = r.bytePos
         if (r.readBits(16).toInt != crc16(bytes, frameStart, footPos)) return None
-        out ++= block
+        if (chCount == 1) out ++= chBlocks(0)
+        else {
+          val (lft, rgt) = chanAssign match {
+            case 1 => (chBlocks(0), chBlocks(1))
+            case 8 => // left/side: side = left - right
+              val l = chBlocks(0); val s = chBlocks(1)
+              (l, Array.tabulate(blockSize)(i => l(i) - s(i)))
+            case 9 => // right/side: side = left - right
+              val s = chBlocks(0); val rr = chBlocks(1)
+              (Array.tabulate(blockSize)(i => rr(i) + s(i)), rr)
+            case 10 => // mid/side: mid = (l+r)>>1 (floor), side = l-r
+              val m = chBlocks(0); val s = chBlocks(1)
+              val l = new Array[Int](blockSize)
+              val rr = new Array[Int](blockSize)
+              var i = 0
+              while (i < blockSize) {
+                val m2 = (m(i) << 1) | (s(i) & 1)
+                l(i) = (m2 + s(i)) >> 1
+                rr(i) = (m2 - s(i)) >> 1
+                i += 1
+              }
+              (l, rr)
+            case _ => return None
+          }
+          var i = 0
+          while (i < blockSize) { out += lft(i); out += rgt(i); i += 1 }
+        }
       }
       if (out.isEmpty) None
-      else Some(FlacMeta(rate, 1, 16, out.toArray))
+      else Some(FlacMeta(rate, channels, 16, out.toArray))
     } catch { case _: Exception => None } // truncation/malformed -> None
   }
 
-  // ---- encoder (fixed-predictor subset; used by specs and the planted
-  //      q_flacdedup twins — and a valid writer in its own right) ----
+  // ---- encoder (used by specs and the planted q_flacdedup twins — and
+  //      a valid writer in its own right) ----
 
-  /** Encode 16-bit mono PCM as subset FLAC with FIXED predictors: per
-    * frame the best order in 0..2 by total |residual|, one Rice
-    * partition with a parameter fitted to the mean residual magnitude.
-    */
-  def encodeFlacFixed(samples: Array[Short], sampleRateHz: Int,
-      blockSize: Int = 1024): Array[Byte] = {
-    require(samples.nonEmpty, "empty PCM")
+  private def writeStreamInfo(blockSize: Int, sampleRateHz: Int,
+      channels: Int, totalSamplesPerChannel: Long): Array[Byte] = {
     require(sampleRateHz > 0 && sampleRateHz < (1 << 20), s"bad rate $sampleRateHz")
     val head = new BitWriter
     head.writeBits(0x664c6143L, 32) // fLaC
@@ -332,77 +413,225 @@ object Flac {
     head.writeBits(0L, 24) // min frame size unknown
     head.writeBits(0L, 24) // max frame size unknown
     head.writeBits(sampleRateHz.toLong, 20)
-    head.writeBits(0L, 3)  // channels - 1
+    head.writeBits((channels - 1).toLong, 3)
     head.writeBits(15L, 5) // bps - 1
-    head.writeBits(samples.length.toLong, 36)
+    head.writeBits(totalSamplesPerChannel, 36)
     head.writeBits(0L, 64); head.writeBits(0L, 64) // md5 unknown
-    val outParts = scala.collection.mutable.ArrayBuffer(head.toArray)
+    head.toArray
+  }
+
+  /** Residuals under the best FIXED order 0..2 by total |residual|. */
+  private def bestFixedResiduals(block: Array[Int], n: Int): (Int, Array[Long]) = {
+    def residuals(order: Int): Array[Long] = {
+      val res = new Array[Long](n - order)
+      var i = order
+      while (i < n) {
+        var pred = 0L
+        var c = 0
+        while (c < order) { pred += FixedCoefs(order)(c).toLong * block(i - 1 - c); c += 1 }
+        res(i - order) = block(i).toLong - pred
+        i += 1
+      }
+      res
+    }
+    (0 to math.min(2, n - 1)).map(o => (o, residuals(o)))
+      .minBy { case (_, rr) => rr.iterator.map(math.abs).sum }
+  }
+
+  /** Write one FIXED subframe (header + warm-up + one fitted Rice
+    * partition) for `block(0 until n)` at `effBps` bits. */
+  private def writeFixedSubframe(w: BitWriter, block: Array[Int], n: Int,
+      effBps: Int): Unit = {
+    val (order, res) = bestFixedResiduals(block, n)
+    w.writeBit(0) // subframe padding
+    w.writeBits((8 + order).toLong, 6) // FIXED order
+    w.writeBit(0) // no wasted bits
+    var i = 0
+    while (i < order) {
+      w.writeBits(block(i).toLong & ((1L << effBps) - 1), effBps)
+      i += 1
+    }
+    writeRiceResiduals(w, res)
+  }
+
+  private def writeRiceResiduals(w: BitWriter, res: Array[Long]): Unit = {
+    val meanAbs = if (res.isEmpty) 0L
+      else res.iterator.map(math.abs).sum / math.max(1, res.length)
+    var param = 0
+    while ((1L << param) < meanAbs + 1 && param < 14) param += 1
+    w.writeBits(0L, 2)  // coding method: 4-bit Rice
+    w.writeBits(0L, 4)  // partition order 0
+    w.writeBits(param.toLong, 4)
+    var j = 0
+    while (j < res.length) {
+      val v = res(j)
+      val u = (v << 1) ^ (v >> 63) // zigzag
+      w.writeUnary((u >>> param).toInt)
+      w.writeBits(u & ((1L << param) - 1), param)
+      j += 1
+    }
+  }
+
+  private def frameHeader(blockSize: Int, n: Int, chanAssign: Int,
+      frameIdx: Long): Array[Byte] = {
+    val w = new BitWriter
+    w.writeBits(0x3ffeL, 14)
+    w.writeBit(0) // reserved
+    w.writeBit(0) // fixed blocking strategy
+    w.writeBits(7L, 4)  // block size: 16-bit value - 1 follows
+    w.writeBits(0L, 4)  // sample rate: from STREAMINFO
+    w.writeBits(chanAssign.toLong, 4)
+    w.writeBits(4L, 3)  // sample size: 16 bit
+    w.writeBit(0)       // reserved
+    writeCodedNumber(w, frameIdx)
+    w.writeBits((n - 1).toLong, 16)
+    w.toArray // aligned by construction
+  }
+
+  private def assemble(parts: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Array[Byte] = {
+    val total = parts.iterator.map(_.length).sum
+    val out = new Array[Byte](total)
+    var o = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+    out
+  }
+
+  /** Encode 16-bit mono PCM as subset FLAC with FIXED predictors (best
+    * order in 0..2 per frame, one fitted Rice partition). */
+  def encodeFlacFixed(samples: Array[Short], sampleRateHz: Int,
+      blockSize: Int = 1024): Array[Byte] = {
+    require(samples.nonEmpty, "empty PCM")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      writeStreamInfo(blockSize, sampleRateHz, 1, samples.length.toLong))
     var frameIdx = 0L
     var s0 = 0
     while (s0 < samples.length) {
       val n = math.min(blockSize, samples.length - s0)
-      val w = new BitWriter
-      w.writeBits(0x3ffeL, 14)
-      w.writeBit(0) // reserved
-      w.writeBit(0) // fixed blocking strategy
-      w.writeBits(7L, 4)  // block size: 16-bit value - 1 follows
-      w.writeBits(0L, 4)  // sample rate: from STREAMINFO
-      w.writeBits(0L, 4)  // channel assignment: mono
-      w.writeBits(4L, 3)  // sample size: 16 bit
-      w.writeBit(0)       // reserved
-      writeCodedNumber(w, frameIdx)
-      w.writeBits((n - 1).toLong, 16)
-      val headerBytes = w.toArray // aligned by construction
-      val crc8v = crc8(headerBytes, 0, headerBytes.length)
-      // best fixed order 0..2 by total residual magnitude
-      def residuals(order: Int): Array[Long] = {
-        val res = new Array[Long](n - order)
-        var i = order
-        while (i < n) {
-          var pred = 0L
-          var c = 0
-          while (c < order) { pred += FixedCoefs(order)(c).toLong * samples(s0 + i - 1 - c); c += 1 }
-          res(i - order) = samples(s0 + i).toLong - pred
-          i += 1
-        }
-        res
-      }
-      val cand = (0 to math.min(2, n - 1)).map(o => (o, residuals(o)))
-      val (order, res) = cand.minBy { case (_, rr) => rr.iterator.map(math.abs).sum }
+      val header = frameHeader(blockSize, n, 0, frameIdx)
       val body = new BitWriter
-      body.writeBits(crc8v.toLong, 8)
-      body.writeBit(0) // subframe padding
-      body.writeBits((8 + order).toLong, 6) // FIXED order
-      body.writeBit(0) // no wasted bits
-      var i = 0
-      while (i < order) { body.writeBits(samples(s0 + i).toLong & 0xffff, 16); i += 1 }
-      // one Rice partition, param fitted to mean |residual|
-      val meanAbs = if (res.isEmpty) 0L else res.iterator.map(math.abs).sum / math.max(1, res.length)
-      var param = 0
-      while ((1L << param) < meanAbs + 1 && param < 14) param += 1
-      body.writeBits(0L, 2)  // coding method: 4-bit Rice
-      body.writeBits(0L, 4)  // partition order 0
-      body.writeBits(param.toLong, 4)
-      var j = 0
-      while (j < res.length) {
-        val v = res(j)
-        val u = (v << 1) ^ (v >> 63) // zigzag
-        body.writeUnary((u >>> param).toInt)
-        body.writeBits(u & ((1L << param) - 1), param)
-        j += 1
-      }
+      body.writeBits(crc8(header, 0, header.length).toLong, 8)
+      val block = Array.tabulate(n)(i => samples(s0 + i).toInt)
+      writeFixedSubframe(body, block, n, 16)
       body.align()
-      val frame = headerBytes ++ body.toArray
-      val crc16v = crc16(frame, 0, frame.length)
-      outParts += frame
-      outParts += Array(((crc16v >> 8) & 0xff).toByte, (crc16v & 0xff).toByte)
+      val frame = header ++ body.toArray
+      val c16 = crc16(frame, 0, frame.length)
+      parts += frame
+      parts += Array(((c16 >> 8) & 0xff).toByte, (c16 & 0xff).toByte)
       frameIdx += 1
       s0 += n
     }
-    val total = outParts.iterator.map(_.length).sum
-    val out = new Array[Byte](total)
-    var o = 0
-    outParts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
-    out
+    assemble(parts)
+  }
+
+  /** Encode 16-bit mono PCM with an explicit quantized-LPC predictor —
+    * fixed coefficients rather than a Levinson–Durbin fit (the
+    * prediction is subtracted and re-added exactly, so ANY coefficients
+    * round-trip losslessly; a fitted model only changes residual SIZE).
+    * Exists so the LPC DECODE path is exercised by genuinely-LPC
+    * streams.
+    */
+  def encodeFlacLpc(samples: Array[Short], sampleRateHz: Int,
+      coefs: Array[Int], shift: Int, precision: Int = 12,
+      blockSize: Int = 1024): Array[Byte] = {
+    require(samples.nonEmpty, "empty PCM")
+    require(coefs.nonEmpty && coefs.length <= 32, "lpc order must be 1..32")
+    require(shift >= 0 && shift <= 15, s"shift out of subset: $shift")
+    require(precision >= 2 && precision <= 15, s"bad precision $precision")
+    val order = coefs.length
+    require(coefs.forall(c => c >= -(1 << (precision - 1)) && c < (1 << (precision - 1))),
+      "coefficient exceeds precision")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      writeStreamInfo(blockSize, sampleRateHz, 1, samples.length.toLong))
+    var frameIdx = 0L
+    var s0 = 0
+    while (s0 < samples.length) {
+      val n = math.min(blockSize, samples.length - s0)
+      val header = frameHeader(blockSize, n, 0, frameIdx)
+      val body = new BitWriter
+      body.writeBits(crc8(header, 0, header.length).toLong, 8)
+      val block = Array.tabulate(n)(i => samples(s0 + i).toInt)
+      if (n <= order) {
+        writeFixedSubframe(body, block, n, 16) // too short for this LPC order
+      } else {
+        body.writeBit(0) // subframe padding
+        body.writeBits((32 + order - 1).toLong, 6) // LPC order
+        body.writeBit(0) // no wasted bits
+        var i = 0
+        while (i < order) {
+          body.writeBits(block(i).toLong & 0xffff, 16)
+          i += 1
+        }
+        body.writeBits((precision - 1).toLong, 4)
+        body.writeBits(shift.toLong & 0x1f, 5)
+        coefs.foreach(c => body.writeBits(c.toLong & ((1L << precision) - 1), precision))
+        val res = new Array[Long](n - order)
+        i = order
+        while (i < n) {
+          var pred = 0L
+          var c = 0
+          while (c < order) { pred += coefs(c).toLong * block(i - 1 - c); c += 1 }
+          res(i - order) = block(i).toLong - (pred >> shift)
+          i += 1
+        }
+        writeRiceResiduals(body, res)
+      }
+      body.align()
+      val frame = header ++ body.toArray
+      val c16 = crc16(frame, 0, frame.length)
+      parts += frame
+      parts += Array(((c16 >> 8) & 0xff).toByte, (c16 & 0xff).toByte)
+      frameIdx += 1
+      s0 += n
+    }
+    assemble(parts)
+  }
+
+  /** Encode 16-bit STEREO PCM (equal-length channels) as subset FLAC.
+    * `mode`: "lr" (independent), "ls" (left/side), "rs" (right/side),
+    * "ms" (mid/side) — the decorrelated modes write the side channel at
+    * 17 bits per the spec. FIXED prediction per channel.
+    */
+  def encodeFlacStereo(left: Array[Short], right: Array[Short],
+      sampleRateHz: Int, mode: String = "ms",
+      blockSize: Int = 1024): Array[Byte] = {
+    require(left.nonEmpty && left.length == right.length,
+      "stereo channels must be equal-length and non-empty")
+    val chanAssign = mode match {
+      case "lr" => 1
+      case "ls" => 8
+      case "rs" => 9
+      case "ms" => 10
+      case _ => throw new IllegalArgumentException(s"unknown stereo mode $mode")
+    }
+    val parts = scala.collection.mutable.ArrayBuffer(
+      writeStreamInfo(blockSize, sampleRateHz, 2, left.length.toLong))
+    var frameIdx = 0L
+    var s0 = 0
+    while (s0 < left.length) {
+      val n = math.min(blockSize, left.length - s0)
+      val l = Array.tabulate(n)(i => left(s0 + i).toInt)
+      val rr = Array.tabulate(n)(i => right(s0 + i).toInt)
+      val (ch0, ch1, bps0, bps1) = chanAssign match {
+        case 1 => (l, rr, 16, 16)
+        case 8 => (l, Array.tabulate(n)(i => l(i) - rr(i)), 16, 17)
+        case 9 => (Array.tabulate(n)(i => l(i) - rr(i)), rr, 17, 16)
+        case 10 =>
+          (Array.tabulate(n)(i => (l(i) + rr(i)) >> 1),
+            Array.tabulate(n)(i => l(i) - rr(i)), 16, 17)
+      }
+      val header = frameHeader(blockSize, n, chanAssign, frameIdx)
+      val body = new BitWriter
+      body.writeBits(crc8(header, 0, header.length).toLong, 8)
+      writeFixedSubframe(body, ch0, n, bps0)
+      writeFixedSubframe(body, ch1, n, bps1)
+      body.align()
+      val frame = header ++ body.toArray
+      val c16 = crc16(frame, 0, frame.length)
+      parts += frame
+      parts += Array(((c16 >> 8) & 0xff).toByte, (c16 & 0xff).toByte)
+      frameIdx += 1
+      s0 += n
+    }
+    assemble(parts)
   }
 }

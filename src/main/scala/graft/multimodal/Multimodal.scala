@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * dependency). Video decode is REAL for uncompressed YUV4MPEG2
   * ([[decodeY4m]]: header parse + frame walk + per-frame luma/motion
   * stats and true frame extraction — the raw interchange format ffmpeg
-  * emits). Compressed audio is REAL for the FLAC fixed-predictor/16-bit
-  * subset ([[Flac.decodeFlac]]: pure-JVM Rice/fixed-prediction decode
-  * with verified CRCs). Remaining compressed codecs (MP3, H.264, …)
+  * emits). Compressed audio is REAL for the FLAC 16-bit subset
+  * ([[Flac.decodeFlac]]: pure-JVM Rice/FIXED/LPC decode, mono + stereo
+  * with all decorrelation modes, verified CRCs). Remaining compressed
+  * codecs (MP3, H.264, …)
   * have no in-sandbox decoder, so those payloads fall back to the
   * clearly-marked deterministic [[syntheticFeatures]]; everything
   * Spark-side — schema, batching, partition-local iteration, output

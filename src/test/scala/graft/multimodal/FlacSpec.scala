@@ -55,12 +55,62 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodeFlac("not flac at all".getBytes("US-ASCII")).isEmpty)
   }
 
-  test("out-of-subset streams are rejected: stereo STREAMINFO -> None") {
+  test("out-of-subset / inconsistent streams are rejected -> None") {
     val enc = Flac.encodeFlacFixed(Array.fill[Short](2048)(100), 8000)
     // STREAMINFO channels-1 lives in bits 3-1 of byte 4+4+12 = 20
-    val stereo = enc.clone()
-    stereo(20) = (stereo(20) | 0x02).toByte // channels-1 = 1 -> 2 channels
-    assert(Flac.decodeFlac(stereo).isEmpty)
+    val threeCh = enc.clone()
+    threeCh(20) = (threeCh(20) | 0x04).toByte // channels-1 = 2 -> 3 channels
+    assert(Flac.decodeFlac(threeCh).isEmpty, "3+ channels are out of subset")
+    // STREAMINFO claiming stereo over mono-framed content: inconsistent
+    val mismatched = enc.clone()
+    mismatched(20) = (mismatched(20) | 0x02).toByte // claims 2 channels
+    assert(Flac.decodeFlac(mismatched).isEmpty,
+      "frame channel layout must match STREAMINFO")
+  }
+
+  test("LPC subframes decode losslessly (genuinely-LPC streams)") {
+    val s = Array.tabulate(5000)(i =>
+      ((math.sin(i / 7.0) * 15000) + (i % 13) * 100 - 600).toShort)
+    // order-2 LPC with arbitrary quantized coefficients: the prediction
+    // is subtracted and re-added exactly, so ANY coefs round-trip
+    val enc = Flac.encodeFlacLpc(s, 8000, coefs = Array(1900, -850), shift = 10)
+    val dec = Flac.decodeFlac(enc)
+    assert(dec.isDefined, "LPC decode failed")
+    assert(dec.get.samples.toSeq === s.map(_.toInt).toSeq)
+    // higher order + different precision/shift
+    val enc2 = Flac.encodeFlacLpc(s, 8000,
+      coefs = Array(700, -300, 120, -40), shift = 9, precision = 11)
+    assert(Flac.decodeFlac(enc2).get.samples.toSeq === s.map(_.toInt).toSeq)
+    // an LPC stream compresses the sine-ish signal below raw PCM
+    assert(enc.length < s.length * 2)
+  }
+
+  test("stereo decodes losslessly in every channel mode, interleaved L,R") {
+    val n = 3000
+    val left = Array.tabulate(n)(i => (math.sin(i / 11.0) * 12000).toShort)
+    val right = Array.tabulate(n)(i => ((math.sin(i / 11.0) * 12000) * 0.7 + 500).toShort)
+    for (mode <- Seq("lr", "ls", "rs", "ms")) {
+      val dec = Flac.decodeFlac(Flac.encodeFlacStereo(left, right, 8000, mode))
+      assert(dec.isDefined, s"mode $mode failed to decode")
+      val m = dec.get
+      assert(m.nChannels === 2, mode)
+      assert(m.samples.length === 2 * n, mode)
+      val gotL = (0 until n).map(i => m.samples(2 * i))
+      val gotR = (0 until n).map(i => m.samples(2 * i + 1))
+      assert(gotL === left.map(_.toInt).toSeq, s"$mode left channel")
+      assert(gotR === right.map(_.toInt).toSeq, s"$mode right channel")
+    }
+    // extreme values through the decorrelated side channel (17 bits)
+    val lx = Array[Short](Short.MaxValue, Short.MinValue, 0, 1000)
+    val rx = Array[Short](Short.MinValue, Short.MaxValue, -1, -1000)
+    for (mode <- Seq("ls", "rs", "ms")) {
+      val m = Flac.decodeFlac(Flac.encodeFlacStereo(lx, rx, 8000, mode)).get
+      assert((0 until 4).map(i => m.samples(2 * i)) === lx.map(_.toInt).toSeq, mode)
+      assert((0 until 4).map(i => m.samples(2 * i + 1)) === rx.map(_.toInt).toSeq, mode)
+    }
+    // a stereo stream never fakes a mono fingerprint (honesty contract)
+    assert(Multimodal.flacEnergyHash64(
+      Flac.encodeFlacStereo(left, right, 8000, "ms")).isEmpty)
   }
 
   test("cross-container fingerprint equality: blockFlac hash == blockWav hash") {
