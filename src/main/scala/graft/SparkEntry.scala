@@ -99,6 +99,13 @@ object SparkEntry {
   private val bpeMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
+  /** Session-memoized maintained Bloom filter for q_incbloom (the filter
+    * artifact is MODEL-sized bytes — ~240 KB at 200k/1% — the bounded
+    * driver-side class the memo pattern covers; deterministic build, so
+    * memo ≡ rebuild). */
+  private val bloomMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+
   private val annIndexMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1678,6 +1685,34 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard, source
         |FROM p JOIN sz sa ON sa.doc_id = p.new_id JOIN sz sb ON sb.doc_id = p.match_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin)),
+
+    // ---- incremental Bloom-filter dedup with a MAINTAINED filter: the
+    //      standing filter summarizes docs id%10 in 2..9, yesterday's
+    //      crawl (id%10 == 1) folds in via addBatch (bit-OR merge — no
+    //      history re-scan), and today's batch (id%10 == 0) runs the
+    //      two-phase dedup against it. The oracle is the plain
+    //      normalized-text anti-join over the full history: green proves
+    //      filter maintenance + two-phase == exact, end to end ----
+    ("q_incbloom",
+      (s, d) => {
+        import graft.dedup.BloomDedup
+        val docs = Tables(s, d).documents
+        val history = docs.filter(col("doc_id") % 10 =!= 0)
+        val filterBytes = bloomMemo.getOrElseUpdate(d, {
+          val standing = BloomDedup.buildFilter(
+            docs.filter(col("doc_id") % 10 >= 2), expectedItems = 200000L)
+          BloomDedup.addBatch(standing,
+            docs.filter(col("doc_id") % 10 === 1), expectedItems = 200000L)
+        })
+        BloomDedup.newDocuments(docs.filter(col("doc_id") % 10 === 0),
+            history, filterBytes)
+          .select("doc_id")
+      },
+      Some("""SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 10 != 0
+        |    AND lower(trim(h.text)) = lower(trim(d.text)))""".stripMargin)),
 
     // ---- incremental MAINTENANCE of the standing dedup artifacts
     //      (PairGraph.appendBatch): same crawl split as q_incdedup
