@@ -39,19 +39,68 @@ object ArtifactStore {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  /** Write every table, THEN the marker. Returns the committed version. */
+  /** Write every table, THEN the marker. Returns the committed version.
+    *
+    * `meta` rides INSIDE the marker file (`key\tvalue` lines, keys and
+    * values must be newline/tab-free) — so metadata becomes visible
+    * atomically with the commit itself. Appenders use it to record which
+    * batch a version covers (e.g. a batch high-watermark), turning
+    * at-least-once replays into exactly-once skips ([[readMeta]]).
+    *
+    * A pre-existing `v<N>` directory (a writer that died mid-commit) is
+    * deleted wholesale before the first table lands: a committed version
+    * must contain ONLY the tables of the commit that published its
+    * marker — per-table overwrite alone would leave a stale table behind
+    * whenever the table set changed between the torn write and this one.
+    */
   def commit(spark: SparkSession, root: String,
-      tables: Map[String, DataFrame]): Long = {
+      tables: Map[String, DataFrame],
+      meta: Map[String, String] = Map.empty): Long = {
     require(tables.nonEmpty, "nothing to commit")
+    meta.foreach { case (k, mv) =>
+      require(!k.exists(c => c == '\n' || c == '\t') &&
+          !mv.exists(c => c == '\n' || c == '\t'),
+        s"meta keys/values must be newline/tab-free: $k")
+    }
+    val f = fs(spark, root)
     val v = latestVersion(spark, root).getOrElse(0L) + 1L
+    val vDir = new Path(s"$root/v$v")
+    if (f.exists(vDir)) f.delete(vDir, true)
     tables.foreach { case (name, df) =>
       require(name.nonEmpty && !name.startsWith("_"), s"bad table name $name")
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$v/$name")
     }
     // the point of the design: the marker is LAST — a crash anywhere
     // above leaves the previous committed version the readable one
-    fs(spark, root).create(new Path(s"$root/v$v/_COMMIT"), true).close()
+    val out = f.create(new Path(s"$root/v$v/_COMMIT"), true)
+    try {
+      val body = meta.toSeq.sorted.map { case (k, mv) => s"$k\t$mv\n" }.mkString
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
     v
+  }
+
+  /** The metadata recorded in a committed version's marker (empty map for
+    * versions committed without metadata, None for uncommitted versions). */
+  def readMeta(spark: SparkSession, root: String,
+      version: Long): Option[Map[String, String]] = {
+    val f = fs(spark, root)
+    val marker = new Path(s"$root/v$version/_COMMIT")
+    if (!f.exists(marker)) return None
+    val in = f.open(marker)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    Some(body.split("\n").iterator.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(k, mv) => Some(k -> mv)
+        case _ => None
+      }
+    }.toMap)
   }
 
   /** Read a table from the latest committed version. */

@@ -92,6 +92,56 @@ object ImageDedup {
     vsCorpus.unionByName(within)
   }
 
+  /** [[incrementalDHashPairs]] against a PERSISTED store — the media
+    * grains' sibling of [[PairGraph.appendBatchCommitted]]: the standing
+    * state is the corpus fingerprint table (`hashes`: key + 8 bytes per
+    * clip/image — the artifact a production media pipeline actually
+    * maintains) plus the accumulated match ledger (`matches`). Each
+    * append (1) band-joins the BATCH's hashes against the standing
+    * table ([[incrementalDHashPairs]] — work scales with the batch, the
+    * corpus never self-joins), (2) unions the batch hashes into the
+    * standing table (replay-safe: key anti-join first), and (3) commits
+    * both marker-last ([[graft.core.ArtifactStore]]). `batchMark`
+    * recorded in the commit metadata makes replays exactly-once, same
+    * contract as the pair graph ([[PairGraph.BatchMarkKey]]). Returns
+    * the committed version.
+    */
+  def appendHashesCommitted(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchHashes: DataFrame, keyCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      batchMark: Option[Long] = None): Long = {
+    import graft.core.ArtifactStore
+    import graft.dedup.PairGraph
+    batchMark.foreach { mark =>
+      val latest = ArtifactStore.latestVersion(spark, root)
+      if (latest.isDefined &&
+          PairGraph.latestBatchMark(spark, root).exists(_ >= mark))
+        return latest.get
+    }
+    val standing = ArtifactStore.read(spark, root, "hashes")
+      .getOrElse(batchHashes.limit(0))
+    val standingMatches = ArtifactStore.read(spark, root, "matches")
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          batchHashes.schema(keyCol).copy(name = "new_id"),
+          batchHashes.schema(keyCol).copy(name = "match_id"),
+          org.apache.spark.sql.types.StructField("hamming",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))))
+    // replay guard: keys the standing table already holds drop here
+    val novel = batchHashes
+      .join(standing.select(keyCol), Seq(keyCol), "left_anti")
+      .localCheckpoint() // consumed by the match join and the union
+    val m = incrementalDHashPairs(novel, standing, keyCol, bands, maxHamming)
+      .withColumn("hamming", col("hamming").cast("int"))
+    ArtifactStore.commit(spark, root,
+      Map("hashes" -> standing.unionByName(novel),
+        "matches" -> standingMatches.unionByName(m)),
+      meta = batchMark.map(v => PairGraph.BatchMarkKey -> v.toString).toMap)
+  }
+
   /** Cross-clip EXACT shared-frame pairs — the "shared intro/outro"
     * detector at the frame grain: clips whose sampled frames
     * ([[graft.multimodal.Multimodal.sampleFrames]] output) contain

@@ -64,6 +64,21 @@ object PairGraph {
           org.apache.spark.sql.functions.min("doc_id").as("first_doc"))
     }
 
+  /** Marker-metadata key recording the highest batch mark a committed
+    * artifact version covers (a doc-id watermark for the nightly loop, a
+    * streaming batchId for foreachBatch maintenance — any monotone Long).
+    */
+  val BatchMarkKey = "batch_wm"
+
+  /** The [[BatchMarkKey]] of the latest committed version under `root`,
+    * if that version recorded one. */
+  def latestBatchMark(spark: SparkSession, root: String): Option[Long] = {
+    import graft.core.ArtifactStore
+    ArtifactStore.latestVersion(spark, root)
+      .flatMap(v => ArtifactStore.readMeta(spark, root, v))
+      .flatMap(_.get(BatchMarkKey)).map(_.toLong)
+  }
+
   /** [[appendBatch]] against a PERSISTED store — the full production
     * loop: bootstrap (no committed version yet) builds the standing
     * pairs + clusters from the corpus and commits v1; each append reads
@@ -73,11 +88,26 @@ object PairGraph {
     * mid-append leaves the previous version live; re-running the same
     * append is idempotent (it overwrites the torn directory). Returns
     * the committed version.
+    *
+    * `batchMark` makes replays EXACTLY-once: when given, it is recorded
+    * in the commit's marker metadata ([[BatchMarkKey]]), and an append
+    * whose mark the latest committed version already covers
+    * (latest mark >= batchMark) returns that version WITHOUT committing —
+    * so a caller that crashed between its artifact commit and its own
+    * watermark advance (the reference's at-least-once window,
+    * `watermark_manager.py:211-259`) re-runs as a no-op instead of
+    * committing the same edges twice.
     */
   def appendBatchCommitted(spark: SparkSession, root: String,
       corpus: DataFrame, batch: DataFrame, keyCol: String,
-      n: Int = 3, minJaccard: Double = 0.5, numTables: Int = 8): Long = {
+      n: Int = 3, minJaccard: Double = 0.5, numTables: Int = 8,
+      batchMark: Option[Long] = None): Long = {
     import graft.core.ArtifactStore
+    batchMark.foreach { mark =>
+      val latest = ArtifactStore.latestVersion(spark, root)
+      if (latest.isDefined && latestBatchMark(spark, root).exists(_ >= mark))
+        return latest.get
+    }
     if (ArtifactStore.latestVersion(spark, root).isEmpty) {
       // bootstrap: the corpus IS the initial standing state (v1)
       val p = Dedup.jaccardPairsScalable(corpus, keyCol,
@@ -91,7 +121,8 @@ object PairGraph {
     val (pairs, clusters) = appendBatch(standingPairs, standingClusters,
       corpus, batch, keyCol, n, minJaccard, numTables)
     ArtifactStore.commit(spark, root,
-      Map("pairs" -> pairs, "clusters" -> clusters))
+      Map("pairs" -> pairs, "clusters" -> clusters),
+      meta = batchMark.map(m => BatchMarkKey -> m.toString).toMap)
   }
 
   /** Incremental maintenance of the standing shingle-stats artifact
@@ -184,12 +215,25 @@ object PairGraph {
     * Scale shape: batch-sized signature join + touched-membership keyed
     * joins + label propagation over touched components only. A nightly
     * crawl touching k clusters re-clusters those k, not the corpus.
+    *
+    * Replay-hardened: new edges drop self-loops (doc_a == doc_b — the
+    * shape a crash-replayed batch produces when its docs already sit in
+    * the corpus), collapse to one row per (doc_a, doc_b), and anti-join
+    * the standing pairs before the union — so appending edges the store
+    * already holds cannot double-count them. On a clean (keys disjoint)
+    * append all three are no-ops: self-loops and standing overlaps
+    * cannot occur, so the output is unchanged (the q_incpairs gate).
+    * All three are batch-edge-sized keyed operations.
     */
   def appendBatch(standingPairs: DataFrame, standingClusters: DataFrame,
       corpus: DataFrame, batch: DataFrame, keyCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
       numTables: Int = 8): (DataFrame, DataFrame) = {
     val newEdges = batchEdges(corpus, batch, keyCol, n, minJaccard, numTables)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(standingPairs.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
       .localCheckpoint() // consumed by 3 plans below: pay the edge scan once
     val pairs = standingPairs.select("doc_a", "doc_b", "jaccard")
       .unionByName(newEdges)

@@ -933,6 +933,37 @@ object Multimodal {
       } else Iterator(base)
     }
 
+  /** Base clip per id, no twins — the standing-corpus side of the
+    * incremental AUDIO dedup demo ([[syntheticBaseImages]] at the audio
+    * grain: same deterministic [[blockWav]] clips as
+    * [[syntheticBlockWavs]]' base rows). */
+  def syntheticBaseWavs(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol, idCol = "aud_id") { id =>
+      Iterator(Row(id, blockWav(s"aud|$id")))
+    }
+
+  /** Incremental audio batch over the same id universe — the
+    * [[syntheticImageBatch]] planting scheme at the audio grain:
+    * re-crawled level-shifted copies of every 10th base (id + 10M,
+    * hamming 0), a SECOND window-bumped copy of every 30th (id + 30M,
+    * hamming ≤ 2 — pairs within the batch AND against the corpus), and
+    * fresh unseen clips for ids ≡ 5 (mod 10) (id + 20M, independent
+    * tag). All planting is id arithmetic a SQL oracle can derive.
+    */
+  def syntheticAudioBatch(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol, idCol = "aud_id") { id =>
+      val recrawl = if (id % 10 == 0)
+        Iterator(Row(id + 10000000L, blockWav(s"aud|$id", levelDelta = 8)))
+      else Iterator.empty
+      val second = if (id % 30 == 0)
+        Iterator(Row(id + 30000000L, blockWav(s"aud|$id", bumpWindow = Some(30))))
+      else Iterator.empty
+      val fresh = if (id % 10 == 5)
+        Iterator(Row(id + 20000000L, blockWav(s"new|$id")))
+      else Iterator.empty
+      recrawl ++ second ++ fresh
+    }
+
   /** CROSS-CONTAINER audio corpus with planted near-duplicates: every
     * base clip is a REAL subset-FLAC encode ([[blockFlac]]) and every
     * planted twin arrives as the PERTURBED PCM in a WAV container — a
@@ -1085,6 +1116,36 @@ object Multimodal {
           else blockY4m(s"vid|$id", bumpFrame = Some(30))
         Iterator(base, Row(id + idOffset, twin))
       } else Iterator(base)
+    }
+
+  /** Base clip per id, no twins — the standing-corpus side of the
+    * incremental VIDEO dedup demo (same deterministic [[blockY4m]] clips
+    * as [[syntheticBlockY4ms]]' base rows). */
+  def syntheticBaseY4ms(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol, idCol = "vid_id") { id =>
+      Iterator(Row(id, blockY4m(s"vid|$id")))
+    }
+
+  /** Incremental video batch over the same id universe — the
+    * [[syntheticImageBatch]] planting scheme at the video grain:
+    * re-crawled brightness-shifted copies of every 10th base (id + 10M,
+    * hamming 0), a SECOND frame-bumped copy of every 30th (id + 30M,
+    * hamming ≤ 2 — pairs within the batch AND against the corpus), and
+    * fresh unseen clips for ids ≡ 5 (mod 10) (id + 20M, independent
+    * tag). All planting is id arithmetic a SQL oracle can derive.
+    */
+  def syntheticVideoBatch(df: DataFrame, keyCol: String): DataFrame =
+    mapIds(df, keyCol, idCol = "vid_id") { id =>
+      val recrawl = if (id % 10 == 0)
+        Iterator(Row(id + 10000000L, blockY4m(s"vid|$id", levelDelta = 8)))
+      else Iterator.empty
+      val second = if (id % 30 == 0)
+        Iterator(Row(id + 30000000L, blockY4m(s"vid|$id", bumpFrame = Some(30))))
+      else Iterator.empty
+      val fresh = if (id % 10 == 5)
+        Iterator(Row(id + 20000000L, blockY4m(s"new|$id")))
+      else Iterator.empty
+      recrawl ++ second ++ fresh
     }
 
   /** Assemble a YUV4MPEG2 mono container from explicit per-frame Y

@@ -3,9 +3,10 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{ArtifactStore, Tables}
-import graft.dedup.PairGraph
+import graft.core.{ArtifactStore, ParquetIo, Tables}
+import graft.dedup.{ImageDedup, PairGraph}
 import graft.incremental.WatermarkStore
+import graft.multimodal.Multimodal
 import graft.text.CorpusCuration
 
 /** The nightly-crawl loop in ONE invocation — the reference's
@@ -18,21 +19,38 @@ import graft.text.CorpusCuration
   *     new crawl);
   *  2. run the curation gates on the BATCH ONLY
   *     ([[CorpusCuration.curate]]: language/quality/length + exact
-  *     dedup within the batch);
+  *     dedup within the batch), then drop any doc the curated corpus
+  *     ALREADY holds (an anti-join on the key — the replay guard that
+  *     makes a re-read batch a no-op);
   *  3. append the survivors' near-dup edges into the committed
   *     pair-graph artifacts ([[PairGraph.appendBatchCommitted]] —
-  *     touched-component re-cluster, marker-last versioned commit);
+  *     touched-component re-cluster, marker-last versioned commit,
+  *     batch watermark recorded in the commit metadata), and the
+  *     survivors' audio/video fingerprints into the per-grain standing
+  *     hash stores ([[ImageDedup.appendHashesCommitted]] — incremental
+  *     batch-vs-corpus media dedup, same commit contract);
   *  4. append the survivors to the curated corpus;
-  *  5. ONLY THEN advance the watermark.
+  *  5. ONLY THEN advance the watermark — and prune artifact versions
+  *     older than the newest `keepLast` (a nightly loop otherwise
+  *     accretes one version per night forever).
   *
-  * Failure semantics are at-least-once end to end: a crash before step 5
-  * leaves the mark at the previous run's value, so the rerun re-reads
-  * the batch; a crash inside step 3 leaves a torn (marker-less) artifact
-  * version that readers never see and the rerun overwrites; step 4's
-  * corpus append before the mark means a rerun may re-append — the
-  * curated corpus is keyed by doc_id, so downstream readers dedup by
-  * key (or the corpus write moves to a transactional table format for
-  * exactly-once, as RunPipeline documents for its sinks).
+  * Failure semantics are EXACTLY-once on every standing table: a crash
+  * before step 5 leaves the mark at the previous run's value, so the
+  * rerun re-reads the batch — but (a) artifact commits carry the batch
+  * high-watermark in their marker metadata, so an append the latest
+  * version already covers is skipped instead of re-unioned, (b) the
+  * step-2 anti-join drops batch docs the corpus already holds, so a
+  * crash after the corpus append cannot duplicate corpus rows or
+  * generate self-matching edges, and (c) a crash INSIDE step 3 leaves a
+  * torn (marker-less) artifact version that readers never see and the
+  * rerun's commit clears. The rerun's standing tables are row-identical
+  * to a single uninterrupted run (RunIncrementalCurationSpec replays a
+  * crash at each step boundary and asserts exactly that).
+  *
+  * Bootstrap is decided by path-absence ONLY ([[ParquetIo.readOrEmpty]]):
+  * a transient FS error or corrupted footer on an EXISTING corpus
+  * rethrows — it must never silently commit an artifact version whose
+  * batch found no corpus matches because the corpus "read empty".
   *
   * The cluster table after every run labels the FULL corpus's near-dup
   * components (incremental ≡ full rebuild — the q_incpairs gate), so
@@ -50,8 +68,22 @@ object RunIncrementalCuration {
       batchDocs: Long,
       keptDocs: Long)
 
+  /** Test seam: thrown by [[run]] when `crashAfterStep` injects a fault —
+    * specs use it to replay a crash at an exact step boundary. */
+  final class InjectedCrash(step: Int)
+    extends RuntimeException(s"injected crash after step $step")
+
+  /** One nightly run. `keepLast` is the artifact retention window
+    * (versions beyond it are pruned after the watermark advances);
+    * `mediaDedup` grows the loop by the audio/video fingerprint stages
+    * (off in text-only deployments); `crashAfterStep` is a TEST-ONLY
+    * fault injector (3 = after artifact commits, 4 = after corpus
+    * append) proving the replay guarantees above.
+    */
   def run(spark: SparkSession, docsDir: String, outRoot: String,
-      config: CorpusCuration.Config = CorpusCuration.Config()): IncRunResult = {
+      config: CorpusCuration.Config = CorpusCuration.Config(),
+      keepLast: Int = 2, mediaDedup: Boolean = false,
+      crashAfterStep: Option[Int] = None): IncRunResult = {
     val store = new WatermarkStore(s"$outRoot/_state")
     val corpusPath = s"$outRoot/curated"
     val artifactsRoot = s"$outRoot/artifacts"
@@ -63,22 +95,48 @@ object RunIncrementalCuration {
       return IncRunResult(
         ArtifactStore.latestVersion(spark, artifactsRoot).getOrElse(0L),
         prevWm, 0L, 0L)
+    val hi = batch.agg(max("doc_id")).head.getLong(0)
     // gates on the batch only; keep the corpus schema (curation columns
     // are decision-time only)
-    val kept = CorpusCuration.curate(batch, config)
+    val curated = CorpusCuration.curate(batch, config)
       .select(docs.columns.map(col): _*)
-      .localCheckpoint() // consumed by count + artifact append + corpus write
+    val corpus = ParquetIo.readOrEmpty(spark, corpusPath, curated.schema)
+    // replay guard: docs the corpus already ingested (a rerun after a
+    // crash between the corpus append and the watermark advance) drop
+    // here, so the batch is key-disjoint from the corpus by construction
+    val kept = curated
+      .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // consumed by count + artifact appends + corpus write
     val keptDocs = kept.count()
-    val corpus = try spark.read.parquet(corpusPath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kept.schema) }
     val version = PairGraph.appendBatchCommitted(
-      spark, artifactsRoot, corpus, kept, "doc_id")
+      spark, artifactsRoot, corpus, kept, "doc_id", batchMark = Some(hi))
+    if (mediaDedup) {
+      // the per-grain standing fingerprint stores: batch clips hash once,
+      // band-join the standing 8-byte/clip table, hashes append — the
+      // q_incaudiodedup / q_incvideodedup shape inside the nightly loop
+      val batchIds = kept.select("doc_id")
+      ImageDedup.appendHashesCommitted(spark, s"$outRoot/artifacts_audio",
+        Multimodal.audioEnergyHashes(
+          Multimodal.syntheticBaseWavs(batchIds, "doc_id"), "aud_id")
+          .withColumnRenamed("aud_id", "doc_id"),
+        "doc_id", batchMark = Some(hi))
+      ImageDedup.appendHashesCommitted(spark, s"$outRoot/artifacts_video",
+        Multimodal.videoTemporalHashes(
+          Multimodal.syntheticBaseY4ms(batchIds, "doc_id"), "vid_id")
+          .withColumnRenamed("vid_id", "doc_id"),
+        "doc_id", batchMark = Some(hi))
+    }
+    if (crashAfterStep.contains(3)) throw new InjectedCrash(3)
     if (keptDocs > 0L)
       kept.write.mode(SaveMode.Append).parquet(corpusPath)
+    if (crashAfterStep.contains(4)) throw new InjectedCrash(4)
     // the mark advances LAST — commit-after-write, the reference contract
-    val hi = batch.agg(max("doc_id")).head.getLong(0)
     store.put("documents", "doc_id", hi.toString)
+    ArtifactStore.prune(spark, artifactsRoot, keepLast)
+    if (mediaDedup) {
+      ArtifactStore.prune(spark, s"$outRoot/artifacts_audio", keepLast)
+      ArtifactStore.prune(spark, s"$outRoot/artifacts_video", keepLast)
+    }
     IncRunResult(version, Some(hi), batchDocs, keptDocs)
   }
 

@@ -42,11 +42,15 @@ object Coreset {
       s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))")
       .as("vq"))
     val d2 = "aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
-    val n = quant.select(col("vec_id")).distinct().count()
-    require(n >= k,
-      s"kCenterGreedy needs at least k=$k distinct points, corpus has $n")
+    // exhaustion (fewer than k points) is detected LAZILY inside the
+    // selection loop — the argmax running dry — rather than by an eager
+    // distinct-count pass: the misconfiguration guard must not cost the
+    // happy path an extra corpus scan per invocation
     // seed: the minimum id (deterministic, data-independent choice)
-    val seed = quant.orderBy(col("vec_id")).limit(1).collect()(0)
+    val seedRows = quant.orderBy(col("vec_id")).limit(1).collect()
+    require(seedRows.nonEmpty,
+      s"kCenterGreedy needs at least k=$k points, corpus is empty")
+    val seed = seedRows(0)
     var chosen = Vector((1L, seed.getLong(0), -1L))
     var center = Seq((seed.getLong(0), seed.getSeq[Long](1))).toDF("cid", "cq")
     // state: every point's exact squared distance to its nearest center
@@ -55,9 +59,12 @@ object Coreset {
       .localCheckpoint()
     for (r <- 2 to k.toInt) {
       val chosenIds = chosen.map(_._2)
-      val next = state.filter(!col("vec_id").isin(chosenIds: _*))
+      val nextRows = state.filter(!col("vec_id").isin(chosenIds: _*))
         .orderBy(col("mind2").desc, col("vec_id")).limit(1)
-        .collect()(0)
+        .collect()
+      require(nextRows.nonEmpty,
+        s"kCenterGreedy needs at least k=$k points, corpus exhausted after ${r - 1}")
+      val next = nextRows(0)
       chosen :+= ((r.toLong, next.getLong(0), next.getLong(2)))
       center = Seq((next.getLong(0), next.getSeq[Long](1))).toDF("cid", "cq")
       state = state.crossJoin(broadcast(center))

@@ -245,14 +245,34 @@ object Similarity {
       .toDF("cell", "centroid")
   }
 
+  /** Past this many codebook doubles (nClusters × dim), [[ivfAssign]]
+    * switches from the compiled least-of-structs expression to the
+    * broadcast-join argmin: the expression path inlines every centroid
+    * coordinate as a literal, and a production codebook (4096 × 768 =
+    * 3.1M doubles) would compile to a multi-MB SQL expression that blows
+    * past Janino/whole-stage-codegen method limits — silent interpreted
+    * fallback at best. 16384 (≈256 cells × 64 dims) stays comfortably
+    * inside codegen; both paths compute the identical assignment (same
+    * fold order, same (d2, cell) tie-break — SimilaritySpec asserts the
+    * equivalence), so the switch is invisible to callers.
+    */
+  val IvfAssignExprMaxDoubles = 16384
+
   /** Assign vectors to a FROZEN centroid table — the IVF index append:
     * argmin squared-L2 with ties to the lower cell id (a stated total
     * order, so incremental assignment of a batch is definitionally
     * identical to assigning the union: the same pure per-row function
-    * either way). The centroid table is MODEL-sized (nClusters rows —
-    * the bounded-by-contract collect this package uses for codebooks),
-    * so the argmin compiles to one least-of-structs projection: zero
-    * shuffle, no explode. Output: (keyCol, v, norm, cell).
+    * either way). Output: (keyCol, v, norm, cell).
+    *
+    * Small codebooks (≤ [[IvfAssignExprMaxDoubles]] inlined doubles)
+    * compile to one least-of-structs projection: zero shuffle, no
+    * explode, whole-stage codegen. Larger codebooks broadcast the
+    * centroid array to the executors and argmin per row in a
+    * mapPartitions pass — still zero shuffle, still O(n·k·d), the same
+    * left-to-right distance fold and (d2, cell) tie-break, so the
+    * assignment is bit-identical; what changes is only that the
+    * codebook rides a broadcast variable instead of the compiled
+    * expression text. Never a silent codegen degradation.
     */
   def ivfAssign(df: DataFrame, keyCol: String, centroids: DataFrame,
       embCol: String = "embedding"): DataFrame = {
@@ -260,17 +280,55 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "empty centroid table")
-    val structs = cents.map { case (cell, c) =>
-      // string-literal doubles: Double.toString round-trips exactly
-      val arr = c.map(x => s"CAST('$x' AS DOUBLE)")
-        .mkString("array(", ",", ")")
-      s"named_struct('d2', aggregate(zip_with(v, $arr, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 'cell', $cell)"
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    if (cents.length.toLong * cents.head._2.length <= IvfAssignExprMaxDoubles) {
+      val structs = cents.map { case (cell, c) =>
+        // string-literal doubles: Double.toString round-trips exactly
+        val arr = c.map(x => s"CAST('$x' AS DOUBLE)")
+          .mkString("array(", ",", ")")
+        s"named_struct('d2', aggregate(zip_with(v, $arr, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 'cell', $cell)"
+      }
+      val argmin =
+        if (structs.length == 1) s"(${structs.head}).cell"
+        else s"least(${structs.mkString(", ")}).cell"
+      base.withColumn("cell", expr(argmin))
+    } else {
+      // broadcast-variable argmin: the same left-to-right distance fold
+      // and the same (d2, cell) lexicographic minimum as the expression
+      // path (strictly-less keeps the earlier = lower cell on ties), so
+      // the assignment is bit-identical — only the execution strategy
+      // changes. Zero shuffle: the codebook ships once per executor.
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(
+        cents.map { case (cell, c) => (cell, c.toArray) })
+      val schema = org.apache.spark.sql.types.StructType(
+        base.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "cell", org.apache.spark.sql.types.IntegerType, nullable = false))
+      val vIdx = base.schema.fieldIndex("v")
+      val rdd = base.rdd.mapPartitions { iter =>
+        val cb = bc.value
+        iter.map { r =>
+          val v = r.getSeq[Double](vIdx).toArray
+          var bestCell = cb(0)._1
+          var bestD2 = Double.PositiveInfinity
+          var ci = 0
+          while (ci < cb.length) {
+            val c = cb(ci)._2
+            var d2 = 0.0
+            var j = 0
+            while (j < v.length) {
+              val d = v(j) - c(j)
+              d2 += d * d
+              j += 1
+            }
+            if (d2 < bestD2) { bestD2 = d2; bestCell = cb(ci)._1 }
+            ci += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestCell)
+        }
+      }
+      spark.createDataFrame(rdd, schema)
     }
-    val argmin =
-      if (structs.length == 1) s"(${structs.head}).cell"
-      else s"least(${structs.mkString(", ")}).cell"
-    withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
-      .withColumn("cell", expr(argmin))
   }
 
   /** Query a prebuilt IVF index — (assigned, centroids) as produced by

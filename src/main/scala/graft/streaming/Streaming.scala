@@ -171,9 +171,7 @@ object Streaming {
   def dedupIngestBatch(batch: DataFrame, corpusPath: String,
       matchesPath: String, keyCol: String, minJaccard: Double): Unit = {
     val spark = batch.sparkSession
-    val corpus = try spark.read.parquet(corpusPath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val corpus = graft.core.ParquetIo.readOrEmpty(spark, corpusPath, batch.schema)
     val matches = graft.dedup.Dedup.incrementalJaccardNearDups(
       batch, corpus, keyCol, minJaccard = minJaccard)
       .localCheckpoint() // evaluated twice (ledger + anti-join) over two cached inputs
@@ -195,6 +193,14 @@ object Streaming {
     * docs themselves to the corpus. Work per batch scales with the
     * batch; the corpus is never re-paired with itself; every committed
     * version remains auditable ([[graft.core.ArtifactStore.readAt]]).
+    *
+    * Exactly-once: the streaming batchId is recorded in each committed
+    * artifact version's marker metadata, so a replayed batch whose
+    * artifact commit landed but whose checkpoint offset commit did not
+    * (the foreachBatch at-least-once window) skips the artifact commit,
+    * and the key anti-join inside [[pairGraphMaintenanceBatch]] makes
+    * the corpus append idempotent — the replay completes the corpus
+    * write without duplicating either table.
     */
   def pairGraphMaintenanceStream(docs: DataFrame, corpusPath: String,
       artifactsRoot: String, checkpoint: String, keyCol: String = "doc_id",
@@ -202,9 +208,9 @@ object Streaming {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         pairGraphMaintenanceBatch(batch, corpusPath, artifactsRoot,
-          keyCol, minJaccard): Unit
+          keyCol, minJaccard, batchId = Some(batchId)): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -213,17 +219,27 @@ object Streaming {
 
   /** One micro-batch of the pair-graph maintenance (public so batch jobs
     * reuse the same loop). Returns the committed artifact version.
+    *
+    * Replay-safe in both halves: `batchId` (when given) rides the
+    * artifact commit's metadata and a covered batch skips the commit
+    * ([[graft.dedup.PairGraph.appendBatchCommitted]]); the batch is
+    * key-anti-joined against the corpus before either write, so a
+    * replayed corpus append adds only the rows the crashed run never
+    * landed. Without a batchId the loop is at-least-once on the
+    * artifact versions (the append itself still dedups edges).
     */
   def pairGraphMaintenanceBatch(batch: DataFrame, corpusPath: String,
-      artifactsRoot: String, keyCol: String, minJaccard: Double): Long = {
+      artifactsRoot: String, keyCol: String, minJaccard: Double,
+      batchId: Option[Long] = None): Long = {
     val spark = batch.sparkSession
-    val corpus = try spark.read.parquet(corpusPath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val corpus = graft.core.ParquetIo.readOrEmpty(spark, corpusPath, batch.schema)
+    val novel = batch.join(corpus.select(keyCol), Seq(keyCol), "left_anti")
+      .localCheckpoint() // consumed by the artifact append and the write
     val v = graft.dedup.PairGraph.appendBatchCommitted(
-      spark, artifactsRoot, corpus, batch, keyCol, minJaccard = minJaccard)
-    if (!batch.isEmpty)
-      batch.write.mode("append").parquet(corpusPath)
+      spark, artifactsRoot, corpus, novel, keyCol, minJaccard = minJaccard,
+      batchMark = batchId)
+    if (!novel.isEmpty)
+      novel.write.mode("append").parquet(corpusPath)
     v
   }
 

@@ -660,6 +660,19 @@ object ExactSubstr {
     val byLevel = corpusRounds.toMap
     require(byLevel.contains(prefixLen) || prefixLen == 1,
       s"standing ladder lacks level $prefixLen")
+    // every doubling step without a materialized pairDict dereferences
+    // ladder levels k and 2k — state the contract for ALL of them up
+    // front, not with a bare NoSuchElementException mid-loop
+    var lvl = 1
+    while (lvl < prefixLen) {
+      if (!pairDicts.contains(2 * lvl)) {
+        require(byLevel.contains(lvl),
+          s"standing ladder lacks level $lvl")
+        require(byLevel.contains(2 * lvl),
+          s"standing ladder lacks level ${2 * lvl}")
+      }
+      lvl *= 2
+    }
     val p0 = guardDocLen(TextAnalysis.withTokens(batch, textCol)
       .filter(size(col("tokens")) > 0))
       .select(col(keyCol), size(col("tokens")).cast("long").as("len"),

@@ -25,13 +25,17 @@ class CoresetSpec extends SparkSpec {
   }
 
   test("k larger than the corpus fails loudly, not with an opaque index error") {
+    // exhaustion is detected lazily inside the loop (no eager
+    // distinct-count pass on the happy path), so the error names the
+    // round the argmax ran dry
     val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(3f, 0f)))
     val e = intercept[IllegalArgumentException] { run(3, pts) }
-    assert(e.getMessage.contains("at least k=3"))
+    assert(e.getMessage.contains("at least k=3") &&
+      e.getMessage.contains("exhausted after 2"))
     val empty = intercept[IllegalArgumentException] {
       run(1, Seq.empty[(Long, Seq[Float])])
     }
-    assert(empty.getMessage.contains("corpus has 0"))
+    assert(empty.getMessage.contains("corpus is empty"))
   }
 
   test("argmax ties break to the smaller id; duplicates collapse the objective to 0") {
