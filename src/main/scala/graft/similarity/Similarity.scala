@@ -275,13 +275,14 @@ object Similarity {
     * expression text. Never a silent codegen degradation.
     */
   def ivfAssign(df: DataFrame, keyCol: String, centroids: DataFrame,
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxExprDoubles: Int = IvfAssignExprMaxDoubles): DataFrame = {
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "empty centroid table")
     val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
-    if (cents.length.toLong * cents.head._2.length <= IvfAssignExprMaxDoubles) {
+    if (cents.length.toLong * cents.head._2.length <= maxExprDoubles) {
       val structs = cents.map { case (cell, c) =>
         // string-literal doubles: Double.toString round-trips exactly
         val arr = c.map(x => s"CAST('$x' AS DOUBLE)")

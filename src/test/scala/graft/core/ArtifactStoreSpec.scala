@@ -39,6 +39,68 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.readAt(spark, root, "t", 99L).isEmpty)
   }
 
+  test("commit metadata rides the marker atomically; torn dirs are " +
+      "cleared so stale tables never become readable") {
+    val root = tmpRoot()
+    val v1 = ArtifactStore.commit(spark, root,
+      Map("t" -> Seq((1L, "a")).toDF("id", "v")),
+      meta = Map("batch_wm" -> "42", "note" -> "night one"))
+    assert(ArtifactStore.readMeta(spark, root, v1) ===
+      Some(Map("batch_wm" -> "42", "note" -> "night one")))
+    // no meta -> empty map; uncommitted version -> None
+    val v2 = ArtifactStore.commit(spark, root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    assert(ArtifactStore.readMeta(spark, root, v2) === Some(Map.empty))
+    assert(ArtifactStore.readMeta(spark, root, 99L).isEmpty)
+
+    // a writer died mid-commit after writing a table the NEXT commit
+    // does not write: the stale table must not survive into v3
+    Seq((9L, "ghost")).toDF("id", "v").write.parquet(s"$root/v3/stale")
+    val v3 = ArtifactStore.commit(spark, root,
+      Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(v3 === 3L)
+    assert(ArtifactStore.read(spark, root, "t").get.count() === 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v3/stale")),
+      "a committed version must contain ONLY its own tables")
+    // newline/tab-bearing metadata is rejected up front
+    intercept[IllegalArgumentException] {
+      ArtifactStore.commit(spark, root,
+        Map("t" -> Seq((4L, "d")).toDF("id", "v")),
+        meta = Map("k" -> "bad\nvalue"))
+    }
+  }
+
+  test("appendBatchCommitted with a batchMark: a covered replay skips " +
+      "instead of committing the same edges twice") {
+    val root = tmpRoot()
+    val tA = "alpha one two three four five six seven eight nine"
+    val corpus = Seq((1L, tA), (2L, tA)).toDF("doc_id", "text")
+    val batch = Seq((20L, tA)).toDF("doc_id", "text")
+    val v = graft.dedup.PairGraph.appendBatchCommitted(
+      spark, root, corpus, batch, "doc_id", batchMark = Some(20L))
+    assert(v === 2L)
+    assert(graft.dedup.PairGraph.latestBatchMark(spark, root) === Some(20L))
+    val pairsBefore = ArtifactStore.read(spark, root, "pairs").get
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // the crash-replay window: the caller's own watermark never advanced,
+    // so the same batch comes back — covered mark, no new version
+    val v2 = graft.dedup.PairGraph.appendBatchCommitted(
+      spark, root, corpus, batch, "doc_id", batchMark = Some(20L))
+    assert(v2 === 2L, "a covered batch must not commit a new version")
+    assert(ArtifactStore.latestVersion(spark, root) === Some(2L))
+    assert(ArtifactStore.read(spark, root, "pairs").get
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString) === pairsBefore)
+    // a genuinely newer batch still appends
+    val batch2 = Seq((30L, tA)).toDF("doc_id", "text")
+    val v3 = graft.dedup.PairGraph.appendBatchCommitted(
+      spark, root, corpus.unionByName(batch), batch2, "doc_id",
+      batchMark = Some(30L))
+    assert(v3 === 3L)
+    assert(graft.dedup.PairGraph.latestBatchMark(spark, root) === Some(30L))
+  }
+
   test("prune keeps the newest committed versions, spares in-flight dirs") {
     val root = tmpRoot()
     (1 to 4).foreach { i =>

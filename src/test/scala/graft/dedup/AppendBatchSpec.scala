@@ -137,6 +137,33 @@ class AppendBatchSpec extends SparkSpec {
     assert(m(capped).contains("bravo"))
   }
 
+  test("replaying a batch whose docs already sit in the corpus cannot " +
+      "duplicate pair rows or inject self-loops") {
+    // the crash-replay shape: the corpus append landed, the watermark
+    // advance did not, and a caller without the batchMark guard re-runs
+    // the SAME batch against a corpus that already contains it. Raw
+    // batchEdges then matches every batch doc against its own corpus
+    // copy (self-loops at jaccard 1.0) and re-derives every standing
+    // edge; the hardened appendBatch must keep the pair table
+    // row-identical to the pre-replay standing state.
+    val batch = Seq((40L, tB), (42L, "entirely novel crawl content right here")
+      ).toDF("doc_id", "text")
+    val full = corpus.unionByName(batch)
+    val sp = Dedup.jaccardPairsScalable(full, "doc_id",
+      n = 3, minJaccard = 0.5, numHashTables = 8)
+      .select("doc_a", "doc_b", "jaccard").localCheckpoint()
+    val sc = Dedup.dedupClusters(sp).localCheckpoint()
+    // the raw edge generator really does produce the poison rows here
+    val raw = PairGraph.batchEdges(full, batch, "doc_id")
+    assert(raw.filter(col("doc_a") === col("doc_b")).count() > 0L,
+      "precondition: the replay shape generates self-loops")
+    val (pairs, clusters) = PairGraph.appendBatch(sp, sc, full, batch, "doc_id")
+    assert(pairs.collect().map(_.toSeq).toSet ===
+      sp.collect().map(_.toSeq).toSet)
+    assert(pairs.count() === sp.count(), "no duplicated edge rows")
+    assert(clustersOf(clusters) === clustersOf(sc))
+  }
+
   test("an edgeless batch changes nothing and re-clusters nothing") {
     val batch = Seq((50L, "totally fresh unseen material zzz qqq xxx yyy www vvv")
       ).toDF("doc_id", "text")

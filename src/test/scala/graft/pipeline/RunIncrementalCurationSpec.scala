@@ -69,4 +69,122 @@ class RunIncrementalCurationSpec extends SparkSpec {
     assert(r3.batchDocs === 0L && r3.keptDocs === 0L)
     assert(r3.artifactVersion === 3L && r3.watermark === Some(22L))
   }
+
+  private def night1 = Seq(mk(1L, t20("a")), mk(2L, t20("a", "z1")),
+    mk(11L, t20("b")))
+  private def night2 = Seq(mk(21L, t20("a", "z2")), mk(22L, t20("c")))
+
+  private def setup(): (String, String) = (
+    java.nio.file.Files.createTempDirectory("inc-docs").toString,
+    java.nio.file.Files.createTempDirectory("inc-out").toString)
+
+  private def writeDocsTo(docsDir: String,
+      rows: Seq[(Long, String, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$docsDir/documents.parquet")
+
+  private def state(out: String) = {
+    val pairs = graft.core.ArtifactStore.read(spark, s"$out/artifacts", "pairs")
+      .get.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val clusters = graft.core.ArtifactStore.read(spark, s"$out/artifacts", "clusters")
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpus = spark.read.parquet(s"$out/curated").collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    (pairs, clusters, corpus)
+  }
+
+  test("crash replay at each step boundary: the rerun's standing tables " +
+      "are ROW-identical to one uninterrupted run") {
+    // reference: two clean nights, no crash
+    val (refDocs, refOut) = setup()
+    writeDocsTo(refDocs, night1)
+    RunIncrementalCuration.run(spark, refDocs, refOut, cfg)
+    writeDocsTo(refDocs, night2)
+    RunIncrementalCuration.run(spark, refDocs, refOut, cfg)
+    val ref = state(refOut)
+
+    for (step <- Seq(3, 4)) {
+      val (docsDir, out) = setup()
+      writeDocsTo(docsDir, night1)
+      RunIncrementalCuration.run(spark, docsDir, out, cfg)
+      writeDocsTo(docsDir, night2)
+      // night 2 dies right after the artifact commit (3) / the corpus
+      // append (4) — before the watermark advances either way
+      intercept[RunIncrementalCuration.InjectedCrash] {
+        RunIncrementalCuration.run(spark, docsDir, out, cfg,
+          crashAfterStep = Some(step))
+      }
+      // the recovery rerun re-reads the same batch
+      val r = RunIncrementalCuration.run(spark, docsDir, out, cfg)
+      assert(r.watermark === Some(22L))
+      assert(state(out) === ref,
+        s"replay after a crash at step $step must equal the clean run")
+      // and is stable: one more idle rerun changes nothing
+      RunIncrementalCuration.run(spark, docsDir, out, cfg)
+      assert(state(out) === ref)
+    }
+  }
+
+  test("a corrupted EXISTING corpus fails loudly instead of silently " +
+      "committing an artifact version with missing edges") {
+    val (docsDir, out) = setup()
+    writeDocsTo(docsDir, night1)
+    RunIncrementalCuration.run(spark, docsDir, out, cfg)
+    val vBefore = graft.core.ArtifactStore.latestVersion(spark, s"$out/artifacts")
+    // corrupt the curated corpus: a parquet file with a junk footer
+    val dir = new java.io.File(s"$out/curated")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not parquet at all".getBytes)
+    }
+    writeDocsTo(docsDir, night2)
+    val e = intercept[Exception] {
+      RunIncrementalCuration.run(spark, docsDir, out, cfg)
+    }
+    assert(!e.isInstanceOf[RunIncrementalCuration.InjectedCrash])
+    // nothing was committed against the phantom-empty corpus
+    assert(graft.core.ArtifactStore.latestVersion(spark, s"$out/artifacts")
+      === vBefore)
+  }
+
+  test("retention: the nightly loop prunes artifact versions beyond " +
+      "keepLast after the watermark advances") {
+    val (docsDir, out) = setup()
+    writeDocsTo(docsDir, night1)
+    RunIncrementalCuration.run(spark, docsDir, out, cfg, keepLast = 2)
+    writeDocsTo(docsDir, night2)
+    RunIncrementalCuration.run(spark, docsDir, out, cfg, keepLast = 2)
+    writeDocsTo(docsDir, Seq(mk(31L, t20("d"))))
+    val r3 = RunIncrementalCuration.run(spark, docsDir, out, cfg, keepLast = 2)
+    assert(r3.artifactVersion === 4L, "bootstrap v1 + three nightly appends")
+    val arts = s"$out/artifacts"
+    // keepLast=2: v1/v2 pruned, v3/v4 survive and still resolve
+    assert(graft.core.ArtifactStore.readAt(spark, arts, "pairs", 1L).isEmpty)
+    assert(graft.core.ArtifactStore.readAt(spark, arts, "pairs", 2L).isEmpty)
+    assert(graft.core.ArtifactStore.readAt(spark, arts, "pairs", 3L).isDefined)
+    assert(graft.core.ArtifactStore.read(spark, arts, "clusters").get
+      .count() >= 2L)
+    assert(graft.core.ArtifactStore.latestVersion(spark, arts) === Some(4L))
+  }
+
+  test("mediaDedup grows the loop by the audio/video fingerprint stores: " +
+      "hashes accumulate per night under the same commit contract") {
+    val (docsDir, out) = setup()
+    writeDocsTo(docsDir, night1)
+    RunIncrementalCuration.run(spark, docsDir, out, cfg, mediaDedup = true)
+    writeDocsTo(docsDir, night2)
+    RunIncrementalCuration.run(spark, docsDir, out, cfg, mediaDedup = true)
+    for (grain <- Seq("audio", "video")) {
+      val root = s"$out/artifacts_$grain"
+      val hashes = graft.core.ArtifactStore.read(spark, root, "hashes").get
+      // every curated doc's clip is fingerprinted exactly once
+      assert(hashes.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 11L, 21L, 22L))
+      assert(hashes.filter(col("dhash").isNull).count() === 0L)
+      // the match ledger exists (no cross-night twins planted here)
+      assert(graft.core.ArtifactStore.read(spark, root, "matches").get
+        .count() === 0L)
+      // the batch mark rode the commit: a replayed night would skip
+      assert(graft.dedup.PairGraph.latestBatchMark(spark, root) === Some(22L))
+    }
+  }
 }

@@ -289,4 +289,32 @@ class SimilaritySpec extends SparkSpec {
     assert(all.collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
       === unionAssigned)
   }
+
+  test("ivfAssign big-codebook fallback: the broadcast argmin returns the " +
+      "IDENTICAL assignment as the compiled expression, ties included") {
+    // irrational-ish coordinates so double arithmetic is exercised for
+    // real, PLUS the exact-tie row from the test above — the fallback
+    // must reproduce both the values and the lower-cell tie-break
+    // the tie pair lives far from the sin-noise codebook so nothing can
+    // slip between it and its two equidistant cells
+    val centroids = ((0 until 40).map { c =>
+      (c, Seq.tabulate(8)(j => math.sin(c * 8 + j + 1) * 3.0))
+    } :+ ((40, Seq(101.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      :+ ((41, Seq(110.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))))
+      .toDF("cell", "centroid")
+    val pts = ((1 to 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => (math.cos(i * 8 + j) * 3.0).toFloat))
+    } :+ ((300L, Seq(105.5f, 0.5f, 0f, 0f, 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getSeq[Double](1), r.getDouble(2),
+        r.getAs[Int]("cell")))).toMap
+    val viaExpr = asMap(Similarity.ivfAssign(pts, "vec_id", centroids,
+      maxExprDoubles = Int.MaxValue))
+    val viaBroadcast = asMap(Similarity.ivfAssign(pts, "vec_id", centroids,
+      maxExprDoubles = 0))
+    assert(viaBroadcast === viaExpr)
+    // the tie row really tied and broke to the lower cell on BOTH paths
+    assert(viaExpr(300L)._3 === 40)
+  }
 }

@@ -153,6 +153,49 @@ class StreamingSpec extends SparkSpec {
     assert(v2c.filter(col("id") === 20L).count() === 0L)
   }
 
+  test("pair-graph maintenance replay: a batch whose artifact commit " +
+      "landed but whose checkpoint offset did not re-runs exactly-once") {
+    val corpus = java.nio.file.Files.createTempDirectory("pgr-c").toString + "/corpus"
+    val arts = java.nio.file.Files.createTempDirectory("pgr-a").toString + "/artifacts"
+    val tA = "alpha one two three four five six seven eight nine"
+    val batch = Seq((1L, tA), (2L, tA)).toDF("doc_id", "text")
+    val v1 = Streaming.pairGraphMaintenanceBatch(batch, corpus, arts,
+      "doc_id", 0.5, batchId = Some(0L))
+    val pairs1 = graft.core.ArtifactStore.read(spark, arts, "pairs").get
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val corpus1 = spark.read.parquet(corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+    // foreachBatch replays batch 0: the artifact commit must skip (the
+    // batchId rode the marker metadata) and the corpus append must add
+    // nothing (key anti-join) — both tables row-identical
+    val v2 = Streaming.pairGraphMaintenanceBatch(batch, corpus, arts,
+      "doc_id", 0.5, batchId = Some(0L))
+    assert(v2 === v1, "a covered batchId must not commit a new version")
+    assert(graft.core.ArtifactStore.read(spark, arts, "pairs").get
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString) === pairs1)
+    assert(spark.read.parquet(corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq === corpus1)
+
+    // the harder window: the artifact commit landed but the corpus
+    // append crashed before running — the replay completes the corpus
+    // without another artifact version
+    val batchB = Seq((11L, tA)).toDF("doc_id", "text")
+    val v3 = Streaming.pairGraphMaintenanceBatch(batchB, corpus, arts,
+      "doc_id", 0.5, batchId = Some(1L))
+    assert(v3 === v1 + 1)
+    // simulate: remove doc 11 from the corpus (its append "never landed");
+    // localCheckpoint materializes the filtered rows before the overwrite
+    spark.read.parquet(corpus).filter(col("doc_id") =!= 11L)
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(corpus)
+    val v4 = Streaming.pairGraphMaintenanceBatch(batchB, corpus, arts,
+      "doc_id", 0.5, batchId = Some(1L))
+    assert(v4 === v3, "the replay must not commit another artifact version")
+    assert(spark.read.parquet(corpus).filter(col("doc_id") === 11L).count() === 1L,
+      "the replay completes the corpus append the crash lost")
+  }
+
   test("streaming SCD2: changed keys close their version and open a new " +
       "one, history accumulates across micro-batches") {
     val in = java.nio.file.Files.createTempDirectory("scd-in").toString

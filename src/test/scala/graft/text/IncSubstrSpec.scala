@@ -87,6 +87,28 @@ class IncSubstrSpec extends SparkSpec {
     assert(kr.filter(col("pos") === 1).head.getAs[Long]("rank") === corpusA1)
   }
 
+  test("a ladder missing an intermediate level fails with the contract-" +
+      "stating require, not a bare NoSuchElementException") {
+    val (rounds, dict, _) = state(corpus)
+    val batch = Seq((10L, "a1 a2 a3 a4 a5")).toDF("doc_id", "text")
+    // the doubling loop needs levels 1,2,4,8 when no pairDicts are
+    // given — drop level 2 and every probe depth that dereferences it
+    // must name it up front
+    val holey = rounds.filterNot(_._1 == 2)
+    val e = intercept[IllegalArgumentException] {
+      ExactSubstr.batchRanksVsCorpus(batch, "doc_id", "text",
+        holey, dict, prefixLen = 8)
+    }
+    assert(e.getMessage.contains("standing ladder lacks level 2"))
+    // supplying the level-2 dictionary explicitly heals the hole for
+    // the step that needed it
+    val d2 = ExactSubstr.pairDictFromLadder(
+      rounds.toMap.apply(1), rounds.toMap.apply(2), 1, "doc_id")
+    val ok = ExactSubstr.batchRanksVsCorpus(batch, "doc_id", "text",
+      rounds, dict, prefixLen = 2, pairDicts = Map(2 -> d2))
+    assert(ok.last._1 === 2)
+  }
+
   test("randomized union-equivalence: incremental == rebuild restricted to batch") {
     // overlapping half-blocks, self-repeats, short docs, shared prefixes
     val c = Seq(
