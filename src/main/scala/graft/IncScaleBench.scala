@@ -59,6 +59,32 @@ object IncScaleBench {
         f"append=$dtInc%.1f s rebuild=$dtFull%.1f s speedup=${dtFull / dtInc}%.1fx")
       spark.catalog.clearCache()
     }
+
+    // IVF assignment at a PRODUCTION codebook size — 1024 cells × 128
+    // dims = 131k doubles, 8× past IvfAssignExprMaxDoubles, so this row
+    // exercises the broadcast-variable argmin fallback (the compiled-
+    // expression path would be a multi-MB SQL text past codegen limits).
+    // 50k vectors ≈ 6.5G fused multiply-adds of real assignment work.
+    {
+      import graft.similarity.Similarity
+      val dim = 128; val cells = 1024; val nVec = 50000
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), j -> sin(CAST(id * $dim + j AS DOUBLE)))")
+          .as("embedding")).cache()
+      vecs.count()
+      val cents = spark.range(cells).select(col("id").cast("int").as("cell"),
+        expr(s"transform(sequence(1, $dim), j -> cos(CAST(id * $dim + j AS DOUBLE)))")
+          .as("centroid")).localCheckpoint()
+      val t2 = System.nanoTime()
+      val assigned = Similarity.ivfAssign(vecs, "vec_id", cents)
+      val (nAssigned, nCells) = (assigned.count(),
+        assigned.select("cell").distinct().count())
+      val dtAssign = (System.nanoTime() - t2) / 1e9
+      println(f"ivf_assign vectors=$nVec codebook=${cells}x$dim " +
+        f"assigned=$nAssigned cells_used=$nCells broadcast_path=true " +
+        f"assign=$dtAssign%.1f s")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

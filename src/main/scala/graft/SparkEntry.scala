@@ -3942,6 +3942,28 @@ object SparkEntry {
           .map(r => r.getString(0) -> r.getLong(1)).toMap),
       Some(graft.text.UnigramLm.emOracleSql)),
 
+    // ---- TWO CHAINED EM rounds — the composition a real tokenizer-
+    //      training loop runs (trainUnigram's collect → broadcast →
+    //      re-lattice hand-off, round 1's renormalized model feeding
+    //      round 2's lattice). The oracle chains the same unrolled
+    //      HUGEINT recursive-CTE lattice twice, with round 1's M-step
+    //      (cover floor + survival filter included) AS MATERIALIZED
+    //      per the doubly-referenced-CTE lesson ----
+    ("q_unigram_em2",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val r1 = graft.text.UnigramLm.emRoundOnDocs(docs,
+          unigramModelFor(s, d).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        // round-to-round hand-off: MODEL-sized collect (≤ vocab +
+        // alphabet rows), the bounded-by-contract pattern trainUnigram
+        // documents
+        graft.text.UnigramLm.emRoundOnDocs(docs,
+          r1.select("piece", "p_micros").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      },
+      Some(graft.text.UnigramLm.em2OracleSql)),
+
     // ---- tokenizer fertility by language (XLM-R §3.1's fairness
     //      metric): chars-per-BPE-token and BPE-tokens-per-word per lang
     //      under the learned merges, exact integer-micros floor

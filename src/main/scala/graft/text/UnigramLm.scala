@@ -327,21 +327,10 @@ object UnigramLm {
     head + model + dp
   }
 
-  /** DuckDB oracle for ONE [[emRound]] under the candidate-init model
-    * (maxPieceLen = 4, maxVocab = 200 — the registry's fixed model): the
-    * init model replayed exactly as [[segOracleSql]] replays it, then
-    * the integer fixed-point forward lattice as a recursive CTE (alpha
-    * appended per position, each term `alpha·p // 10⁶` — HUGEINT, the
-    * same floor the engine takes in BigInt), the backward lattice as the
-    * SAME recursion on the reversed word with reversed-piece lookups
-    * (beta(i) = alphaRev(L−i), exact because integer sums are
-    * order-free), per-occurrence edge masses `alpha·p·beta // 10⁶`,
-    * round-half-up expected micros against 10⁹·z, word-frequency
-    * weighting, and the engine's M-step renormalization with the
-    * single-char cover floor. Words whose quantized z underflows to 0
-    * drop identically on both sides.
-    */
-  def emOracleSql: String =
+  /** Shared oracle head: tokenization, word table, candidate-init model
+    * in micros ([[segOracleSql]]'s replay), plus the model-independent
+    * (position, length) grid the edge-mass scan reuses every round. */
+  private def emHeadSql: String =
     """WITH RECURSIVE toks0 AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
       |),
@@ -371,52 +360,91 @@ object UnigramLm {
       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept),
       |pm AS (SELECT piece, CAST(greatest(1, cnt * 1000000 // t) AS HUGEINT) AS p FROM kept, tot),
       |mp AS (SELECT map(list(piece), list(p)) AS m FROM pm),
-      |af AS (
+      |g0 AS (SELECT word, unnest(range(0, len(word))) AS gi FROM wt),
+      |g AS (SELECT word, gi, unnest(range(1, least(4, len(word) - gi) + 1)) AS gl FROM g0)""".stripMargin
+
+  /** One EM round's lattice + E-step + count aggregation as a CTE block,
+    * parameterized by the model map CTE `mp` and a name suffix `s` —
+    * the integer fixed-point forward lattice as a recursive CTE (alpha
+    * appended per position, each term `alpha·p // 10⁶` — HUGEINT, the
+    * same floor the engine takes in BigInt), the backward lattice as
+    * the SAME recursion on the reversed word with reversed-piece
+    * lookups (beta(i) = alphaRev(L−i), exact because integer sums are
+    * order-free), per-occurrence edge masses `alpha·p·beta // 10⁶`,
+    * round-half-up expected micros against 10⁹·z, and word-frequency
+    * weighting into `ecx<s>`/`tot2<s>`. Words whose quantized z
+    * underflows to 0 drop identically on both sides. */
+  private def emRoundSql(mp: String, s: String): String =
+    s"""af$s AS (
       |  SELECT word, 0 AS i, [CAST(1000000000000000 AS HUGEINT)] AS st FROM wt
       |  UNION ALL
       |  SELECT word, i + 1,
       |    list_append(st, coalesce(list_sum(list_filter(list_transform(range(1, least(4, i + 1) + 1),
-      |        l -> st[i + 2 - l] * map_extract(mp.m, word[i + 2 - l : i + 1])[1] // 1000000),
+      |        l -> st[i + 2 - l] * map_extract($mp.m, word[i + 2 - l : i + 1])[1] // 1000000),
       |      x -> x IS NOT NULL)), CAST(0 AS HUGEINT)))
-      |  FROM af, mp WHERE i < len(word)
+      |  FROM af$s, $mp WHERE i < len(word)
       |),
-      |ab AS (
+      |ab$s AS (
       |  SELECT word, reverse(word) AS rw, 0 AS i, [CAST(1000000000000000 AS HUGEINT)] AS st FROM wt
       |  UNION ALL
       |  SELECT word, rw, i + 1,
       |    list_append(st, coalesce(list_sum(list_filter(list_transform(range(1, least(4, i + 1) + 1),
-      |        l -> st[i + 2 - l] * map_extract(mp.m, reverse(rw[i + 2 - l : i + 1]))[1] // 1000000),
+      |        l -> st[i + 2 - l] * map_extract($mp.m, reverse(rw[i + 2 - l : i + 1]))[1] // 1000000),
       |      x -> x IS NOT NULL)), CAST(0 AS HUGEINT)))
-      |  FROM ab, mp WHERE i < len(rw)
+      |  FROM ab$s, $mp WHERE i < len(rw)
       |),
-      |ff AS (SELECT word, st FROM af WHERE i = len(word)),
-      |bb AS (SELECT word, st FROM ab WHERE i = len(word)),
-      |zt AS (SELECT word, st[len(word) + 1] AS z FROM ff),
-      |g0 AS (SELECT word, unnest(range(0, len(word))) AS gi FROM wt),
-      |g AS (SELECT word, gi, unnest(range(1, least(4, len(word) - gi) + 1)) AS gl FROM g0),
-      |terms AS (
+      |ff$s AS (SELECT word, st FROM af$s WHERE i = len(word)),
+      |bb$s AS (SELECT word, st FROM ab$s WHERE i = len(word)),
+      |zt$s AS (SELECT word, st[len(word) + 1] AS z FROM ff$s),
+      |terms$s AS (
       |  SELECT g.word, g.word[g.gi + 1 : g.gi + g.gl] AS piece,
-      |    ff.st[g.gi + 1] * map_extract(mp.m, g.word[g.gi + 1 : g.gi + g.gl])[1]
-      |      * bb.st[len(g.word) - g.gi - g.gl + 1] // 1000000 AS tm
-      |  FROM g JOIN ff USING (word) JOIN bb USING (word), mp
+      |    ff$s.st[g.gi + 1] * map_extract($mp.m, g.word[g.gi + 1 : g.gi + g.gl])[1]
+      |      * bb$s.st[len(g.word) - g.gi - g.gl + 1] // 1000000 AS tm
+      |  FROM g JOIN ff$s USING (word) JOIN bb$s USING (word), $mp
       |),
-      |tf AS (SELECT word, piece, tm FROM terms WHERE tm IS NOT NULL AND tm > 0),
-      |ew AS (
-      |  SELECT tf.word, tf.piece,
-      |    (2 * sum(tf.tm) + 1000000000 * zt.z) // (2 * 1000000000 * zt.z) AS e
-      |  FROM tf JOIN zt USING (word)
-      |  WHERE zt.z > 0
-      |  GROUP BY tf.word, tf.piece, zt.z
+      |tf$s AS (SELECT word, piece, tm FROM terms$s WHERE tm IS NOT NULL AND tm > 0),
+      |ew$s AS (
+      |  SELECT tf$s.word, tf$s.piece,
+      |    (2 * sum(tf$s.tm) + 1000000000 * zt$s.z) // (2 * 1000000000 * zt$s.z) AS e
+      |  FROM tf$s JOIN zt$s USING (word)
+      |  WHERE zt$s.z > 0
+      |  GROUP BY tf$s.word, tf$s.piece, zt$s.z
       |),
-      |ecx AS (SELECT ew.piece, CAST(sum(ew.e * wt.wc) AS BIGINT) AS ec_micros
-      |  FROM ew JOIN wt USING (word) GROUP BY 1),
-      |tot2 AS (SELECT CAST(sum(ec_micros) AS HUGEINT) AS t2 FROM ecx)
-      |SELECT ecx.piece, ec_micros,
-      |  CAST(CASE WHEN len(ecx.piece) = 1
+      |ecx$s AS (SELECT ew$s.piece, CAST(sum(ew$s.e * wt.wc) AS BIGINT) AS ec_micros
+      |  FROM ew$s JOIN wt USING (word) GROUP BY 1),
+      |tot2$s AS (SELECT CAST(sum(ec_micros) AS HUGEINT) AS t2 FROM ecx$s)""".stripMargin
+
+  /** The engine M-step as a SELECT over `ecx<s>`/`tot2<s>`: integer
+    * renormalization to micros with the single-char cover floor and the
+    * ≥ 1 survival filter. */
+  private def emRenormSql(s: String): String =
+    s"""SELECT ecx$s.piece, ec_micros,
+      |  CAST(CASE WHEN len(ecx$s.piece) = 1
       |    THEN greatest(1, CAST(ec_micros AS HUGEINT) * 1000000 // t2)
       |    ELSE CAST(ec_micros AS HUGEINT) * 1000000 // t2 END AS BIGINT) AS p_micros
-      |FROM ecx, tot2
-      |WHERE CASE WHEN len(ecx.piece) = 1
+      |FROM ecx$s, tot2$s
+      |WHERE CASE WHEN len(ecx$s.piece) = 1
       |    THEN greatest(1, CAST(ec_micros AS HUGEINT) * 1000000 // t2)
       |    ELSE CAST(ec_micros AS HUGEINT) * 1000000 // t2 END >= 1""".stripMargin
+
+  /** DuckDB oracle for ONE [[emRound]] under the candidate-init model
+    * (maxPieceLen = 4, maxVocab = 200 — the registry's fixed model):
+    * [[emHeadSql]] + one [[emRoundSql]] lattice + the [[emRenormSql]]
+    * M-step. */
+  def emOracleSql: String =
+    emHeadSql + ",\n" + emRoundSql("mp", "") + "\n" + emRenormSql("")
+
+  /** DuckDB oracle for TWO CHAINED [[emRound]]s — the composition a real
+    * tokenizer-training loop runs: round 1's renormalized model (the
+    * full M-step, cover floor and survival filter included) becomes
+    * round 2's lattice model, so a green row proves the engine's
+    * round-to-round hand-off (collect → broadcast → re-lattice) exactly,
+    * not just one isolated E/M pass. Same fixed-point bounds each round
+    * (p ≤ ~10⁶ micros, terms ≤ 10²⁴ ≪ HUGEINT). */
+  def em2OracleSql: String =
+    emHeadSql + ",\n" + emRoundSql("mp", "") + ",\n" +
+      "r1 AS MATERIALIZED (" + emRenormSql("") + "),\n" +
+      """pm2 AS (SELECT piece, CAST(p_micros AS HUGEINT) AS p FROM r1),
+        |mp2 AS (SELECT map(list(piece), list(p)) AS m FROM pm2),""".stripMargin +
+      "\n" + emRoundSql("mp2", "2") + "\n" + emRenormSql("2")
 }
