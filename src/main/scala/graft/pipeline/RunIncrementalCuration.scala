@@ -26,9 +26,9 @@ import graft.text.CorpusCuration
   *     pair-graph artifacts ([[PairGraph.appendBatchCommitted]] —
   *     touched-component re-cluster, marker-last versioned commit,
   *     batch watermark recorded in the commit metadata), and the
-  *     survivors' audio/video fingerprints into the per-grain standing
-  *     hash stores ([[ImageDedup.appendHashesCommitted]] — incremental
-  *     batch-vs-corpus media dedup, same commit contract);
+  *     survivors' image/audio/video fingerprints into the per-grain
+  *     standing hash stores ([[ImageDedup.appendHashesCommitted]] —
+  *     incremental batch-vs-corpus media dedup, same commit contract);
   *  4. append the survivors to the curated corpus;
   *  5. ONLY THEN advance the watermark — and prune artifact versions
   *     older than the newest `keepLast` (a nightly loop otherwise
@@ -75,8 +75,8 @@ object RunIncrementalCuration {
 
   /** One nightly run. `keepLast` is the artifact retention window
     * (versions beyond it are pruned after the watermark advances);
-    * `mediaDedup` grows the loop by the audio/video fingerprint stages
-    * (off in text-only deployments); `crashAfterStep` is a TEST-ONLY
+    * `mediaDedup` grows the loop by the image/audio/video fingerprint
+    * stages (off in text-only deployments); `crashAfterStep` is a TEST-ONLY
     * fault injector (3 = after artifact commits, 4 = after corpus
     * append) proving the replay guarantees above.
     */
@@ -113,8 +113,15 @@ object RunIncrementalCuration {
     if (mediaDedup) {
       // the per-grain standing fingerprint stores: batch clips hash once,
       // band-join the standing 8-byte/clip table, hashes append — the
-      // q_incaudiodedup / q_incvideodedup shape inside the nightly loop
+      // q_incimgdedup / q_incaudiodedup / q_incvideodedup shape inside
+      // the nightly loop, so all four grains (text pair graph + three
+      // media stores) maintain incrementally in one invocation
       val batchIds = kept.select("doc_id")
+      ImageDedup.appendHashesCommitted(spark, s"$outRoot/artifacts_image",
+        Multimodal.dHashes(
+          Multimodal.syntheticBaseImages(batchIds, "doc_id"), "img_id")
+          .withColumnRenamed("img_id", "doc_id"),
+        "doc_id", batchMark = Some(hi))
       ImageDedup.appendHashesCommitted(spark, s"$outRoot/artifacts_audio",
         Multimodal.audioEnergyHashes(
           Multimodal.syntheticBaseWavs(batchIds, "doc_id"), "aud_id")
@@ -133,10 +140,9 @@ object RunIncrementalCuration {
     // the mark advances LAST — commit-after-write, the reference contract
     store.put("documents", "doc_id", hi.toString)
     ArtifactStore.prune(spark, artifactsRoot, keepLast)
-    if (mediaDedup) {
-      ArtifactStore.prune(spark, s"$outRoot/artifacts_audio", keepLast)
-      ArtifactStore.prune(spark, s"$outRoot/artifacts_video", keepLast)
-    }
+    if (mediaDedup)
+      for (grain <- Seq("image", "audio", "video"))
+        ArtifactStore.prune(spark, s"$outRoot/artifacts_$grain", keepLast)
     IncRunResult(version, Some(hi), batchDocs, keptDocs)
   }
 

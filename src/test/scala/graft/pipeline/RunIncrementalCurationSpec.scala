@@ -173,7 +173,7 @@ class RunIncrementalCurationSpec extends SparkSpec {
     RunIncrementalCuration.run(spark, docsDir, out, cfg, mediaDedup = true)
     writeDocsTo(docsDir, night2)
     RunIncrementalCuration.run(spark, docsDir, out, cfg, mediaDedup = true)
-    for (grain <- Seq("audio", "video")) {
+    for (grain <- Seq("image", "audio", "video")) {
       val root = s"$out/artifacts_$grain"
       val hashes = graft.core.ArtifactStore.read(spark, root, "hashes").get
       // every curated doc's clip is fingerprinted exactly once
