@@ -199,19 +199,21 @@ object SparkEntry {
 
   /** Session-materialized INCREMENTAL-index standing state for the
     * q_incdedup crawl split (corpus = doc_id % 10 != 0): the corpus-side
-    * ordered ladder levels 1..8 plus the dictionaries that make a ladder
+    * ordered ladder levels 1..64 plus the dictionaries that make a ladder
     * an incremental index ([[graft.text.ExactSubstr]] section note) —
     * token dict, per-doubling pair dicts, and the L=13 window-occurrence
-    * counts. All deterministic; in production these persist across
-    * crawls and refresh with the corpus.
+    * counts. Two queries consume the state (q_incsubstr probes levels
+    * ≤ 8 for the L=13 coverage, q_incmaxdup all levels ≤ 64 for the
+    * duplicated-span bracket). All deterministic; in production these
+    * persist across crawls and refresh with the corpus.
     */
   private def incSubstrState(spark: SparkSession, dir: String)
       : (Seq[(Int, DataFrame)], DataFrame, DataFrame, Map[Int, DataFrame]) = {
     import graft.text.ExactSubstr
     val corpus = Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
-    val hs = Seq(1, 2, 4, 8)
+    val hs = Seq(1, 2, 4, 8, 16, 32, 64)
     val all = graft.core.Materialize.once(spark, s"incsub_ladder|$dir") {
-      ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 8)
+      ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 64)
         .map { case (h, df) => df.withColumn("h", lit(h)) }
         .reduce(_ unionByName _)
     }
@@ -220,7 +222,7 @@ object SparkEntry {
     val tokDict = graft.core.Materialize.once(spark, s"incsub_tok|$dir") {
       ExactSubstr.corpusTokenDict(corpus, "doc_id")
     }
-    val pairDicts = Seq(2, 4, 8).map { l =>
+    val pairDicts = Seq(2, 4, 8, 16, 32, 64).map { l =>
       l -> graft.core.Materialize.once(spark, s"incsub_pd$l|$dir") {
         ExactSubstr.pairDictFromLadder(byLevel(l / 2), byLevel(l), l / 2, "doc_id")
       }
@@ -4057,6 +4059,25 @@ object SparkEntry {
           corpusWinCounts = winCounts, pairDicts = pairDicts)
       },
       Some(graft.text.ExactSubstr.incOracleSql13)),
+
+    // ---- incremental longest-duplicated-span BRACKET (batch vs the
+    //      standing ladder): maxPow2DupLen over corpus ∪ batch
+    //      restricted to the batch, from the SAME dictionary-probe
+    //      extension as q_incsubstr — corpus occurrence is the
+    //      rank-adoption test (novel ranks sit strictly above the
+    //      corpus max), batch-internal duplication a batch-sized class
+    //      count per level. The order-needing EXACT span keeps the
+    //      priced periodic-rebuild cadence (IncScaleBench ladder rows);
+    //      this closes the bracket statistic incrementally ----
+    ("q_incmaxdup",
+      (s, d) => {
+        val (rounds, tokDict, _, pairDicts) = incSubstrState(s, d)
+        graft.text.ExactSubstr.batchMaxPow2VsCorpus(
+          Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", corpusRounds = rounds, tokenDict = tokDict,
+          maxLen = 64, pairDicts = pairDicts)
+      },
+      Some(graft.text.ExactSubstr.incMaxPow2OracleSql(64))),
 
     // ---- ExactSubstr span REMOVAL (the Lee et al. §4.2 transform the
     //      coverage statistic only measures): every token covered by a

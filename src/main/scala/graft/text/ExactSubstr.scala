@@ -771,6 +771,65 @@ object ExactSubstr {
     coverageFromStarts(batch, keyCol, textCol, L, starts)
   }
 
+  /** Incremental longest-duplicated-span BRACKET for a batch vs a
+    * standing corpus ladder: EXACTLY [[maxPow2DupLen]] over
+    * corpus ∪ batch RESTRICTED to the batch docs, computed without
+    * re-ranking a corpus position. A full batch h-window is duplicated
+    * in the union iff its content occurs in the corpus — by the
+    * extension's equality consistency, iff its extended level-h rank
+    * was ADOPTED from the corpus dictionaries (novel ranks sit strictly
+    * above the corpus maximum, so `rank ≤ corpus max` IS the occurrence
+    * test; the sentinel-chain argument in the section note makes
+    * adoption by a full window imply a full corpus twin) — or at ≥ 2
+    * batch positions (same-doc repeats included, as in the full path).
+    * Work: the log₂(maxLen) dictionary-probe extension plus one
+    * batch-sized class count per level. The ORDER-needing exact span
+    * (maxDupSpanExact) keeps the priced periodic-rebuild cadence
+    * (IncScaleBench ladder rows); this is the bracket statistic
+    * q_maxdup registers, made incremental.
+    */
+  def batchMaxPow2VsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String = "text", corpusRounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame, maxLen: Int = 64,
+      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame = {
+    val levels = corpusRounds.filter(_._1 <= maxLen)
+    require(levels.nonEmpty && levels.last._1 == Integer.highestOneBit(maxLen),
+      s"standing ladder lacks the level-$maxLen rungs")
+    val byLevel = levels.toMap
+    val br = batchRanksVsCorpus(batch, keyCol, textCol, levels, tokenDict,
+      levels.last._1, pairDicts)
+    val flags = br.map { case (h, r) =>
+      val full = r.filter(col("pos") + (h - 1) <= col("len"))
+      // 1-row corpus-max broadcast (the A8 scalar pattern — no collect);
+      // levels are standing artifacts, so in production this scalar is
+      // index metadata, not a scan
+      val corpusMax = byLevel(h).agg(max("rank").as("_cm"))
+      val dupBatch = full.groupBy("rank").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("rank")
+      full.join(dupBatch, Seq("rank"), "left_semi").select(col(keyCol))
+        .unionByName(full.crossJoin(broadcast(corpusMax))
+          .filter(col("rank") <= col("_cm")).select(col(keyCol)))
+        .distinct()
+        .withColumn("h", lit(h.toLong))
+    }.reduce(_ unionByName _)
+    TextAnalysis.withTokens(batch, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(flags.groupBy(keyCol).agg(max("h").as("max_dup_pow2")),
+        Seq(keyCol), "left")
+      .na.fill(0L, Seq("max_dup_pow2"))
+  }
+
+  /** DuckDB oracle for [[batchMaxPow2VsCorpus]] under the registry's
+    * crawl split: the FULL-union [[maxPow2OracleSql]] restricted to the
+    * batch docs (doc_id % 10 = 0) — a green row proves the incremental
+    * bracket ≡ the full rebuild on the union, restricted to the batch.
+    */
+  def incMaxPow2OracleSql(maxLen: Int = 64): String =
+    maxPow2OracleSql(maxLen).replace(
+      "WHERE len(toks) > 0",
+      "WHERE len(toks) > 0 AND d.doc_id % 10 = 0")
+
   /** DuckDB oracle for [[batchSpanCoverageVsCorpus]] under the registry's
     * crawl split: the FULL-corpus [[oracleSql13]] chain restricted to the
     * batch docs (doc_id % 10 = 0) — a green row proves the incremental

@@ -109,6 +109,43 @@ class IncSubstrSpec extends SparkSpec {
     assert(ok.last._1 === 2)
   }
 
+  test("incremental max-pow2 bracket == full maxPow2DupLen over the " +
+      "union restricted to batch (corpus-adoption + batch-internal paths)") {
+    def bracket(c: DataFrame, batch: DataFrame) = {
+      val rounds = ExactSubstr.orderedSuffixRounds(c, "doc_id", prefixLen = 16)
+      val dict = ExactSubstr.corpusTokenDict(c, "doc_id")
+      ExactSubstr.batchMaxPow2VsCorpus(batch, "doc_id",
+        corpusRounds = rounds, tokenDict = dict, maxLen = 16)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("max_dup_pow2"))).toMap
+    }
+    def full(c: DataFrame, batch: DataFrame) =
+      ExactSubstr.maxPow2DupLen(c.unionByName(batch), "doc_id", maxLen = 16)
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("max_dup_pow2"))).toMap
+    val batch = Seq(
+      (10L, s"$a13 n1 n2 n3"),                          // a-block from corpus: h*=8
+      (11L, (1 to 15).map(i => s"nv$i").mkString(" ")), // novel: 0
+      (12L, "w1 w2 $ w1 w2"),                           // "w1 w2" in corpus AND self-repeat
+      (13L, s"q1 q2 q3 q4 q5 xx q1 q2 q3 q4 q5")        // batch-internal 5-run: bracket 4
+    ).toDF("doc_id", "text")
+    val got = bracket(corpus, batch)
+    assert(got === full(corpus, batch))
+    assert(got(10L)._2 === 8L, "13-token corpus match brackets at 8")
+    assert(got(11L)._2 === 0L, "novel content has no duplicated window")
+    assert(got(13L)._2 === 4L, "batch-internal 5-token repeat brackets at 4")
+    // a batch doc pairing with ANOTHER batch doc (cross-doc, no corpus)
+    val batch2 = Seq(
+      (20L, "z1 z2 z3 z4 z5 z6 pad1"),
+      (21L, "lead z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text")
+    val got2 = bracket(corpus, batch2)
+    assert(got2 === full(corpus, batch2))
+    assert(got2(20L)._2 === 4L && got2(21L)._2 === 4L,
+      "cross-batch-doc 6-token repeat brackets at 4")
+  }
+
   test("randomized union-equivalence: incremental == rebuild restricted to batch") {
     // overlapping half-blocks, self-repeats, short docs, shared prefixes
     val c = Seq(
