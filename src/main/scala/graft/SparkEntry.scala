@@ -4060,6 +4060,22 @@ object SparkEntry {
       },
       Some(graft.text.ExactSubstr.incOracleSql13)),
 
+    // ---- incremental ExactSubstr REMOVAL (the Lee et al. §4.2 cut on
+    //      a nightly batch — the transform a crawl pipeline actually
+    //      applies to new docs before they enter the corpus): same
+    //      incremental duplicated-start core as q_incsubstr, same
+    //      cut/reassemble tail as q_dupremove; oracle = full-union
+    //      removal restricted to the crawl split ----
+    ("q_incremoval",
+      (s, d) => {
+        val (rounds, tokDict, winCounts, pairDicts) = incSubstrState(s, d)
+        graft.text.ExactSubstr.batchSpanRemovalVsCorpus(
+          Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", L = 13, corpusRounds = rounds, tokenDict = tokDict,
+          corpusWinCounts = winCounts, pairDicts = pairDicts)
+      },
+      Some(graft.text.ExactSubstr.incRemovalOracleSql13)),
+
     // ---- incremental longest-duplicated-span BRACKET (batch vs the
     //      standing ladder): maxPow2DupLen over corpus ∪ batch
     //      restricted to the batch, from the SAME dictionary-probe

@@ -491,8 +491,16 @@ object ExactSubstr {
     */
   def removeDuplicatedSpans(docs: DataFrame, keyCol: String,
       textCol: String = "text", L: Int = 13,
-      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame = {
-    val covered = dupWindowStarts(docs, keyCol, textCol, L, rounds)
+      rounds: Option[Seq[(Int, DataFrame)]] = None): DataFrame =
+    removalFromStarts(docs, keyCol, textCol, L,
+      dupWindowStarts(docs, keyCol, textCol, L, rounds))
+
+  /** The shared removal tail over a (keyCol, pos) duplicated-start frame
+    * — from [[dupWindowStarts]] (whole-corpus path) or the incremental
+    * batch-vs-corpus path ([[batchSpanRemovalVsCorpus]]). */
+  private def removalFromStarts(docs: DataFrame, keyCol: String,
+      textCol: String, L: Int, starts: DataFrame): DataFrame = {
+    val covered = starts
       .select(col(keyCol),
         explode(expr(s"sequence(pos, pos + ${L - 1})")).as("pos"))
       .distinct()
@@ -590,6 +598,17 @@ object ExactSubstr {
       |  nn.n_tokens - coalesce(ag.kept_tokens, 0) AS removed_tokens,
       |  coalesce(ag.clean_text, '') AS clean_text
       |FROM nn LEFT JOIN ag USING (doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[batchSpanRemovalVsCorpus]] under the registry's
+    * crawl split: the FULL-union [[removalOracleSql13]] restricted to
+    * the batch docs (doc_id % 10 = 0) — duplication judged over the
+    * whole union, output rows only for the batch.
+    */
+  def incRemovalOracleSql13: String = removalOracleSql13.replace(
+    "nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens\n" +
+      "  FROM d WHERE len(toks) > 0)",
+    "nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens\n" +
+      "  FROM d WHERE len(toks) > 0 AND doc_id % 10 = 0)")
 
   // ===== Incremental batch-vs-corpus (standing-ladder extension) =====
   //
@@ -757,7 +776,40 @@ object ExactSubstr {
       textCol: String = "text", L: Int = 13,
       corpusRounds: Seq[(Int, DataFrame)], tokenDict: DataFrame,
       corpusWinCounts: DataFrame,
-      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame = {
+      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame =
+    coverageFromStarts(batch, keyCol, textCol, L,
+      batchDupStartsVsCorpus(batch, keyCol, textCol, L, corpusRounds,
+        tokenDict, corpusWinCounts, pairDicts))
+
+  /** Incremental ExactSubstr REMOVAL (the Lee et al. §4.2 transform on a
+    * nightly batch): EXACTLY [[removeDuplicatedSpans]] over
+    * corpus ∪ batch RESTRICTED to the batch docs — the cleaning a crawl
+    * pipeline actually applies to new documents before they enter the
+    * corpus — from the same incremental duplicated-start core as
+    * [[batchSpanCoverageVsCorpus]] (no corpus position re-ranked) and
+    * the same cut/reassemble tail as the full path.
+    */
+  def batchSpanRemovalVsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String = "text", L: Int = 13,
+      corpusRounds: Seq[(Int, DataFrame)], tokenDict: DataFrame,
+      corpusWinCounts: DataFrame,
+      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame =
+    removalFromStarts(batch, keyCol, textCol, L,
+      batchDupStartsVsCorpus(batch, keyCol, textCol, L, corpusRounds,
+        tokenDict, corpusWinCounts, pairDicts))
+
+  /** The shared incremental duplicated-start core: batch L-window starts
+    * whose content occurs in the standing corpus (ccnt ≥ 1 — the batch
+    * copy makes it ≥ 2 in the union) or at ≥ 2 batch positions. Batch
+    * windows acquire corpus-consistent identities via
+    * [[batchRanksVsCorpus]]; novel-rank windows can never probe a corpus
+    * row (their ranks exceed the corpus maximum) — novel content has no
+    * corpus twin.
+    */
+  private def batchDupStartsVsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String, L: Int, corpusRounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame, corpusWinCounts: DataFrame,
+      pairDicts: Map[Int, DataFrame]): DataFrame = {
     val h = Integer.highestOneBit(L)
     val br = batchRanksVsCorpus(batch, keyCol, textCol, corpusRounds,
       tokenDict, h, pairDicts).last._2
@@ -766,9 +818,8 @@ object ExactSubstr {
       .join(corpusWinCounts, Seq("ia", "ib"), "left")
       .filter(col("bcnt") >= 2 || coalesce(col("ccnt"), lit(0L)) >= 1)
       .select("ia", "ib")
-    val starts = bw.join(dupKeys, Seq("ia", "ib"), "left_semi")
+    bw.join(dupKeys, Seq("ia", "ib"), "left_semi")
       .select(col(keyCol), col("pos"))
-    coverageFromStarts(batch, keyCol, textCol, L, starts)
   }
 
   /** Incremental longest-duplicated-span BRACKET for a batch vs a

@@ -146,6 +146,33 @@ class IncSubstrSpec extends SparkSpec {
       "cross-batch-doc 6-token repeat brackets at 4")
   }
 
+  test("incremental removal == full removeDuplicatedSpans over the " +
+      "union restricted to batch (cut text verbatim)") {
+    def incRemoval(c: DataFrame, batch: DataFrame) = {
+      val (rounds, dict, wins) = state(c)
+      ExactSubstr.batchSpanRemovalVsCorpus(batch, "doc_id", L = 13,
+        corpusRounds = rounds, tokenDict = dict, corpusWinCounts = wins)
+    }
+    def fullRemoval(c: DataFrame, batch: DataFrame) =
+      ExactSubstr.removeDuplicatedSpans(c.unionByName(batch), "doc_id", L = 13)
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+    val n13 = (1 to 13).map(i => s"q$i").mkString(" ")
+    val batch = Seq(
+      (10L, s"$a13 keepme1 keepme2"),   // corpus-matched block cut, tail kept
+      (11L, (1 to 15).map(i => s"nv$i").mkString(" ")), // novel: untouched
+      (12L, s"$n13 t1 t2"),             // batch-internal pair with 20
+      (20L, s"u1 $n13")
+    ).toDF("doc_id", "text")
+    def m(df: DataFrame) = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("removed_tokens"), r.getAs[String]("clean_text"))).toMap
+    val got = m(incRemoval(corpus, batch))
+    assert(got === m(fullRemoval(corpus, batch)))
+    assert(got(10L) === (15L, 2L, 13L, "keepme1 keepme2"))
+    assert(got(11L)._3 === 0L, "novel content loses nothing")
+    assert(got(20L) === (14L, 1L, 13L, "u1"))
+  }
+
   test("randomized union-equivalence: incremental == rebuild restricted to batch") {
     // overlapping half-blocks, self-repeats, short docs, shared prefixes
     val c = Seq(
