@@ -233,6 +233,55 @@ object SparkEntry {
     (rounds, tokDict, winCounts, pairDicts)
   }
 
+  /** Session-materialized TWO-STEP standing suffix index for the
+    * q_incladder gate: the base index is built one-shot over the OLD
+    * corpus (doc_id % 10 ∉ {0, 5}), then EXTENDED with the night-1
+    * crawl (doc_id % 10 = 5) via [[graft.text.ExactSubstr.extendLadder]]
+    * — ladder levels, token dict, pair dicts and L=13 window counts all
+    * grown incrementally (no corpus position re-ranked). The night-2
+    * batch (doc_id % 10 = 0) then probes the GROWN index; a green
+    * q_incladder row proves extension-of-extension ≡ a one-shot index
+    * over the whole union (the suffix-index family is maintainable,
+    * not just probeable).
+    */
+  private def incLadder2State(spark: SparkSession, dir: String)
+      : (Seq[(Int, DataFrame)], DataFrame, DataFrame, Map[Int, DataFrame]) = {
+    import graft.text.ExactSubstr
+    val docs = Tables(spark, dir).documents
+    val corpus0 = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(col("doc_id") % 10 =!= 5)
+    val night1 = docs.filter(col("doc_id") % 10 === 5)
+    val hs = Seq(1, 2, 4, 8)
+    lazy val built = {
+      val rounds0 = ExactSubstr.orderedSuffixRounds(corpus0, "doc_id",
+        prefixLen = 8)
+      val dict0 = ExactSubstr.corpusTokenDict(corpus0, "doc_id")
+      val ext = ExactSubstr.extendLadder(night1, "doc_id", "text",
+        rounds0, dict0, prefixLen = 8)
+      val win0 = ExactSubstr.corpusWindowCounts(rounds0.last._2, "doc_id",
+        L = 13)
+      (ext, ExactSubstr.appendWindowCounts(win0, ext.batchRounds.last._2,
+        "doc_id", L = 13))
+    }
+    val all = graft.core.Materialize.once(spark, s"incladder2|$dir") {
+      built._1.rounds.map { case (h, df) => df.withColumn("h", lit(h)) }
+        .reduce(_ unionByName _)
+    }
+    val rounds = hs.map(h => (h, all.filter(col("h") === h).drop("h")))
+    val dict = graft.core.Materialize.once(spark, s"incladder2_tok|$dir") {
+      built._1.tokenDict
+    }
+    val pds = Seq(2, 4, 8).map { l =>
+      l -> graft.core.Materialize.once(spark, s"incladder2_pd$l|$dir") {
+        built._1.pairDicts(l)
+      }
+    }.toMap
+    val win = graft.core.Materialize.once(spark, s"incladder2_win|$dir") {
+      built._2
+    }
+    (rounds, dict, win, pds)
+  }
+
   /** Session-materialized adjacent-suffix LCP pair table over
     * `documents` in `dir` — the descent over the shared ladder is paid
     * once; q_maxdup_exact and q_lcpstats read the artifact (the
@@ -4057,6 +4106,24 @@ object SparkEntry {
           Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
           "doc_id", L = 13, corpusRounds = rounds, tokenDict = tokDict,
           corpusWinCounts = winCounts, pairDicts = pairDicts)
+      },
+      Some(graft.text.ExactSubstr.incOracleSql13)),
+
+    // ---- suffix-index MAINTENANCE (extend, don't just probe): the
+    //      standing ladder grows by night-1's batch (extendLadder —
+    //      levels/dicts/window-counts all appended incrementally),
+    //      and night-2 probes the GROWN index. Same output contract as
+    //      q_incsubstr — deliberately: the green row proves the
+    //      two-step-grown index answers EXACTLY like the one-shot
+    //      index over corpus ∪ night1 (extension composes), which is
+    //      the property a nightly-maintained suffix artifact lives on ----
+    ("q_incladder",
+      (s, d) => {
+        val (rounds, dict, win, pds) = incLadder2State(s, d)
+        graft.text.ExactSubstr.batchSpanCoverageVsCorpus(
+          Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", L = 13, corpusRounds = rounds, tokenDict = dict,
+          corpusWinCounts = win, pairDicts = pds)
       },
       Some(graft.text.ExactSubstr.incOracleSql13)),
 

@@ -661,22 +661,46 @@ object ExactSubstr {
     if (v == null) -1L else v.asInstanceOf[Long]
   }
 
-  /** Batch suffix ranks equality-consistent with a standing corpus
-    * ladder (see section note): per level 1, 2, …, `prefixLen`, the
-    * batch's (keyCol, pos, len, pk, rank) frame. `pairDicts` optionally
-    * injects materialized doubling dictionaries keyed by target level;
-    * absent entries are derived live via [[pairDictFromLadder]].
-    *
-    * Work: batch positions × log₂(prefixLen) keyed dictionary probes.
-    * No corpus position is re-ranked or re-sorted.
+  /** The result of extending a standing ladder index with one batch
+    * ([[extendLadder]]): `batchRounds` are the batch's per-level rank
+    * frames (the probe surface — what [[batchRanksVsCorpus]] returns);
+    * `rounds`/`tokenDict`/`pairDicts` are the GROWN standing index over
+    * corpus ∪ batch — the same shapes that came in, so tomorrow's batch
+    * extends today's extension (the nightly-maintenance loop for the
+    * suffix-index family, mirroring [[graft.dedup.PairGraph.appendBatch]]
+    * for the pair graph).
     */
-  def batchRanksVsCorpus(batch: DataFrame, keyCol: String,
+  final case class LadderExtension(
+      rounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame,
+      pairDicts: Map[Int, DataFrame],
+      batchRounds: Seq[(Int, DataFrame)])
+
+  /** Extend a standing ladder index with a batch — equality-consistent
+    * maintenance of the suffix-index ARTIFACTS, not just a probe: batch
+    * positions acquire extended ranks by dictionary probes (novel
+    * content above the standing maximum, see section note), and the
+    * standing levels, token dict, and pair dicts each grow by exactly
+    * the batch's contribution (levels union the batch frames; dicts
+    * union the novel entries). Extension composes: extending the
+    * extension with a second batch is equality-consistent with a
+    * one-shot index over the whole union — every pair occurring in
+    * corpus ∪ batch is either a standing entry or a novel entry added
+    * here, and novel ids stay strictly above the grown maximum, so
+    * probes through the grown index are exact (q_incladder's gate).
+    *
+    * Work: batch positions × log₂(prefixLen) keyed dictionary probes +
+    * batch-sized unions. No corpus position is re-ranked or re-sorted;
+    * order-needing statistics keep the priced rebuild cadence.
+    */
+  def extendLadder(batch: DataFrame, keyCol: String,
       textCol: String, corpusRounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, prefixLen: Int,
-      pairDicts: Map[Int, DataFrame] = Map.empty): Seq[(Int, DataFrame)] = {
+      pairDicts: Map[Int, DataFrame] = Map.empty): LadderExtension = {
     require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two: $prefixLen")
-    val byLevel = corpusRounds.toMap
+    val levels = corpusRounds.filter(_._1 <= prefixLen)
+    val byLevel = levels.toMap
     require(byLevel.contains(prefixLen) || prefixLen == 1,
       s"standing ladder lacks level $prefixLen")
     // every doubling step without a materialized pairDict dereferences
@@ -705,10 +729,12 @@ object ExactSubstr {
         .join(tokenDict.select("tok"), Seq("tok"), "left_anti"),
       Seq("tok"), "_ni")
       .select(col("tok"), (col("_ni") + maxTok + 1).as("rank"))
+      .localCheckpoint() // consumed by the rank join and the dict growth
     var r = p0.join(tokenDict.unionByName(novelToks), Seq("tok"))
       .select(col(keyCol), col("pos"), col("len"), col("pk"), col("rank"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
+    val grownDicts = scala.collection.mutable.Map.empty[Int, DataFrame]
     var k = 1
     while (k < prefixLen) {
       val dict = pairDicts.getOrElse(2 * k,
@@ -725,6 +751,10 @@ object ExactSubstr {
         withDict.filter(col("_r2").isNull).select("rank", "_rb").distinct(),
         Seq("rank", "_rb"), "_ni")
         .select(col("rank"), col("_rb"), (col("_ni") + maxR2 + 1).as("_r2n"))
+        .localCheckpoint() // consumed by the rank join and the dict growth
+      grownDicts(2 * k) = dict.unionByName(
+        novelPairs.select(col("rank").as("ra"), col("_rb").as("rb"),
+          col("_r2n").as("r2")))
       r = withDict.join(novelPairs, Seq("rank", "_rb"), "left")
         .select(col(keyCol), col("pos"), col("len"), col("pk"),
           coalesce(col("_r2"), col("_r2n")).as("rank"))
@@ -732,8 +762,44 @@ object ExactSubstr {
       k *= 2
       out += ((k, r))
     }
-    out.toSeq
+    val batchRounds = out.toSeq
+    val batchByLevel = batchRounds.toMap
+    LadderExtension(
+      rounds = levels.map { case (h, df) => (h, df.unionByName(batchByLevel(h))) },
+      tokenDict = tokenDict.unionByName(novelToks),
+      pairDicts = grownDicts.toMap,
+      batchRounds = batchRounds)
   }
+
+  /** Batch suffix ranks equality-consistent with a standing corpus
+    * ladder (see section note): per level 1, 2, …, `prefixLen`, the
+    * batch's (keyCol, pos, len, pk, rank) frame. `pairDicts` optionally
+    * injects materialized doubling dictionaries keyed by target level;
+    * absent entries are derived live via [[pairDictFromLadder]].
+    * The probe half of [[extendLadder]].
+    *
+    * Work: batch positions × log₂(prefixLen) keyed dictionary probes.
+    * No corpus position is re-ranked or re-sorted.
+    */
+  def batchRanksVsCorpus(batch: DataFrame, keyCol: String,
+      textCol: String, corpusRounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame, prefixLen: Int,
+      pairDicts: Map[Int, DataFrame] = Map.empty): Seq[(Int, DataFrame)] =
+    extendLadder(batch, keyCol, textCol, corpusRounds, tokenDict,
+      prefixLen, pairDicts).batchRounds
+
+  /** Grow the standing L-window occurrence counts by a batch's windows —
+    * the [[corpusWindowCounts]] artifact's append: counts ADD on the
+    * window identity (ia, ib), which is stable across the extension
+    * because extended ranks are equality-consistent. The batch's
+    * level-h frame comes from [[extendLadder]]'s `batchRounds`.
+    */
+  def appendWindowCounts(standing: DataFrame, batchLevelH: DataFrame,
+      keyCol: String, L: Int): DataFrame =
+    standing.select("ia", "ib", "ccnt")
+      .unionByName(windowKeys(batchLevelH, keyCol, L)
+        .groupBy("ia", "ib").agg(count(lit(1)).as("ccnt")))
+      .groupBy("ia", "ib").agg(sum("ccnt").as("ccnt"))
 
   /** Full-L-window keys (keyCol, pos, ia, ib) from a level-h rank frame:
     * h = 2^⌊log₂L⌋, the window at p identified by (rank(p), rank(p+L−h))

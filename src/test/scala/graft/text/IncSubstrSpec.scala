@@ -173,6 +173,44 @@ class IncSubstrSpec extends SparkSpec {
     assert(got(20L) === (14L, 1L, 13L, "u1"))
   }
 
+  test("ladder maintenance: extending the extension answers exactly " +
+      "like a one-shot index — night-2 probes see night-1 content") {
+    val n13 = (1 to 13).map(i => s"m$i").mkString(" ")
+    val night1 = Seq(
+      (40L, s"$n13 x1 x2"),            // new content entering the index
+      (41L, (1 to 14).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val night2 = Seq(
+      (50L, s"pre $n13"),              // matches NIGHT-1 content (the key case)
+      (51L, s"$a13 tail1 tail2 tail3"),// matches the base corpus
+      (52L, (1 to 15).map(i => s"fresh$i").mkString(" ")) // novel
+    ).toDF("doc_id", "text")
+    // grow the standing index by night 1 (levels, dicts, window counts)
+    val rounds0 = ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 8)
+    val dict0 = ExactSubstr.corpusTokenDict(corpus, "doc_id")
+    val ext = ExactSubstr.extendLadder(night1, "doc_id", "text",
+      rounds0, dict0, prefixLen = 8)
+    val win0 = ExactSubstr.corpusWindowCounts(rounds0.last._2, "doc_id", L = 13)
+    val win1 = ExactSubstr.appendWindowCounts(win0, ext.batchRounds.last._2,
+      "doc_id", L = 13)
+    // the appended counts equal a one-shot count over the grown level
+    val oneShot = ExactSubstr.corpusWindowCounts(ext.rounds.last._2,
+      "doc_id", L = 13)
+    def wm(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wm(win1) === wm(oneShot))
+    // night-2 coverage through the GROWN index == full rebuild over
+    // corpus ∪ night1 ∪ night2 restricted to night 2
+    val got = rows(ExactSubstr.batchSpanCoverageVsCorpus(night2, "doc_id",
+      L = 13, corpusRounds = ext.rounds, tokenDict = ext.tokenDict,
+      corpusWinCounts = win1, pairDicts = ext.pairDicts))
+    assert(got === rows(fullRestricted(corpus.unionByName(night1), night2)))
+    assert(got(50L) === (14L, 1L, 13L),
+      "night-2 content matching night-1 content must be covered")
+    assert(got(51L) === (16L, 1L, 13L))
+    assert(got(52L) === (15L, 0L, 0L))
+  }
+
   test("randomized union-equivalence: incremental == rebuild restricted to batch") {
     // overlapping half-blocks, self-repeats, short docs, shared prefixes
     val c = Seq(
