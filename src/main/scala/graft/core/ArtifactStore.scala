@@ -52,6 +52,17 @@ object ArtifactStore {
     * must contain ONLY the tables of the commit that published its
     * marker — per-table overwrite alone would leave a stale table behind
     * whenever the table set changed between the torn write and this one.
+    *
+    * SINGLE-WRITER contract: version selection (latest + 1) and the
+    * delete-then-write recovery both assume at most one writer per root
+    * at a time — two concurrent appenders could pick the same v<N>,
+    * delete each other's in-flight tables, and publish a marker over a
+    * mixed directory. The nightly/streaming maintenance loops satisfy
+    * this by construction (one scheduled run per store;
+    * foreachBatch serializes micro-batches); a deployment with
+    * competing writers must serialize them externally (a scheduler
+    * lock or a lease file) before calling commit / the
+    * appendBatchCommitted family.
     */
   def commit(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],

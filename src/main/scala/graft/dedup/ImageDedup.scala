@@ -130,8 +130,15 @@ object ImageDedup {
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("source",
             org.apache.spark.sql.types.StringType)))))
-    // replay guard: keys the standing table already holds drop here
+    // replay guards: a batch carrying the same key twice (an upstream
+    // that re-emitted a clip) collapses to one row BEFORE the anti-join —
+    // fingerprints are deterministic per key, so dropDuplicates loses
+    // nothing — and keys the standing table already holds drop next;
+    // without the first guard a doubled key would union two identical
+    // rows into the standing `hashes` table and inflate every future
+    // band-join's match counts
     val novel = batchHashes
+      .dropDuplicates(keyCol)
       .join(standing.select(keyCol), Seq(keyCol), "left_anti")
       .localCheckpoint() // consumed by the match join and the union
     val m = incrementalDHashPairs(novel, standing, keyCol, bands, maxHamming)

@@ -599,12 +599,25 @@ object ExactSubstr {
       |  coalesce(ag.clean_text, '') AS clean_text
       |FROM nn LEFT JOIN ag USING (doc_id)""".stripMargin
 
+  /** Exact-substring patch over a SQL constant that must actually fire:
+    * these oracles derive their batch-restricted variants by patching the
+    * full-corpus constant, and formatting drift in the source would
+    * otherwise turn the replace into a silent no-op — leaving the
+    * UNRESTRICTED oracle registered and a confusing gate failure far
+    * from the cause. */
+  private def patchedSql(src: String, from: String, to: String): String = {
+    val out = src.replace(from, to)
+    require(out != src,
+      s"oracle patch was a no-op — the source SQL no longer contains: $from")
+    out
+  }
+
   /** DuckDB oracle for [[batchSpanRemovalVsCorpus]] under the registry's
     * crawl split: the FULL-union [[removalOracleSql13]] restricted to
     * the batch docs (doc_id % 10 = 0) — duplication judged over the
     * whole union, output rows only for the batch.
     */
-  def incRemovalOracleSql13: String = removalOracleSql13.replace(
+  def incRemovalOracleSql13: String = patchedSql(removalOracleSql13,
     "nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens\n" +
       "  FROM d WHERE len(toks) > 0)",
     "nn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens\n" +
@@ -692,14 +705,34 @@ object ExactSubstr {
     * Work: batch positions × log₂(prefixLen) keyed dictionary probes +
     * batch-sized unions. No corpus position is re-ranked or re-sorted;
     * order-needing statistics keep the priced rebuild cadence.
+    *
+    * The standing ladder must top out AT `prefixLen` (loud require) —
+    * silently dropping higher standing levels here would hand a caller
+    * who adopts the extension as new standing state a ladder that lost
+    * its top rungs. Probe-only callers that want a shallower extension
+    * over a taller ladder go through [[batchRanksVsCorpus]], which
+    * filters the levels itself (safe there: only `batchRounds` is
+    * returned, nothing standing is adopted).
+    *
+    * `knownMaxRanks` (level → max standing rank; level 1 = the token
+    * dict's max, level 2k = pair dict 2k's max r2) skips the 1-row
+    * driver `max()` actions novel-id assignment otherwise needs — a
+    * persisted index records these in its commit metadata
+    * ([[SuffixIndexStore]]), so the nightly probe pays zero standing
+    * scans.
     */
   def extendLadder(batch: DataFrame, keyCol: String,
       textCol: String, corpusRounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, prefixLen: Int,
-      pairDicts: Map[Int, DataFrame] = Map.empty): LadderExtension = {
+      pairDicts: Map[Int, DataFrame] = Map.empty,
+      knownMaxRanks: Map[Int, Long] = Map.empty): LadderExtension = {
     require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
       s"prefixLen must be a power of two: $prefixLen")
-    val levels = corpusRounds.filter(_._1 <= prefixLen)
+    require(corpusRounds.isEmpty || corpusRounds.last._1 <= prefixLen,
+      s"standing ladder tops out at ${corpusRounds.last._1} > prefixLen " +
+        s"$prefixLen — extending would silently drop standing levels; " +
+        "probe-only callers use batchRanksVsCorpus")
+    val levels = corpusRounds
     val byLevel = levels.toMap
     require(byLevel.contains(prefixLen) || prefixLen == 1,
       s"standing ladder lacks level $prefixLen")
@@ -723,7 +756,7 @@ object ExactSubstr {
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
         (col(keyCol).cast("long") * (1L << PosBits) + col("pos0") + 1).as("pk"),
         col("tok"))
-    val maxTok = maxOrMinus1(tokenDict, "rank")
+    val maxTok = knownMaxRanks.getOrElse(1, maxOrMinus1(tokenDict, "rank"))
     val novelToks = denseIndex(
       p0.select("tok").distinct()
         .join(tokenDict.select("tok"), Seq("tok"), "left_anti"),
@@ -739,7 +772,7 @@ object ExactSubstr {
     while (k < prefixLen) {
       val dict = pairDicts.getOrElse(2 * k,
         pairDictFromLadder(byLevel(k), byLevel(2 * k), k, keyCol))
-      val maxR2 = maxOrMinus1(dict, "r2")
+      val maxR2 = knownMaxRanks.getOrElse(2 * k, maxOrMinus1(dict, "r2"))
       val right = r.select(col(keyCol), (col("pos") - k).as("pos"),
         col("rank").as("_rb"))
       val paired = r.join(right, Seq(keyCol, "pos"), "left")
@@ -778,15 +811,25 @@ object ExactSubstr {
     * absent entries are derived live via [[pairDictFromLadder]].
     * The probe half of [[extendLadder]].
     *
+    * A standing ladder TALLER than `prefixLen` is fine here (levels
+    * above it are filtered before extension — safe because only the
+    * batch's own rank frames are returned, no standing state is
+    * adopted); [[extendLadder]] itself refuses that truncation.
+    * `knownMaxRanks` forwards persisted per-level maxima so the probe
+    * runs zero standing-dict scans (see [[extendLadder]]).
+    *
     * Work: batch positions × log₂(prefixLen) keyed dictionary probes.
     * No corpus position is re-ranked or re-sorted.
     */
   def batchRanksVsCorpus(batch: DataFrame, keyCol: String,
       textCol: String, corpusRounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, prefixLen: Int,
-      pairDicts: Map[Int, DataFrame] = Map.empty): Seq[(Int, DataFrame)] =
-    extendLadder(batch, keyCol, textCol, corpusRounds, tokenDict,
-      prefixLen, pairDicts).batchRounds
+      pairDicts: Map[Int, DataFrame] = Map.empty,
+      knownMaxRanks: Map[Int, Long] = Map.empty): Seq[(Int, DataFrame)] =
+    extendLadder(batch, keyCol, textCol,
+      corpusRounds.filter(_._1 <= prefixLen), tokenDict,
+      prefixLen, pairDicts.filter(_._1 <= prefixLen),
+      knownMaxRanks).batchRounds
 
   /** Grow the standing L-window occurrence counts by a batch's windows —
     * the [[corpusWindowCounts]] artifact's append: counts ADD on the
@@ -842,10 +885,11 @@ object ExactSubstr {
       textCol: String = "text", L: Int = 13,
       corpusRounds: Seq[(Int, DataFrame)], tokenDict: DataFrame,
       corpusWinCounts: DataFrame,
-      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame =
+      pairDicts: Map[Int, DataFrame] = Map.empty,
+      knownMaxRanks: Map[Int, Long] = Map.empty): DataFrame =
     coverageFromStarts(batch, keyCol, textCol, L,
       batchDupStartsVsCorpus(batch, keyCol, textCol, L, corpusRounds,
-        tokenDict, corpusWinCounts, pairDicts))
+        tokenDict, corpusWinCounts, pairDicts, knownMaxRanks))
 
   /** Incremental ExactSubstr REMOVAL (the Lee et al. §4.2 transform on a
     * nightly batch): EXACTLY [[removeDuplicatedSpans]] over
@@ -859,10 +903,11 @@ object ExactSubstr {
       textCol: String = "text", L: Int = 13,
       corpusRounds: Seq[(Int, DataFrame)], tokenDict: DataFrame,
       corpusWinCounts: DataFrame,
-      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame =
+      pairDicts: Map[Int, DataFrame] = Map.empty,
+      knownMaxRanks: Map[Int, Long] = Map.empty): DataFrame =
     removalFromStarts(batch, keyCol, textCol, L,
       batchDupStartsVsCorpus(batch, keyCol, textCol, L, corpusRounds,
-        tokenDict, corpusWinCounts, pairDicts))
+        tokenDict, corpusWinCounts, pairDicts, knownMaxRanks))
 
   /** The shared incremental duplicated-start core: batch L-window starts
     * whose content occurs in the standing corpus (ccnt ≥ 1 — the batch
@@ -875,10 +920,11 @@ object ExactSubstr {
   private def batchDupStartsVsCorpus(batch: DataFrame, keyCol: String,
       textCol: String, L: Int, corpusRounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, corpusWinCounts: DataFrame,
-      pairDicts: Map[Int, DataFrame]): DataFrame = {
+      pairDicts: Map[Int, DataFrame],
+      knownMaxRanks: Map[Int, Long] = Map.empty): DataFrame = {
     val h = Integer.highestOneBit(L)
     val br = batchRanksVsCorpus(batch, keyCol, textCol, corpusRounds,
-      tokenDict, h, pairDicts).last._2
+      tokenDict, h, pairDicts, knownMaxRanks).last._2
     val bw = windowKeys(br, keyCol, L).localCheckpoint() // starts + counts
     val dupKeys = bw.groupBy("ia", "ib").agg(count(lit(1)).as("bcnt"))
       .join(corpusWinCounts, Seq("ia", "ib"), "left")
@@ -908,24 +954,31 @@ object ExactSubstr {
   def batchMaxPow2VsCorpus(batch: DataFrame, keyCol: String,
       textCol: String = "text", corpusRounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, maxLen: Int = 64,
-      pairDicts: Map[Int, DataFrame] = Map.empty): DataFrame = {
+      pairDicts: Map[Int, DataFrame] = Map.empty,
+      knownMaxRanks: Map[Int, Long] = Map.empty): DataFrame = {
     val levels = corpusRounds.filter(_._1 <= maxLen)
     require(levels.nonEmpty && levels.last._1 == Integer.highestOneBit(maxLen),
       s"standing ladder lacks the level-$maxLen rungs")
     val byLevel = levels.toMap
     val br = batchRanksVsCorpus(batch, keyCol, textCol, levels, tokenDict,
-      levels.last._1, pairDicts)
+      levels.last._1, pairDicts, knownMaxRanks)
     val flags = br.map { case (h, r) =>
       val full = r.filter(col("pos") + (h - 1) <= col("len"))
-      // 1-row corpus-max broadcast (the A8 scalar pattern — no collect);
-      // levels are standing artifacts, so in production this scalar is
-      // index metadata, not a scan
-      val corpusMax = byLevel(h).agg(max("rank").as("_cm"))
+      // the corpus-max scalar: from the persisted index's commit
+      // metadata when given (zero standing scans — the production probe
+      // path, [[SuffixIndexStore]]), else a 1-row corpus-max broadcast
+      // (the A8 scalar pattern — no collect)
+      val adopted = knownMaxRanks.get(h) match {
+        case Some(cm) => full.filter(col("rank") <= cm).select(col(keyCol))
+        case None =>
+          val corpusMax = byLevel(h).agg(max("rank").as("_cm"))
+          full.crossJoin(broadcast(corpusMax))
+            .filter(col("rank") <= col("_cm")).select(col(keyCol))
+      }
       val dupBatch = full.groupBy("rank").agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).select("rank")
       full.join(dupBatch, Seq("rank"), "left_semi").select(col(keyCol))
-        .unionByName(full.crossJoin(broadcast(corpusMax))
-          .filter(col("rank") <= col("_cm")).select(col(keyCol)))
+        .unionByName(adopted)
         .distinct()
         .withColumn("h", lit(h.toLong))
     }.reduce(_ unionByName _)
@@ -943,7 +996,7 @@ object ExactSubstr {
     * bracket ≡ the full rebuild on the union, restricted to the batch.
     */
   def incMaxPow2OracleSql(maxLen: Int = 64): String =
-    maxPow2OracleSql(maxLen).replace(
+    patchedSql(maxPow2OracleSql(maxLen),
       "WHERE len(toks) > 0",
       "WHERE len(toks) > 0 AND d.doc_id % 10 = 0")
 

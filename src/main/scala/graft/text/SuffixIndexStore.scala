@@ -1,0 +1,195 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ArtifactStore
+import graft.dedup.PairGraph
+
+/** COMMITTED, crash-safe persistence for the suffix-index family — the
+  * standing artifact path the incremental ExactSubstr statistics probe
+  * ([[ExactSubstr.batchSpanCoverageVsCorpus]] /
+  * [[ExactSubstr.batchSpanRemovalVsCorpus]] /
+  * [[ExactSubstr.batchMaxPow2VsCorpus]]), with the same contract the
+  * pair-graph and media fingerprint stores already honor
+  * ([[graft.dedup.PairGraph.appendBatchCommitted]],
+  * [[graft.dedup.ImageDedup.appendHashesCommitted]]): every version
+  * writes all tables and ONLY THEN its `_COMMIT` marker (the reference's
+  * advance-the-mark-after-the-write contract,
+  * `lambda/snowflake_extractor/watermark_manager.py:211-259`), and a
+  * batch mark recorded in the marker metadata turns at-least-once
+  * replays into exactly-once skips.
+  *
+  * What persists, per version:
+  *  - `ladder_<h>` for h = 1, 2, …, prefixLen — the equality-consistent
+  *    rank frames (keyCol, pos, len, pk, rank);
+  *  - `token_dict` — the level-1 token → rank map;
+  *  - `pair_dict_<h>` for h = 2, 4, …, prefixLen — the
+  *    (rank_h/2(p), rank_h/2(p+h/2)) → rank_h doubling dictionaries
+  *    ([[ExactSubstr.pairDictFromLadder]]);
+  *  - `window_counts` — the L-window occurrence counts
+  *    ([[ExactSubstr.corpusWindowCounts]]).
+  *
+  * The marker metadata carries `max_rank_<h>` — the per-level maximum
+  * standing rank — alongside the batch mark, so the nightly probe
+  * assigns novel ids WITHOUT a single scan of standing state
+  * ([[ExactSubstr.extendLadder]]'s `knownMaxRanks`): the probe touches
+  * only the dictionaries (batch-sized keyed joins) and the window
+  * counts. The maxima are refreshed per append from the BATCH frames
+  * only (new max = max(standing max, batch-level max) — adopted ranks
+  * sit at or below the standing max, novel ranks strictly above, so the
+  * recurrence is exact).
+  *
+  * Ranks are EQUALITY-consistent across appends (equal content ⟺ equal
+  * rank — what duplicate detection needs), not order-consistent: the
+  * order-needing statistics (exact LCP spans) keep the priced periodic
+  * full-rebuild cadence (IncScaleBench ladder rows). Extension composes
+  * — extending the extension equals a one-shot index over the union for
+  * every probe (the q_incladder gate) — so this store IS the nightly
+  * maintenance loop's fifth grain
+  * ([[graft.pipeline.RunIncrementalCuration]]).
+  *
+  * Single-writer per root, like every ArtifactStore client (see
+  * [[graft.core.ArtifactStore.commit]]).
+  *
+  * Cost shape per append: the PROBE work (batch ranks, window counts,
+  * maxima refresh) is batch-sized keyed joins; the COMMIT streams the
+  * grown tables through to the new version directory (standing parquet
+  * scan ∪ checkpointed batch frames → write — sequential I/O, zero
+  * shuffle). A versioned store rewrites O(index) bytes per commit by
+  * construction; a deployment where that nightly rewrite dominates
+  * batches several crawls per version (the mark contract is unchanged —
+  * it records the HIGHEST covered batch).
+  */
+object SuffixIndexStore {
+
+  /** The standing index read back from the latest committed version. */
+  final case class Standing(
+      version: Long,
+      prefixLen: Int,
+      windowL: Int,
+      rounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame,
+      pairDicts: Map[Int, DataFrame],
+      windowCounts: DataFrame,
+      maxRanks: Map[Int, Long])
+
+  private def pow2Levels(prefixLen: Int): Seq[Int] =
+    Iterator.iterate(1)(_ * 2).takeWhile(_ <= prefixLen).toSeq
+
+  private def maxOrMinus1(df: DataFrame, c: String): Long = {
+    val v = df.agg(max(col(c))).head.get(0)
+    if (v == null) -1L else v.asInstanceOf[Long]
+  }
+
+  /** Build the index one-shot over `corpus` and commit it as the first
+    * version (the corpus IS the initial standing state — the
+    * [[graft.dedup.PairGraph.appendBatchCommitted]] bootstrap shape).
+    * An empty corpus commits empty tables: the first nightly append
+    * then ranks its batch exactly as a fresh build would (novel ids
+    * start at 0). Returns the committed version.
+    */
+  def bootstrapCommitted(spark: SparkSession, root: String,
+      corpus: DataFrame, keyCol: String, textCol: String = "text",
+      prefixLen: Int = 64, windowL: Int = 13,
+      batchMark: Option[Long] = None): Long = {
+    require(prefixLen >= 1 && (prefixLen & (prefixLen - 1)) == 0,
+      s"prefixLen must be a power of two: $prefixLen")
+    require(Integer.highestOneBit(windowL) <= prefixLen,
+      s"window length $windowL needs ladder level " +
+        s"${Integer.highestOneBit(windowL)} > prefixLen $prefixLen")
+    val rounds = ExactSubstr.orderedSuffixRounds(corpus, keyCol, textCol,
+      prefixLen)
+    val byLevel = rounds.toMap
+    val tokenDict = ExactSubstr.corpusTokenDict(corpus, keyCol, textCol)
+      .localCheckpoint() // consumed by the commit write and the max agg
+    val pairDicts = pow2Levels(prefixLen).drop(1).map { h =>
+      h -> ExactSubstr.pairDictFromLadder(byLevel(h / 2), byLevel(h),
+        h / 2, keyCol)
+    }.toMap
+    val win = ExactSubstr.corpusWindowCounts(
+      byLevel(Integer.highestOneBit(windowL)), keyCol, windowL)
+    // per-level maxima: levels are localCheckpoint'd inside
+    // orderedSuffixRounds, so these are log₂(prefixLen) cheap max-aggs
+    // paid once at index-build time
+    val maxRanks = rounds.map { case (h, df) => h -> maxOrMinus1(df, "rank") }
+    commitState(spark, root, keyCol, prefixLen, windowL,
+      rounds, tokenDict, pairDicts, win, maxRanks.toMap, batchMark)
+  }
+
+  /** Grow the standing index by one batch and commit the next version —
+    * [[ExactSubstr.extendLadder]] (dictionary probes only; per-level
+    * maxima come from the previous commit's metadata, so NO standing
+    * table is scanned) plus the window-count append, marker-last.
+    *
+    * `batchMark` makes replays exactly-once exactly as the pair graph's
+    * append does: an append whose mark the latest committed version
+    * already covers returns that version without committing. Returns
+    * the committed version.
+    */
+  def appendBatchCommitted(spark: SparkSession, root: String,
+      batch: DataFrame, keyCol: String, textCol: String = "text",
+      batchMark: Option[Long] = None): Long = {
+    batchMark.foreach { mark =>
+      val latest = ArtifactStore.latestVersion(spark, root)
+      if (latest.isDefined &&
+          PairGraph.latestBatchMark(spark, root).exists(_ >= mark))
+        return latest.get
+    }
+    val st = read(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed suffix index under $root — bootstrapCommitted first"))
+    val ext = ExactSubstr.extendLadder(batch, keyCol, textCol,
+      st.rounds, st.tokenDict, st.prefixLen, st.pairDicts, st.maxRanks)
+    val batchByLevel = ext.batchRounds.toMap
+    val win = ExactSubstr.appendWindowCounts(st.windowCounts,
+      batchByLevel(Integer.highestOneBit(st.windowL)), keyCol, st.windowL)
+    // new maxima from the BATCH frames only (checkpointed inside
+    // extendLadder, so batch-sized aggs): adopted ranks ≤ standing max,
+    // novel ranks > standing max ⇒ grown max = max(standing, batch)
+    val maxRanks = st.maxRanks.map { case (h, m) =>
+      h -> math.max(m, maxOrMinus1(batchByLevel(h), "rank"))
+    }
+    commitState(spark, root, keyCol, st.prefixLen, st.windowL,
+      ext.rounds, ext.tokenDict, ext.pairDicts, win, maxRanks, batchMark)
+  }
+
+  private def commitState(spark: SparkSession, root: String, keyCol: String,
+      prefixLen: Int, windowL: Int, rounds: Seq[(Int, DataFrame)],
+      tokenDict: DataFrame, pairDicts: Map[Int, DataFrame], win: DataFrame,
+      maxRanks: Map[Int, Long], batchMark: Option[Long]): Long = {
+    val tables =
+      rounds.map { case (h, df) => s"ladder_$h" -> df }.toMap ++
+        pairDicts.collect { case (h, df) if h > 1 => s"pair_dict_$h" -> df } +
+        ("token_dict" -> tokenDict) + ("window_counts" -> win)
+    val meta = Map(
+      "key_col" -> keyCol,
+      "prefix_len" -> prefixLen.toString,
+      "window_l" -> windowL.toString) ++
+      maxRanks.map { case (h, m) => s"max_rank_$h" -> m.toString } ++
+      batchMark.map(m => PairGraph.BatchMarkKey -> m.toString)
+    ArtifactStore.commit(spark, root, tables, meta)
+  }
+
+  /** The latest committed standing index, or None when nothing has been
+    * committed yet. Per-level maxima come from the marker metadata —
+    * reading the index for a probe touches NO standing table until the
+    * probe's own dictionary joins execute.
+    */
+  def read(spark: SparkSession, root: String): Option[Standing] =
+    ArtifactStore.latestVersion(spark, root).map { v =>
+      val meta = ArtifactStore.readMeta(spark, root, v).getOrElse(Map.empty)
+      val prefixLen = meta("prefix_len").toInt
+      val windowL = meta("window_l").toInt
+      val levels = pow2Levels(prefixLen)
+      def tbl(name: String) = spark.read.parquet(s"$root/v$v/$name")
+      Standing(
+        version = v,
+        prefixLen = prefixLen,
+        windowL = windowL,
+        rounds = levels.map(h => (h, tbl(s"ladder_$h"))),
+        tokenDict = tbl("token_dict"),
+        pairDicts = levels.drop(1).map(h => h -> tbl(s"pair_dict_$h")).toMap,
+        windowCounts = tbl("window_counts"),
+        maxRanks = levels.map(h => h -> meta(s"max_rank_$h").toLong).toMap)
+    }
+}
