@@ -28,7 +28,12 @@ import graft.text.CorpusCuration
   *     batch watermark recorded in the commit metadata), and the
   *     survivors' image/audio/video fingerprints into the per-grain
   *     standing hash stores ([[ImageDedup.appendHashesCommitted]] —
-  *     incremental batch-vs-corpus media dedup, same commit contract);
+  *     incremental batch-vs-corpus media dedup, same commit contract),
+  *     and — when `suffixIndex` is on — the survivors' suffix ranks
+  *     into the standing suffix index
+  *     ([[graft.text.SuffixIndexStore.appendBatchCommitted]] — the
+  *     fifth grain: ladder levels, token/pair dicts and window counts
+  *     grow by dictionary probes, same commit contract);
   *  4. append the survivors to the curated corpus;
   *  5. ONLY THEN advance the watermark — and prune artifact versions
   *     older than the newest `keepLast` (a nightly loop otherwise
@@ -76,13 +81,19 @@ object RunIncrementalCuration {
   /** One nightly run. `keepLast` is the artifact retention window
     * (versions beyond it are pruned after the watermark advances);
     * `mediaDedup` grows the loop by the image/audio/video fingerprint
-    * stages (off in text-only deployments); `crashAfterStep` is a TEST-ONLY
-    * fault injector (3 = after artifact commits, 4 = after corpus
-    * append) proving the replay guarantees above.
+    * stages (off in text-only deployments); `suffixIndex` by the
+    * standing suffix-index grain ([[graft.text.SuffixIndexStore]] —
+    * ladder levels, token/pair dicts, window counts maintained under
+    * the same batch-mark exactly-once contract, so incremental
+    * ExactSubstr statistics probe a PERSISTED index);
+    * `crashAfterStep` is a TEST-ONLY fault injector (3 = after artifact
+    * commits, 4 = after corpus append) proving the replay guarantees
+    * above.
     */
   def run(spark: SparkSession, docsDir: String, outRoot: String,
       config: CorpusCuration.Config = CorpusCuration.Config(),
       keepLast: Int = 2, mediaDedup: Boolean = false,
+      suffixIndex: Boolean = false,
       crashAfterStep: Option[Int] = None): IncRunResult = {
     val store = new WatermarkStore(s"$outRoot/_state")
     val corpusPath = s"$outRoot/curated"
@@ -133,6 +144,18 @@ object RunIncrementalCuration {
           .withColumnRenamed("vid_id", "doc_id"),
         "doc_id", batchMark = Some(hi))
     }
+    if (suffixIndex) {
+      // the fifth grain: the standing suffix index grows by the kept
+      // batch — bootstrap commits the (possibly empty) current corpus as
+      // v1 once, every night appends under the same batch-mark contract,
+      // so a replayed night skips the commit instead of double-ranking
+      val sufRoot = s"$outRoot/artifacts_suffix"
+      if (graft.core.ArtifactStore.latestVersion(spark, sufRoot).isEmpty)
+        graft.text.SuffixIndexStore.bootstrapCommitted(spark, sufRoot,
+          corpus, "doc_id")
+      graft.text.SuffixIndexStore.appendBatchCommitted(spark, sufRoot,
+        kept, "doc_id", batchMark = Some(hi))
+    }
     if (crashAfterStep.contains(3)) throw new InjectedCrash(3)
     if (keptDocs > 0L)
       kept.write.mode(SaveMode.Append).parquet(corpusPath)
@@ -143,6 +166,8 @@ object RunIncrementalCuration {
     if (mediaDedup)
       for (grain <- Seq("image", "audio", "video"))
         ArtifactStore.prune(spark, s"$outRoot/artifacts_$grain", keepLast)
+    if (suffixIndex)
+      ArtifactStore.prune(spark, s"$outRoot/artifacts_suffix", keepLast)
     IncRunResult(version, Some(hi), batchDocs, keptDocs)
   }
 

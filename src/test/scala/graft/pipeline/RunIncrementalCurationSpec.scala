@@ -166,6 +166,65 @@ class RunIncrementalCurationSpec extends SparkSpec {
     assert(graft.core.ArtifactStore.latestVersion(spark, arts) === Some(4L))
   }
 
+  private def suffixState(out: String) = {
+    val st = graft.text.SuffixIndexStore.read(spark, s"$out/artifacts_suffix").get
+    (st.rounds.map { case (h, df) =>
+        h -> df.collect().map(_.toSeq).toSet },
+      st.tokenDict.collect().map(_.toSeq).toSet,
+      st.windowCounts.collect().map(_.toSeq).toSet,
+      st.maxRanks)
+  }
+
+  test("suffixIndex grain: crash replay at each step boundary leaves the " +
+      "standing suffix index ROW-identical to one uninterrupted run, and " +
+      "the probe through it matches the full rebuild") {
+    // reference: two clean nights with the suffix grain on
+    val (refDocs, refOut) = setup()
+    writeDocsTo(refDocs, night1)
+    RunIncrementalCuration.run(spark, refDocs, refOut, cfg, suffixIndex = true)
+    writeDocsTo(refDocs, night2)
+    RunIncrementalCuration.run(spark, refDocs, refOut, cfg, suffixIndex = true)
+    val ref = suffixState(refOut)
+
+    for (step <- Seq(3, 4)) {
+      val (docsDir, out) = setup()
+      writeDocsTo(docsDir, night1)
+      RunIncrementalCuration.run(spark, docsDir, out, cfg, suffixIndex = true)
+      writeDocsTo(docsDir, night2)
+      intercept[RunIncrementalCuration.InjectedCrash] {
+        RunIncrementalCuration.run(spark, docsDir, out, cfg,
+          suffixIndex = true, crashAfterStep = Some(step))
+      }
+      val r = RunIncrementalCuration.run(spark, docsDir, out, cfg,
+        suffixIndex = true)
+      assert(r.watermark === Some(22L))
+      assert(suffixState(out) === ref,
+        s"suffix index replay after a crash at step $step must equal the clean run")
+      // and is stable: one more idle rerun changes nothing
+      RunIncrementalCuration.run(spark, docsDir, out, cfg, suffixIndex = true)
+      assert(suffixState(out) === ref)
+    }
+
+    // the maintained index answers like a one-shot rebuild: a probe batch
+    // copying corpus content is covered, novel content is not
+    val st = graft.text.SuffixIndexStore.read(spark, s"$refOut/artifacts_suffix").get
+    import spark.implicits._
+    val probe = Seq((100L, t20("a", "z9")), (101L, t20("x"))).toDF("doc_id", "text")
+    val got = graft.text.ExactSubstr.batchSpanCoverageVsCorpus(probe,
+        "doc_id", L = st.windowL, corpusRounds = st.rounds,
+        tokenDict = st.tokenDict, corpusWinCounts = st.windowCounts,
+        pairDicts = st.pairDicts, knownMaxRanks = st.maxRanks)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    val full = graft.text.ExactSubstr.duplicatedSpanCoverageExact(
+        spark.read.parquet(s"$refOut/curated").select("doc_id", "text")
+          .unionByName(probe),
+        "doc_id", L = st.windowL)
+      .join(probe.select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    assert(got === full)
+    assert(got(100L) > 0L && got(101L) === 0L)
+  }
+
   test("mediaDedup grows the loop by the audio/video fingerprint stores: " +
       "hashes accumulate per night under the same commit contract") {
     val (docsDir, out) = setup()
