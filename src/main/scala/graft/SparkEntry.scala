@@ -202,18 +202,19 @@ object SparkEntry {
     * ordered ladder levels 1..64 plus the dictionaries that make a ladder
     * an incremental index ([[graft.text.ExactSubstr]] section note) —
     * token dict, per-doubling pair dicts, and the L=13 window-occurrence
-    * counts. Two queries consume the state (q_incsubstr probes levels
-    * ≤ 8 for the L=13 coverage, q_incmaxdup all levels ≤ 64 for the
-    * duplicated-span bracket). All deterministic; in production these
+    * counts. q_incsubstr consumes the state (levels ≤ 8 for the L=13
+    * coverage) — the in-session probe path, kept registered alongside
+    * the PERSISTED-store probes ([[suffixStoreFor]]) so both library
+    * surfaces stay gated. All deterministic; in production these
     * persist across crawls and refresh with the corpus.
     */
   private def incSubstrState(spark: SparkSession, dir: String)
       : (Seq[(Int, DataFrame)], DataFrame, DataFrame, Map[Int, DataFrame]) = {
     import graft.text.ExactSubstr
     val corpus = Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
-    val hs = Seq(1, 2, 4, 8, 16, 32, 64)
+    val hs = Seq(1, 2, 4, 8)
     val all = graft.core.Materialize.once(spark, s"incsub_ladder|$dir") {
-      ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 64)
+      ExactSubstr.orderedSuffixRounds(corpus, "doc_id", prefixLen = 8)
         .map { case (h, df) => df.withColumn("h", lit(h)) }
         .reduce(_ unionByName _)
     }
@@ -222,7 +223,7 @@ object SparkEntry {
     val tokDict = graft.core.Materialize.once(spark, s"incsub_tok|$dir") {
       ExactSubstr.corpusTokenDict(corpus, "doc_id")
     }
-    val pairDicts = Seq(2, 4, 8, 16, 32, 64).map { l =>
+    val pairDicts = Seq(2, 4, 8).map { l =>
       l -> graft.core.Materialize.once(spark, s"incsub_pd$l|$dir") {
         ExactSubstr.pairDictFromLadder(byLevel(l / 2), byLevel(l), l / 2, "doc_id")
       }
@@ -233,53 +234,51 @@ object SparkEntry {
     (rounds, tokDict, winCounts, pairDicts)
   }
 
-  /** Session-materialized TWO-STEP standing suffix index for the
-    * q_incladder gate: the base index is built one-shot over the OLD
-    * corpus (doc_id % 10 ∉ {0, 5}), then EXTENDED with the night-1
-    * crawl (doc_id % 10 = 5) via [[graft.text.ExactSubstr.extendLadder]]
-    * — ladder levels, token dict, pair dicts and L=13 window counts all
-    * grown incrementally (no corpus position re-ranked). The night-2
-    * batch (doc_id % 10 = 0) then probes the GROWN index; a green
-    * q_incladder row proves extension-of-extension ≡ a one-shot index
-    * over the whole union (the suffix-index family is maintainable,
-    * not just probeable).
+  /** Session-PERSISTED standing suffix index — the two-step nightly
+    * story committed through [[graft.text.SuffixIndexStore]] into a
+    * session temp root: bootstrap one-shot over the OLD corpus
+    * (doc_id % 10 ∉ {0, 5}), then the night-1 crawl (doc_id % 10 = 5)
+    * appended via the store's batch-mark commit (ladder levels, token
+    * dict, pair dicts, L=13 window counts and per-level max-rank
+    * metadata all grown incrementally — no corpus position re-ranked).
+    * q_incladder / q_incremoval / q_incmaxdup probe the PERSISTED
+    * index exactly as a production nightly probe would: dictionary
+    * joins against committed tables, novel-id bases from the marker
+    * metadata, zero standing-ladder scans. Green rows prove
+    * extension-of-extension ≡ a one-shot index over the whole union.
+    * Deterministic (extension ranks are dictionary-derived), so
+    * reading the store ≡ recomputing.
     */
-  private def incLadder2State(spark: SparkSession, dir: String)
-      : (Seq[(Int, DataFrame)], DataFrame, DataFrame, Map[Int, DataFrame]) = {
-    import graft.text.ExactSubstr
-    val docs = Tables(spark, dir).documents
-    val corpus0 = docs.filter(col("doc_id") % 10 =!= 0)
-      .filter(col("doc_id") % 10 =!= 5)
-    val night1 = docs.filter(col("doc_id") % 10 === 5)
-    val hs = Seq(1, 2, 4, 8)
-    lazy val built = {
-      val rounds0 = ExactSubstr.orderedSuffixRounds(corpus0, "doc_id",
-        prefixLen = 8)
-      val dict0 = ExactSubstr.corpusTokenDict(corpus0, "doc_id")
-      val ext = ExactSubstr.extendLadder(night1, "doc_id", "text",
-        rounds0, dict0, prefixLen = 8)
-      val win0 = ExactSubstr.corpusWindowCounts(rounds0.last._2, "doc_id",
-        L = 13)
-      (ext, ExactSubstr.appendWindowCounts(win0, ext.batchRounds.last._2,
-        "doc_id", L = 13))
-    }
-    val all = graft.core.Materialize.once(spark, s"incladder2|$dir") {
-      built._1.rounds.map { case (h, df) => df.withColumn("h", lit(h)) }
-        .reduce(_ unionByName _)
-    }
-    val rounds = hs.map(h => (h, all.filter(col("h") === h).drop("h")))
-    val dict = graft.core.Materialize.once(spark, s"incladder2_tok|$dir") {
-      built._1.tokenDict
-    }
-    val pds = Seq(2, 4, 8).map { l =>
-      l -> graft.core.Materialize.once(spark, s"incladder2_pd$l|$dir") {
-        built._1.pairDicts(l)
+  private val suffixStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val suffixStoreHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      suffixStoreRoots.values().asScala.foreach { d =>
+        try {
+          val dir = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(dir))
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () }
       }
-    }.toMap
-    val win = graft.core.Materialize.once(spark, s"incladder2_win|$dir") {
-      built._2
-    }
-    (rounds, dict, win, pds)
+    }))
+  private def suffixStoreFor(spark: SparkSession, dir: String)
+      : graft.text.SuffixIndexStore.Standing = {
+    suffixStoreHook
+    val root = suffixStoreRoots.computeIfAbsent(dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft-sufstore-").toString
+      val docs = Tables(spark, dir).documents
+      graft.text.SuffixIndexStore.bootstrapCommitted(spark, r,
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "doc_id", prefixLen = 64, windowL = 13)
+      graft.text.SuffixIndexStore.appendBatchCommitted(spark, r,
+        docs.filter(col("doc_id") % 10 === 5), "doc_id",
+        batchMark = Some(1L))
+      r
+    })
+    graft.text.SuffixIndexStore.read(spark, root).get
   }
 
   /** Session-materialized adjacent-suffix LCP pair table over
@@ -2161,6 +2160,45 @@ object SparkEntry {
         plantedRecall(directed, run)
       },
       Some(PlantedRecallOracleSql)),
+
+    // ---- IVF assignment-quality DRIFT (the retrain trigger for the
+    //      standing append-without-refit index q_incivf maintains):
+    //      both eras assigned to the SAME frozen centroids; the batch
+    //      era is the corpus-era vectors PLANTED with a +0.25 shift in
+    //      every coordinate, so its distance-to-centroid distribution
+    //      must sit measurably above the fit era's — the signal that
+    //      prices a recluster (IncScaleBench recluster-vs-append row).
+    //      Centroids are frozen SEED VECTORS (corpus-era ids < 20, cell
+    //      = id) rather than a KMeans fit so DuckDB replays the metric
+    //      exactly; the metric itself is fit-agnostic — production
+    //      feeds it ivfCentroids output ----
+    ("q_ivfdrift",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val corpusEra = emb.filter(col("vec_id") % 10 =!= 0)
+        val batchEra = emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.25D)"))
+        val centroids = corpusEra.filter(col("vec_id") < 20)
+          .select(col("vec_id").cast("int").as("cell"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+        Similarity.ivfDriftMetric(corpusEra, batchEra, "vec_id", centroids)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id % 10 != 0 AND vec_id < 20),
+        |vecs AS (
+        |  SELECT vec_id, v, 'corpus' AS era FROM e WHERE vec_id % 10 != 0
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(v, x -> x + 0.25) AS v, 'batch' AS era FROM e WHERE vec_id % 10 = 0),
+        |p AS (SELECT vecs.era, vecs.vec_id,
+        |    list_sum(list_transform(list_zip(vecs.v, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |  FROM vecs, c),
+        |b AS (SELECT era, vec_id, CAST(floor(min(d2) * 1e6 + 0.5) AS BIGINT) AS d2u
+        |  FROM p GROUP BY 1, 2)
+        |SELECT era, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(CAST(sum(d2u) AS BIGINT) // count(*) AS BIGINT) AS mean_d2_micros,
+        |  CAST(max(d2u) AS BIGINT) AS max_d2_micros
+        |FROM b GROUP BY 1""".stripMargin)),
 
     // Same planted-pair property for PQ-ADC (4 subspaces x 16 codes, the
     // compressed linear scan): a planted partner shares the query's codes
@@ -4109,58 +4147,93 @@ object SparkEntry {
       },
       Some(graft.text.ExactSubstr.incOracleSql13)),
 
-    // ---- suffix-index MAINTENANCE (extend, don't just probe): the
-    //      standing ladder grows by night-1's batch (extendLadder —
-    //      levels/dicts/window-counts all appended incrementally),
-    //      and night-2 probes the GROWN index. Same output contract as
-    //      q_incsubstr — deliberately: the green row proves the
-    //      two-step-grown index answers EXACTLY like the one-shot
-    //      index over corpus ∪ night1 (extension composes), which is
-    //      the property a nightly-maintained suffix artifact lives on ----
+    // ---- suffix-index MAINTENANCE against the PERSISTED store: the
+    //      standing index (bootstrap over the old corpus) grew by
+    //      night-1's batch through SuffixIndexStore's marker-last,
+    //      batch-marked commit; night-2 probes the COMMITTED tables —
+    //      dictionary joins only, novel-id bases from the marker
+    //      metadata, zero standing-ladder scans. Same output contract
+    //      as q_incsubstr — deliberately: the green row proves the
+    //      two-step-grown PERSISTED index answers EXACTLY like the
+    //      one-shot index over corpus ∪ night1 (extension composes),
+    //      which is the property a nightly-maintained suffix artifact
+    //      lives on ----
     ("q_incladder",
       (s, d) => {
-        val (rounds, dict, win, pds) = incLadder2State(s, d)
+        val st = suffixStoreFor(s, d)
         graft.text.ExactSubstr.batchSpanCoverageVsCorpus(
           Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
-          "doc_id", L = 13, corpusRounds = rounds, tokenDict = dict,
-          corpusWinCounts = win, pairDicts = pds)
+          "doc_id", L = 13, corpusRounds = st.rounds,
+          tokenDict = st.tokenDict, corpusWinCounts = st.windowCounts,
+          pairDicts = st.pairDicts, knownMaxRanks = st.maxRanks)
       },
       Some(graft.text.ExactSubstr.incOracleSql13)),
 
     // ---- incremental ExactSubstr REMOVAL (the Lee et al. §4.2 cut on
     //      a nightly batch — the transform a crawl pipeline actually
     //      applies to new docs before they enter the corpus): same
-    //      incremental duplicated-start core as q_incsubstr, same
-    //      cut/reassemble tail as q_dupremove; oracle = full-union
-    //      removal restricted to the crawl split ----
+    //      incremental duplicated-start core as q_incladder (the
+    //      persisted store), same cut/reassemble tail as q_dupremove;
+    //      oracle = full-union removal restricted to the crawl split ----
     ("q_incremoval",
       (s, d) => {
-        val (rounds, tokDict, winCounts, pairDicts) = incSubstrState(s, d)
+        val st = suffixStoreFor(s, d)
         graft.text.ExactSubstr.batchSpanRemovalVsCorpus(
           Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
-          "doc_id", L = 13, corpusRounds = rounds, tokenDict = tokDict,
-          corpusWinCounts = winCounts, pairDicts = pairDicts)
+          "doc_id", L = 13, corpusRounds = st.rounds,
+          tokenDict = st.tokenDict, corpusWinCounts = st.windowCounts,
+          pairDicts = st.pairDicts, knownMaxRanks = st.maxRanks)
       },
       Some(graft.text.ExactSubstr.incRemovalOracleSql13)),
 
     // ---- incremental longest-duplicated-span BRACKET (batch vs the
-    //      standing ladder): maxPow2DupLen over corpus ∪ batch
-    //      restricted to the batch, from the SAME dictionary-probe
-    //      extension as q_incsubstr — corpus occurrence is the
+    //      PERSISTED standing index): maxPow2DupLen over corpus ∪ batch
+    //      restricted to the batch — corpus occurrence is the
     //      rank-adoption test (novel ranks sit strictly above the
-    //      corpus max), batch-internal duplication a batch-sized class
-    //      count per level. The order-needing EXACT span keeps the
-    //      priced periodic-rebuild cadence (IncScaleBench ladder rows);
-    //      this closes the bracket statistic incrementally ----
+    //      per-level corpus max, which the probe reads from the store's
+    //      marker metadata — no standing-level scan), batch-internal
+    //      duplication a batch-sized class count per level. The
+    //      order-needing EXACT span keeps the priced periodic-rebuild
+    //      cadence (IncScaleBench ladder rows) ----
     ("q_incmaxdup",
       (s, d) => {
-        val (rounds, tokDict, _, pairDicts) = incSubstrState(s, d)
+        val st = suffixStoreFor(s, d)
         graft.text.ExactSubstr.batchMaxPow2VsCorpus(
           Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
-          "doc_id", corpusRounds = rounds, tokenDict = tokDict,
-          maxLen = 64, pairDicts = pairDicts)
+          "doc_id", corpusRounds = st.rounds, tokenDict = st.tokenDict,
+          maxLen = 64, pairDicts = st.pairDicts,
+          knownMaxRanks = st.maxRanks)
       },
       Some(graft.text.ExactSubstr.incMaxPow2OracleSql(64))),
+
+    // ---- vocabulary-DRIFT monitor on the nightly loop: the crawl
+    //      batch's OOV rate + new-type count against the STANDING token
+    //      dictionary the suffix store committed (which IS the
+    //      distinct-token set of corpus ∪ night1) — the retrain-trigger
+    //      signal a production tokenizer pipeline watches; oracle
+    //      recomputes the corpus type set and the batch membership
+    //      join independently ----
+    ("q_vocabdrift",
+      (s, d) => {
+        val st = suffixStoreFor(s, d)
+        graft.text.TextAnalysis.vocabDrift(
+          Tables(s, d).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", st.tokenDict)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ct AS (SELECT DISTINCT unnest(toks) AS tok
+        |  FROM d WHERE doc_id % 10 != 0 AND len(toks) > 0),
+        |bt AS (SELECT doc_id, unnest(toks) AS tok
+        |  FROM d WHERE doc_id % 10 = 0 AND len(toks) > 0),
+        |j AS (SELECT bt.doc_id, bt.tok, (ct.tok IS NULL) AS oov
+        |  FROM bt LEFT JOIN ct ON ct.tok = bt.tok)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE oov) AS BIGINT) AS n_oov,
+        |  CAST(floor(CAST(count(*) FILTER (WHERE oov) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS oov_micros,
+        |  CAST(count(DISTINCT tok) FILTER (WHERE oov) AS BIGINT) AS n_new_types
+        |FROM j""".stripMargin)),
 
     // ---- ExactSubstr span REMOVAL (the Lee et al. §4.2 transform the
     //      coverage statistic only measures): every token covered by a

@@ -332,6 +332,103 @@ object Similarity {
     }
   }
 
+  /** [[ivfAssign]] with the winning squared distance exposed — (keyCol,
+    * cell, d2): the assignment-quality surface drift monitoring reads.
+    * Same centroid fold, argmin and (d2, cell) tie-break as
+    * [[ivfAssign]] in both execution strategies (compiled
+    * least-of-structs under the codegen cap, broadcast-variable argmin
+    * above it), so `cell` is bit-identical to ivfAssign's and `d2` is
+    * the distance that argmin saw.
+    */
+  def ivfAssignDist(df: DataFrame, keyCol: String, centroids: DataFrame,
+      embCol: String = "embedding",
+      maxExprDoubles: Int = IvfAssignExprMaxDoubles): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val base = withNorm(df, embCol).select(col(keyCol), col("v"))
+    if (cents.length.toLong * cents.head._2.length <= maxExprDoubles) {
+      val structs = cents.map { case (cell, c) =>
+        val arr = c.map(x => s"CAST('$x' AS DOUBLE)")
+          .mkString("array(", ",", ")")
+        s"named_struct('d2', aggregate(zip_with(v, $arr, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 'cell', $cell)"
+      }
+      val argmin =
+        if (structs.length == 1) structs.head
+        else s"least(${structs.mkString(", ")})"
+      base.withColumn("_best", expr(argmin))
+        .select(col(keyCol), col("_best.cell").as("cell"),
+          col("_best.d2").as("d2"))
+    } else {
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(
+        cents.map { case (cell, c) => (cell, c.toArray) })
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        base.schema(keyCol),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val vIdx = base.schema.fieldIndex("v")
+      val kIdx = base.schema.fieldIndex(keyCol)
+      val rdd = base.rdd.mapPartitions { iter =>
+        val cb = bc.value
+        iter.map { r =>
+          val v = r.getSeq[Double](vIdx).toArray
+          var bestCell = cb(0)._1
+          var bestD2 = Double.PositiveInfinity
+          var ci = 0
+          while (ci < cb.length) {
+            val c = cb(ci)._2
+            var d2 = 0.0
+            var j = 0
+            while (j < v.length) {
+              val d = v(j) - c(j)
+              d2 += d * d
+              j += 1
+            }
+            if (d2 < bestD2) { bestD2 = d2; bestCell = cb(ci)._1 }
+            ci += 1
+          }
+          org.apache.spark.sql.Row(r.get(kIdx), bestCell, bestD2)
+        }
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+  }
+
+  /** IVF assignment-quality DRIFT metric — the retrain-trigger signal a
+    * standing append-without-refit index needs ([[ivfTopKFromIndex]]
+    * consumers, q_incivf): assign BOTH eras to the same FROZEN
+    * centroids and compare their distance-to-assigned-centroid
+    * distributions. A batch whose embedding distribution drifted away
+    * from the fit era lands systematically farther from every frozen
+    * centroid — mean/max d2 rise — which is exactly when cell recall
+    * starts decaying and a recluster is due (IncScaleBench prices the
+    * recluster against the append so the cadence is a cost decision,
+    * not a guess).
+    *
+    * Output: one row per era — (era, n_vecs, mean_d2_micros,
+    * max_d2_micros), all BIGINT: per-vector d2 is micros-rounded once
+    * (floor(d2·10⁶ + 0.5)), the mean is an integer division, so the
+    * row is exact cross-engine. Scale shape: two [[ivfAssignDist]]
+    * passes (codebook ships to executors, zero shuffle) + one keyed
+    * aggregate; nothing corpus-sized reaches the driver.
+    */
+  def ivfDriftMetric(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      centroids: DataFrame, embCol: String = "embedding"): DataFrame = {
+    def era(df: DataFrame, label: String) =
+      ivfAssignDist(df, keyCol, centroids, embCol)
+        .select(expr("CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)").as("_d2u"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(sum(_d2u) DIV count(1) AS BIGINT)").as("mean_d2_micros"),
+          max("_d2u").as("max_d2_micros"))
+        .select(lit(label).as("era"), col("n_vecs"),
+          col("mean_d2_micros"), col("max_d2_micros"))
+    era(corpus, "corpus").unionByName(era(batch, "batch"))
+  }
+
   /** Query a prebuilt IVF index — (assigned, centroids) as produced by
     * [[ivfAssign]]/[[ivfCentroids]] (or read back from a persisted
     * store): nProbe nearest cells by cosine, exact re-rank of their

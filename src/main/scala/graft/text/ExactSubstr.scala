@@ -756,16 +756,29 @@ object ExactSubstr {
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"), col("len"),
         (col(keyCol).cast("long") * (1L << PosBits) + col("pos0") + 1).as("pk"),
         col("tok"))
+    // Novel-id assignment is ORDER-FREE: a novel class's id is
+    // standing-max + 1 + the class's minimum packed position (min pk is
+    // injective per class — classes partition positions, the same
+    // representative trick suffixClassRounds uses). Compared to a dense
+    // index this (a) needs no distributed sort / zipWithIndex — the
+    // whole per-level probe fuses into ONE eager job (the r checkpoint),
+    // and (b) stays deterministic under re-derivation (groupBy-min), so
+    // the maintenance path re-deriving the novel frames for the dict
+    // growth gets identical ids. Ids are sparse (pk-ranged), which is
+    // fine — ranks are only ever compared for equality and for the
+    // above-standing-max adoption test; the periodic full rebuild the
+    // order statistics already pay re-compacts them (see
+    // [[SuffixIndexStore]]'s headroom guard).
     val maxTok = knownMaxRanks.getOrElse(1, maxOrMinus1(tokenDict, "rank"))
-    val novelToks = denseIndex(
-      p0.select("tok").distinct()
-        .join(tokenDict.select("tok"), Seq("tok"), "left_anti"),
-      Seq("tok"), "_ni")
-      .select(col("tok"), (col("_ni") + maxTok + 1).as("rank"))
-      .localCheckpoint() // consumed by the rank join and the dict growth
-    var r = p0.join(tokenDict.unionByName(novelToks), Seq("tok"))
-      .select(col(keyCol), col("pos"), col("len"), col("pk"), col("rank"))
-      .localCheckpoint()
+    val novelToks = p0.groupBy("tok").agg(min("pk").as("_mp"))
+      .join(tokenDict.select("tok"), Seq("tok"), "left_anti")
+      .select(col("tok"), (col("_mp") + maxTok + 1).as("rank"))
+    var r = p0
+      .join(tokenDict.withColumnRenamed("rank", "_rd"), Seq("tok"), "left")
+      .join(novelToks.withColumnRenamed("rank", "_rn"), Seq("tok"), "left")
+      .select(col(keyCol), col("pos"), col("len"), col("pk"),
+        coalesce(col("_rd"), col("_rn")).as("rank"))
+      .localCheckpoint() // the ONE eager job per level (the kCore pattern)
     val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
     val grownDicts = scala.collection.mutable.Map.empty[Int, DataFrame]
     var k = 1
@@ -777,20 +790,23 @@ object ExactSubstr {
         col("rank").as("_rb"))
       val paired = r.join(right, Seq(keyCol, "pos"), "left")
         .withColumn("_rb", coalesce(col("_rb"), lit(-1L)))
-      val withDict = paired.join(dict.toDF("rank", "_rb", "_r2"),
-        Seq("rank", "_rb"), "left")
-        .localCheckpoint() // consumed twice (novel-pair scan + final join)
-      val novelPairs = denseIndex(
-        withDict.filter(col("_r2").isNull).select("rank", "_rb").distinct(),
-        Seq("rank", "_rb"), "_ni")
-        .select(col("rank"), col("_rb"), (col("_ni") + maxR2 + 1).as("_r2n"))
-        .localCheckpoint() // consumed by the rank join and the dict growth
+      // novel pairs: batch (rank, rb) keys the standing dict lacks,
+      // id'd by min pk — `paired` appears twice in r's plan (here and
+      // in the final join) but both sit on the CHECKPOINTED r, so the
+      // re-derivation is a cheap self-join of materialized state, not
+      // a doubling lineage
+      val novelPairs = paired.groupBy("rank", "_rb").agg(min("pk").as("_mp"))
+        .join(dict.select(col("ra").as("rank"), col("rb").as("_rb")),
+          Seq("rank", "_rb"), "left_anti")
+        .select(col("rank"), col("_rb"), (col("_mp") + maxR2 + 1).as("_rn"))
       grownDicts(2 * k) = dict.unionByName(
         novelPairs.select(col("rank").as("ra"), col("_rb").as("rb"),
-          col("_r2n").as("r2")))
-      r = withDict.join(novelPairs, Seq("rank", "_rb"), "left")
+          col("_rn").as("r2")))
+      r = paired
+        .join(dict.toDF("rank", "_rb", "_rd"), Seq("rank", "_rb"), "left")
+        .join(novelPairs, Seq("rank", "_rb"), "left")
         .select(col(keyCol), col("pos"), col("len"), col("pk"),
-          coalesce(col("_r2"), col("_r2n")).as("rank"))
+          coalesce(col("_rd"), col("_rn")).as("rank"))
         .localCheckpoint()
       k *= 2
       out += ((k, r))

@@ -149,6 +149,16 @@ object SuffixIndexStore {
     val maxRanks = st.maxRanks.map { case (h, m) =>
       h -> math.max(m, maxOrMinus1(batchByLevel(h), "rank"))
     }
+    // novel ids are sparse (standing-max + packed-position offsets, see
+    // extendLadder) and so grow with every append; a full rebuild
+    // (bootstrapCommitted over the corpus — the cadence the order
+    // statistics already price) re-compacts them to dense. Fail LOUDLY
+    // long before arithmetic could wrap rather than alias two classes.
+    maxRanks.foreach { case (h, m) =>
+      require(m < Long.MaxValue / 4,
+        s"suffix-index rank headroom exhausted at level $h ($m) — " +
+          "rebuild the index (bootstrapCommitted) to re-compact ids")
+    }
     commitState(spark, root, keyCol, st.prefixLen, st.windowL,
       ext.rounds, ext.tokenDict, ext.pairDicts, win, maxRanks, batchMark)
   }

@@ -550,6 +550,42 @@ object TextAnalysis {
           |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
   }
 
+  /** Vocabulary-DRIFT monitor against a STANDING vocabulary — the
+    * retrain-trigger signal a production tokenizer pipeline watches on
+    * its nightly loop: how much of the incoming batch falls outside the
+    * vocabulary the tokenizer was committed on (OOV rate), and how many
+    * genuinely NEW token types the batch introduces (type growth). Both
+    * rising together means the corpus moved under the tokenizer; OOV
+    * rising alone with flat type growth means a few novel types are
+    * heavy (one new domain's jargon). `standingVocab` is any
+    * (tok, …) frame — e.g. the suffix store's token dict
+    * ([[SuffixIndexStore]]), which is exactly the distinct-token set of
+    * the corpus the index was committed on.
+    *
+    * Output: ONE row — (n_docs, n_tokens, n_oov, oov_micros,
+    * n_new_types), all BIGINT. Scale shape: one batch explode, one
+    * keyed membership join against the vocab (corpus-type-sized keyed
+    * table, not broadcast-assumed), one aggregate; nothing reaches the
+    * driver.
+    */
+  def vocabDrift(batch: DataFrame, keyCol: String,
+      standingVocab: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = withTokens(batch, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(col(keyCol), explode(col("tokens")).as("tok"))
+    toks.join(standingVocab.select(col("tok"), lit(1).as("_in_vocab")),
+        Seq("tok"), "left")
+      .agg(countDistinct(col(keyCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("_in_vocab").isNull, col("tok")))
+          .as("n_new_types"))
+      .withColumn("oov_micros", expr(
+        """CAST(floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .select("n_docs", "n_tokens", "n_oov", "oov_micros", "n_new_types")
+  }
+
   /** Inverted-index build: one row per index term with its document
     * frequency and the SORTED posting list of doc keys — the retrieval
     * artifact BM25/boolean search serve from. `maxDfRatio` drops
