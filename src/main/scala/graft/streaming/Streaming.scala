@@ -243,6 +243,55 @@ object Streaming {
     v
   }
 
+  /** Streaming maintenance of a STANDING media fingerprint store — the
+    * media grains' sibling of [[pairGraphMaintenanceStream]]: each
+    * micro-batch of (key, fingerprint) rows appends into the committed
+    * hashes/matches tables via
+    * [[graft.dedup.ImageDedup.appendHashesCommitted]] (batch band-joins
+    * the standing 8-byte/clip table; the corpus never self-joins), with
+    * the streaming batchId recorded in the commit's marker metadata —
+    * so a replayed batch (the foreachBatch at-least-once window) skips
+    * the commit and the standing tables stay exactly-once.
+    *
+    * ONE wrapper serves all three grains — image dHash, audio
+    * energy-gradient hash, video temporal hash all emit a single 64-bit
+    * fingerprint column, named by `hashCol` — because nothing past the
+    * hashing step is grain-specific: a clip firehose rides the same
+    * checkpointed loop the text pair graph does. Fingerprint the media
+    * bytes UPSTREAM of this stream
+    * ([[graft.multimodal.Multimodal.dHashes]] and siblings run
+    * executor-side and emit 8 bytes/clip), so no media byte ever
+    * reaches the checkpoint or a shuffle here.
+    */
+  def mediaFingerprintMaintenanceStream(hashes: DataFrame, root: String,
+      checkpoint: String, keyCol: String = "doc_id",
+      hashCol: String = "dhash", bands: Int = 4, maxHamming: Int = 3): Unit = {
+    val q = hashes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaFingerprintMaintenanceBatch(batch, root, keyCol, hashCol,
+          bands, maxHamming, batchId = Some(batchId)): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the media fingerprint maintenance (public so
+    * batch jobs reuse the same loop). Returns the committed artifact
+    * version — unchanged when `batchId` is already covered by the
+    * latest committed version's mark (the replay guard).
+    */
+  def mediaFingerprintMaintenanceBatch(batch: DataFrame, root: String,
+      keyCol: String, hashCol: String = "dhash", bands: Int = 4,
+      maxHamming: Int = 3, batchId: Option[Long] = None): Long =
+    graft.dedup.ImageDedup.appendHashesCommitted(batch.sparkSession, root,
+      (if (hashCol == "dhash") batch
+       else batch.withColumnRenamed(hashCol, "dhash"))
+        .select(col(keyCol), col("dhash")),
+      keyCol, bands, maxHamming, batchMark = batchId)
+
   /** Streaming SCD2 — slowly-changing-dimension maintenance driven by a
     * change stream: each micro-batch MERGEs into the persisted dimension
     * history with [[graft.operators.Scd2.merge]] (changed keys close

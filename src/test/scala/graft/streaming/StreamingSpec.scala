@@ -153,6 +153,59 @@ class StreamingSpec extends SparkSpec {
     assert(v2c.filter(col("id") === 20L).count() === 0L)
   }
 
+  test("streaming media fingerprint maintenance: one wrapper serves all " +
+      "three grains; a replayed batch adds no duplicate fingerprint rows") {
+    import graft.multimodal.Multimodal
+    val ids1 = Seq(1L, 2L, 3L).toDF("doc_id")
+    val ids2 = Seq(4L, 5L).toDF("doc_id")
+    // (grain, night-1 hash frame, night-2 hash frame) — every grain emits
+    // (key, dhash), which is the whole point of the shared wrapper
+    val grains = Seq(
+      ("image",
+        Multimodal.dHashes(Multimodal.syntheticBaseImages(ids1, "doc_id"), "img_id"),
+        Multimodal.dHashes(Multimodal.syntheticBaseImages(ids2, "doc_id"), "img_id")),
+      ("audio",
+        Multimodal.audioEnergyHashes(Multimodal.syntheticBaseWavs(ids1, "doc_id"), "aud_id"),
+        Multimodal.audioEnergyHashes(Multimodal.syntheticBaseWavs(ids2, "doc_id"), "aud_id")),
+      ("video",
+        Multimodal.videoTemporalHashes(Multimodal.syntheticBaseY4ms(ids1, "doc_id"), "vid_id"),
+        Multimodal.videoTemporalHashes(Multimodal.syntheticBaseY4ms(ids2, "doc_id"), "vid_id")))
+    for ((grain, night1, night2) <- grains) {
+      val keyCol = night1.columns.head
+      val in = java.nio.file.Files.createTempDirectory(s"mfm-in-$grain").toString
+      val root = java.nio.file.Files.createTempDirectory(s"mfm-a-$grain").toString + "/store"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"mfm-k-$grain").toString
+      night1.coalesce(1).write.mode("append").parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streaming.mediaFingerprintMaintenanceStream(
+        Streaming.fileStream(spark, in, schema), root, ckpt, keyCol)
+      val v1 = graft.core.ArtifactStore.latestVersion(spark, root)
+      val hashes1 = graft.core.ArtifactStore.read(spark, root, "hashes").get
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(hashes1.map(_.head).toSet === Set(1L, 2L, 3L), s"$grain night 1")
+
+      // REPLAY: a fresh checkpoint re-delivers the same input as batchId
+      // 0 — the mark in the marker metadata must skip the commit, so no
+      // new version and no duplicate fingerprint rows
+      val ckptLost = java.nio.file.Files.createTempDirectory(s"mfm-k2-$grain").toString
+      Streaming.mediaFingerprintMaintenanceStream(
+        Streaming.fileStream(spark, in, schema), root, ckptLost, keyCol)
+      assert(graft.core.ArtifactStore.latestVersion(spark, root) === v1,
+        s"$grain: replayed batch must not commit a new version")
+      assert(graft.core.ArtifactStore.read(spark, root, "hashes").get
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString) === hashes1,
+        s"$grain: replayed batch must not duplicate fingerprint rows")
+
+      // night 2 through the ORIGINAL checkpoint appends exactly once
+      night2.coalesce(1).write.mode("append").parquet(in)
+      Streaming.mediaFingerprintMaintenanceStream(
+        Streaming.fileStream(spark, in, schema), root, ckpt, keyCol)
+      val keys = graft.core.ArtifactStore.read(spark, root, "hashes").get
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys.sorted === Seq(1L, 2L, 3L, 4L, 5L), s"$grain night 2")
+    }
+  }
+
   test("pair-graph maintenance replay: a batch whose artifact commit " +
       "landed but whose checkpoint offset did not re-runs exactly-once") {
     val corpus = java.nio.file.Files.createTempDirectory("pgr-c").toString + "/corpus"
