@@ -72,34 +72,51 @@ object IncScaleBench {
     // log(N)·log(L) chained corpus-scan joins per append — both worse
     // than the rebuild they would replace at realistic batch:corpus
     // ratios. These rows price the chosen cadence.
+    // The suffix-index STORE's production economics, priced end-to-end
+    // against the PERSISTED artifact (graft.text.SuffixIndexStore):
+    //  - rebuild  = bootstrapCommitted (full ordered re-sort + dicts +
+    //    commit) — the cadence the ORDER-needing statistics pay;
+    //  - append   = appendBatchCommitted (dictionary-probe extension +
+    //    the grown tables streaming through to the next version);
+    //  - probe    = batchSpanCoverageVsCorpus off the committed tables
+    //    with metadata maxima (the nightly read path — what the
+    //    registry's q_incladder/q_incremoval bill per night).
+    // The claim: the PROBE (the per-night read path) is batch-governed
+    // and grows sub-linearly in the corpus; append and rebuild are both
+    // O(index) — the append because a versioned commit streams the grown
+    // tables through (the SuffixIndexStore trade: sequential copy-through
+    // I/O, no shuffle, no sort), the rebuild because it pays the
+    // log-rounds of distributed sorts ON TOP of that write. An
+    // order-consistent merge stays adjudicated out (the top-level rank
+    // dictionary approaches corpus-position cardinality, so placing
+    // novel ranks BETWEEN corpus ranks IS the re-sort; the binary-search
+    // alternative costs log N · log L chained corpus scans per append).
     for (n <- Seq(5000, 20000)) {
-      import graft.text.ExactSubstr
+      import graft.text.{ExactSubstr, SuffixIndexStore}
       val corpus = synth(spark.range(n)).cache()
       val batch = synth(spark.range(n, n + 500)).cache()
-      corpus.count(); batch.count()
+      val probeBatch = synth(spark.range(n + 500, n + 1000)).cache()
+      corpus.count(); batch.count(); probeBatch.count()
+      val root = java.nio.file.Files.createTempDirectory("incbench-suf").toString
       val t3 = System.nanoTime()
-      val rounds = ExactSubstr.orderedSuffixRounds(corpus, "doc_id",
-        prefixLen = 64)
-      val nTop = rounds.last._2.count()
-      val dtLadder = (System.nanoTime() - t3) / 1e9
-      // the standing index = ladder levels + token dict + per-level pair
-      // dicts, ALL materialized at refresh time (the r11 contract:
-      // "rederivable from materialized ladder levels ... index-build-time
-      // work paid once per level") — the nightly append pays probes only
-      val dict = ExactSubstr.corpusTokenDict(corpus, "doc_id")
-        .localCheckpoint()
-      val byLevel = rounds.toMap
-      val pairDicts = Seq(2, 4, 8, 16, 32, 64).map(h =>
-        h -> ExactSubstr.pairDictFromLadder(byLevel(h / 2), byLevel(h),
-          h / 2, "doc_id").localCheckpoint()).toMap
+      SuffixIndexStore.bootstrapCommitted(spark, root, corpus, "doc_id",
+        prefixLen = 64, windowL = 13)
+      val dtRebuild = (System.nanoTime() - t3) / 1e9
       val t4 = System.nanoTime()
-      val ext = ExactSubstr.batchRanksVsCorpus(batch, "doc_id", "text",
-        rounds, dict, prefixLen = 64, pairDicts = pairDicts)
-      val nExt = ext.last._2.count()
+      SuffixIndexStore.appendBatchCommitted(spark, root, batch, "doc_id",
+        batchMark = Some(1L))
       val dtAppend = (System.nanoTime() - t4) / 1e9
-      println(f"ladder corpus=$n positions=$nTop rebuild=$dtLadder%.1f s " +
-        f"batch=500 ext_positions=$nExt append=$dtAppend%.1f s " +
-        f"rebuild_vs_append=${dtLadder / dtAppend}%.1fx")
+      val st = SuffixIndexStore.read(spark, root).get
+      val t5 = System.nanoTime()
+      val nProbe = ExactSubstr.batchSpanCoverageVsCorpus(probeBatch,
+        "doc_id", L = 13, corpusRounds = st.rounds, tokenDict = st.tokenDict,
+        corpusWinCounts = st.windowCounts, pairDicts = st.pairDicts,
+        knownMaxRanks = st.maxRanks).count()
+      val dtProbe = (System.nanoTime() - t5) / 1e9
+      println(f"suffix_store corpus=$n batch=500 rebuild=$dtRebuild%.1f s " +
+        f"append=$dtAppend%.1f s probe=$dtProbe%.1f s (probe_rows=$nProbe) " +
+        f"rebuild_vs_append=${dtRebuild / dtAppend}%.1fx " +
+        f"append_vs_probe=${dtAppend / dtProbe}%.1fx")
       spark.catalog.clearCache()
     }
 
@@ -126,6 +143,61 @@ object IncScaleBench {
       println(f"ivf_assign vectors=$nVec codebook=${cells}x$dim " +
         f"assigned=$nAssigned cells_used=$nCells broadcast_path=true " +
         f"assign=$dtAssign%.1f s")
+      spark.catalog.clearCache()
+    }
+
+    // IVF drift + the recluster-vs-append price (the q_ivfdrift story at
+    // scale): a standing index appends a DRIFTED batch without refit —
+    // the cheap row is assign(batch) + the drift metric (the retrain
+    // signal); the expensive row is the full recluster (KMeans refit
+    // over the union + reassign everything). The drift metric is what
+    // turns the cadence into a cost decision: recluster when
+    // batch mean-d2 pulls away from the fit era, not on a timer.
+    {
+      import graft.similarity.Similarity
+      val dim = 32; val nCorpus = 150000; val nBatch = 4000
+      val corpus = spark.range(nCorpus).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), j -> sin(CAST(id * $dim + j AS DOUBLE)))")
+          .as("embedding")).cache()
+      // drifted batch: the corpus generator plus a constant shift
+      val batch = spark.range(nCorpus, nCorpus + nBatch).select(
+        col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), j -> sin(CAST(id * $dim + j AS DOUBLE)) + 0.4D)")
+          .as("embedding")).cache()
+      corpus.count(); batch.count()
+      // yesterday's standing index — centroids, assignments AND the
+      // fit-era drift row all persist from fit time; none billed to the
+      // nightly append
+      val centroids = Similarity.ivfCentroids(corpus, nClusters = 16)
+        .localCheckpoint()
+      val standing = Similarity.ivfAssign(corpus, "vec_id", centroids)
+        .localCheckpoint()
+      val fitEra = Similarity.ivfDriftEra(corpus, "corpus", "vec_id", centroids)
+        .localCheckpoint()
+      val meanFit = fitEra.head.getLong(2)
+      // the nightly append: assign the batch to the frozen centroids +
+      // compute ITS drift row — batch-sized work only
+      val t6 = System.nanoTime()
+      val appended = standing.select("vec_id")
+        .unionByName(Similarity.ivfAssign(batch, "vec_id", centroids)
+          .select("vec_id")).count()
+      val meanBatch = Similarity.ivfDriftEra(batch, "batch", "vec_id",
+        centroids).head.getLong(2)
+      val dtAppend = (System.nanoTime() - t6) / 1e9
+      // the priced alternative: full recluster (refit over the union +
+      // reassign everything) — corpus-sized by construction
+      val t7 = System.nanoTime()
+      val refit = Similarity.ivfCentroids(corpus.unionByName(batch),
+        nClusters = 16)
+      val nRefit = Similarity.ivfAssign(corpus.unionByName(batch), "vec_id",
+        refit).count()
+      val dtRecluster = (System.nanoTime() - t7) / 1e9
+      println(f"ivf_drift corpus=$nCorpus batch=$nBatch appended=$appended " +
+        f"refit=$nRefit mean_d2_micros_fit=$meanFit " +
+        f"mean_d2_micros_batch=$meanBatch " +
+        f"drift_ratio=${meanBatch.toDouble / math.max(meanFit, 1L)}%.1fx " +
+        f"append+metric=$dtAppend%.1f s recluster=$dtRecluster%.1f s " +
+        f"recluster_vs_append=${dtRecluster / dtAppend}%.1fx")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -417,17 +417,25 @@ object Similarity {
     * aggregate; nothing corpus-sized reaches the driver.
     */
   def ivfDriftMetric(corpus: DataFrame, batch: DataFrame, keyCol: String,
-      centroids: DataFrame, embCol: String = "embedding"): DataFrame = {
-    def era(df: DataFrame, label: String) =
-      ivfAssignDist(df, keyCol, centroids, embCol)
-        .select(expr("CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)").as("_d2u"))
-        .agg(count(lit(1)).as("n_vecs"),
-          expr("CAST(sum(_d2u) DIV count(1) AS BIGINT)").as("mean_d2_micros"),
-          max("_d2u").as("max_d2_micros"))
-        .select(lit(label).as("era"), col("n_vecs"),
-          col("mean_d2_micros"), col("max_d2_micros"))
-    era(corpus, "corpus").unionByName(era(batch, "batch"))
-  }
+      centroids: DataFrame, embCol: String = "embedding"): DataFrame =
+    ivfDriftEra(corpus, "corpus", keyCol, centroids, embCol)
+      .unionByName(ivfDriftEra(batch, "batch", keyCol, centroids, embCol))
+
+  /** One era's [[ivfDriftMetric]] row. Exposed separately because the
+    * nightly loop only pays the BATCH era: the fit era's row is computed
+    * once when the centroids are frozen and persisted with the index —
+    * per append you compute the batch row and compare against the stored
+    * fit-era stats (IncScaleBench prices exactly that split).
+    */
+  def ivfDriftEra(df: DataFrame, era: String, keyCol: String,
+      centroids: DataFrame, embCol: String = "embedding"): DataFrame =
+    ivfAssignDist(df, keyCol, centroids, embCol)
+      .select(expr("CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)").as("_d2u"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(_d2u) DIV count(1) AS BIGINT)").as("mean_d2_micros"),
+        max("_d2u").as("max_d2_micros"))
+      .select(lit(era).as("era"), col("n_vecs"),
+        col("mean_d2_micros"), col("max_d2_micros"))
 
   /** Query a prebuilt IVF index — (assigned, centroids) as produced by
     * [[ivfAssign]]/[[ivfCentroids]] (or read back from a persisted
