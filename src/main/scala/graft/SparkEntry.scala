@@ -264,6 +264,9 @@ object SparkEntry {
         } catch { case _: java.io.IOException => () }
       }
     }))
+  private val suffixStoreStanding =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.text.SuffixIndexStore.Standing]()
   private def suffixStoreFor(spark: SparkSession, dir: String)
       : graft.text.SuffixIndexStore.Standing = {
     suffixStoreHook
@@ -278,7 +281,11 @@ object SparkEntry {
         batchMark = Some(1L))
       r
     })
-    graft.text.SuffixIndexStore.read(spark, root).get
+    // memoize the handle: the store is immutable once built for a dir,
+    // so re-listing versions and re-opening 14 parquet footers per query
+    // invocation is pure overhead (the DataFrames stay lazy either way)
+    suffixStoreStanding.computeIfAbsent(dir,
+      _ => graft.text.SuffixIndexStore.read(spark, root).get)
   }
 
   /** Session-materialized adjacent-suffix LCP pair table over

@@ -148,13 +148,30 @@ object RunIncrementalCuration {
       // the fifth grain: the standing suffix index grows by the kept
       // batch — bootstrap commits the (possibly empty) current corpus as
       // v1 once, every night appends under the same batch-mark contract,
-      // so a replayed night skips the commit instead of double-ranking
+      // so a replayed night skips the commit instead of double-ranking.
+      // The batch's vocabulary-drift row vs the standing token dict (OOV
+      // rate + new-type count — the tokenizer retrain signal) ledgers
+      // INTO the commit's marker metadata, so every version records how
+      // far its batch moved the vocabulary (readable via
+      // ArtifactStore.readMeta, no extra table).
       val sufRoot = s"$outRoot/artifacts_suffix"
       if (graft.core.ArtifactStore.latestVersion(spark, sufRoot).isEmpty)
         graft.text.SuffixIndexStore.bootstrapCommitted(spark, sufRoot,
           corpus, "doc_id")
+      // (a replay's kept batch is empty — the append below skips on the
+      // covered mark, so there is nothing to ledger either)
+      val driftMeta = if (keptDocs == 0L) Map.empty[String, String] else {
+        val standingDict =
+          graft.text.SuffixIndexStore.read(spark, sufRoot).get.tokenDict
+        graft.text.TextAnalysis.vocabDrift(kept, "doc_id", standingDict)
+          .collect().headOption.map { r =>
+            Map("vocab_n_tokens" -> r.getAs[Long]("n_tokens").toString,
+              "vocab_oov_micros" -> r.getAs[Long]("oov_micros").toString,
+              "vocab_new_types" -> r.getAs[Long]("n_new_types").toString)
+          }.getOrElse(Map.empty[String, String])
+      }
       graft.text.SuffixIndexStore.appendBatchCommitted(spark, sufRoot,
-        kept, "doc_id", batchMark = Some(hi))
+        kept, "doc_id", batchMark = Some(hi), extraMeta = driftMeta)
     }
     if (crashAfterStep.contains(3)) throw new InjectedCrash(3)
     if (keptDocs > 0L)

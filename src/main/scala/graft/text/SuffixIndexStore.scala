@@ -126,10 +126,16 @@ object SuffixIndexStore {
     * append does: an append whose mark the latest committed version
     * already covers returns that version without committing. Returns
     * the committed version.
+    *
+    * `extraMeta` rides the commit marker verbatim (key'd under the
+    * caller's names) — the nightly loop uses it to ledger the batch's
+    * vocabulary-drift row ([[TextAnalysis.vocabDrift]] vs the standing
+    * token dict) next to the version it describes.
     */
   def appendBatchCommitted(spark: SparkSession, root: String,
       batch: DataFrame, keyCol: String, textCol: String = "text",
-      batchMark: Option[Long] = None): Long = {
+      batchMark: Option[Long] = None,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     batchMark.foreach { mark =>
       val latest = ArtifactStore.latestVersion(spark, root)
       if (latest.isDefined &&
@@ -160,13 +166,15 @@ object SuffixIndexStore {
           "rebuild the index (bootstrapCommitted) to re-compact ids")
     }
     commitState(spark, root, keyCol, st.prefixLen, st.windowL,
-      ext.rounds, ext.tokenDict, ext.pairDicts, win, maxRanks, batchMark)
+      ext.rounds, ext.tokenDict, ext.pairDicts, win, maxRanks, batchMark,
+      extraMeta)
   }
 
   private def commitState(spark: SparkSession, root: String, keyCol: String,
       prefixLen: Int, windowL: Int, rounds: Seq[(Int, DataFrame)],
       tokenDict: DataFrame, pairDicts: Map[Int, DataFrame], win: DataFrame,
-      maxRanks: Map[Int, Long], batchMark: Option[Long]): Long = {
+      maxRanks: Map[Int, Long], batchMark: Option[Long],
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val tables =
       rounds.map { case (h, df) => s"ladder_$h" -> df }.toMap ++
         pairDicts.collect { case (h, df) if h > 1 => s"pair_dict_$h" -> df } +
@@ -176,7 +184,8 @@ object SuffixIndexStore {
       "prefix_len" -> prefixLen.toString,
       "window_l" -> windowL.toString) ++
       maxRanks.map { case (h, m) => s"max_rank_$h" -> m.toString } ++
-      batchMark.map(m => PairGraph.BatchMarkKey -> m.toString)
+      batchMark.map(m => PairGraph.BatchMarkKey -> m.toString) ++
+      extraMeta
     ArtifactStore.commit(spark, root, tables, meta)
   }
 

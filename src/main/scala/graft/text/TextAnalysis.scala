@@ -577,12 +577,15 @@ object TextAnalysis {
         Seq("tok"), "left")
       .agg(countDistinct(col(keyCol)).as("n_docs"),
         count(lit(1)).as("n_tokens"),
-        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"),
         countDistinct(when(col("_in_vocab").isNull, col("tok")))
           .as("n_new_types"))
+      // an empty batch yields the all-zero row, not nulls (0/0 → 0)
       .withColumn("oov_micros", expr(
-        """CAST(floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+        """CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+          |  floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |    * 1e6 + 0.5) END AS BIGINT)""".stripMargin))
       .select("n_docs", "n_tokens", "n_oov", "oov_micros", "n_new_types")
   }
 

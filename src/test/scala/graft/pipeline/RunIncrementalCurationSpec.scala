@@ -186,6 +186,17 @@ class RunIncrementalCurationSpec extends SparkSpec {
     RunIncrementalCuration.run(spark, refDocs, refOut, cfg, suffixIndex = true)
     val ref = suffixState(refOut)
 
+    // the vocabulary-drift ledger rode night 2's commit metadata: doc 21
+    // re-uses family-A tokens (plus its fresh tail), doc 22 is all-new —
+    // OOV must be strictly between 0 and 100%, and new types positive
+    val sufRoot = s"$refOut/artifacts_suffix"
+    val v = graft.core.ArtifactStore.latestVersion(spark, sufRoot).get
+    val meta = graft.core.ArtifactStore.readMeta(spark, sufRoot, v).get
+    assert(meta("vocab_n_tokens").toLong === 40L, "two 20-token docs")
+    val oov = meta("vocab_oov_micros").toLong
+    assert(oov > 0L && oov < 1000000L)
+    assert(meta("vocab_new_types").toLong > 0L)
+
     for (step <- Seq(3, 4)) {
       val (docsDir, out) = setup()
       writeDocsTo(docsDir, night1)
