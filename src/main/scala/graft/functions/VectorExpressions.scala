@@ -85,6 +85,13 @@ object GraftFunctions {
         BloomMightContain(children.head, children(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles expects 2 arguments")
+        ShingleArray(children.head, children(1))
+      },
+      "built-in")
   }
 }
 
@@ -113,5 +120,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomMightContain].getName, "graft_bf_contains"),
       (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleArray(children.head, children(1))))
   }
 }
