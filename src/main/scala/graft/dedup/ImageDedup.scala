@@ -169,7 +169,12 @@ object ImageDedup {
   def sharedFramePairs(frames: DataFrame, keyCol: String,
       planeCol: String = "y_plane", maxClipsPerFrame: Int = 50): DataFrame = {
     require(maxClipsPerFrame >= 2, s"cap must allow pairs: $maxClipsPerFrame")
+    // Eagerly materialized: fp feeds the df table AND both sides of the
+    // pair self-join — lazily each consumer re-ran the upstream frame
+    // decode (the md5 fingerprint is exactly the 16-byte/frame proxy the
+    // heavy plane bytes should collapse to once, guide §8).
     val fp = frames.select(col(keyCol), md5(col(planeCol)).as("fh")).distinct()
+      .localCheckpoint()
     val dfTab = fp.groupBy("fh").agg(count(lit(1)).as("fdf"))
     val kept = fp.join(dfTab.filter(col("fdf") <= maxClipsPerFrame), Seq("fh"))
       .select("fh", keyCol)

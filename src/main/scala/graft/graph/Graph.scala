@@ -373,9 +373,22 @@ object Graph {
   def hitsMicros(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iterations: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    // The edge list is the iteration's working set; each half-iteration
+    // joins it with the node-sized score vector and then aggregates by the
+    // OTHER endpoint. Cache two copies, each pre-partitioned by the key the
+    // step GROUPS on (guide §2.4 — two operations keyed the same way share
+    // one exchange): when the planner broadcasts the score vector (it is
+    // node-sized — AQE picks this whenever it fits), the join preserves the
+    // cached partitioning and the groupBy needs NO exchange, so the edge
+    // table never moves again after the two cache fills; when the vector is
+    // too big to broadcast (web-scale graphs) the step degrades to the same
+    // two exchanges the naive form always paid. The second copy reparti-
+    // tions the FIRST cache, so the upstream edge build runs exactly once.
+    val eDst = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("dst")).cache()
+    val eSrc = eDst.repartition(col("src")).cache()
+    val nodes = eDst.select(col("src").as("node"))
+      .unionByName(eDst.select(col("dst").as("node"))).distinct().cache()
     // Each raw sum feeds BOTH its max-normalizer scalar and the join that
     // consumes it, and each normalized vector feeds both the next step and
     // the final output, so the composed LOGICAL plan re-embeds the whole
@@ -385,24 +398,34 @@ object Graph {
     // localCheckpoint (node-sized data — the engine's standard pattern
     // for iterative joins, same as kCore/BPE): every iteration then
     // starts from a flat in-memory leaf.
+    //
+    // ONE eager action per half-iteration (guide §1.2 — the job count, not
+    // the data, was the wall at bench scale): the raw sum is cache()d (its
+    // two consumers — the broadcast max subtree and the normalizing
+    // projection — share one computation lazily) and only the normalized
+    // vector is checkpointed. Nodes with no in/out contributions are NOT
+    // re-attached per iteration: an absent row behaves exactly like its
+    // filled 0 in every downstream keyed sum (0 contributes nothing) and
+    // cannot carry the max (the invariant max > 0 has a witness row), so
+    // the fill-with-zeros happens ONCE at the output join instead of 8
+    // times through the loop. Scores are unchanged row-for-row.
     def maxNorm(rawDf: DataFrame, c: String): DataFrame = {
-      val raw = rawDf.localCheckpoint()
+      val raw = rawDf.cache()
       val m = raw.agg(max(col(c)).as("_mx"))
-      nodes.join(raw, Seq("node"), "left").na.fill(0L, Seq(c))
-        .crossJoin(broadcast(m))
+      raw.crossJoin(broadcast(m))
         .select(col("node"), expr(s"$c * 1000000L div _mx").as(c))
         .localCheckpoint()
     }
     var h = nodes.withColumn("h", lit(1000000L))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
-      a = maxNorm(e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+      a = maxNorm(eDst.join(h.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("h").as("a")), "a")
-      h = maxNorm(e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+      h = maxNorm(eSrc.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum("a").as("h")), "h")
     }
-    nodes.join(h, Seq("node")).join(a, Seq("node"), "left")
-      .na.fill(0L, Seq("a"))
+    nodes.join(h, Seq("node"), "left").na.fill(0L, Seq("h"))
+      .join(a, Seq("node"), "left").na.fill(0L, Seq("a"))
       .select(col("node"), col("h").as("hub_micros"), col("a").as("auth_micros"))
   }
 
