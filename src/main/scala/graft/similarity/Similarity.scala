@@ -99,7 +99,14 @@ object Similarity {
     // to one candidate per query before the shuffle, where the window
     // form shuffles and sorts every pair row.
     val base = withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    // The streamed side of the broadcast NL join inherits the SCAN's
+    // partitioning — a corpus that fits one parquet split runs the whole
+    // O(n²·d) dot-product sweep in ONE task. Round-robin repartition
+    // spreads the streamed rows over the session's shuffle parallelism;
+    // the shuffled bytes are n embedding rows, negligible next to the
+    // n²·d compute they unlock.
     val nn = base.toDF("neighbor_id", "nv", "nnorm")
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .join(broadcast(base.toDF("query_id", "qv", "qnorm")),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))

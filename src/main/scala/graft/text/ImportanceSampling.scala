@@ -110,7 +110,9 @@ object ImportanceSampling {
     */
   def unigramNll(docs: DataFrame, keyCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val b = tokenBuckets(docs, keyCol, textCol)
+    // cached: the token table feeds the bucket counts AND the per-doc
+    // join below — lazily each consumer re-ran the tokenize+md5 explode
+    val b = tokenBuckets(docs, keyCol, textCol).cache()
     val cnt = b.groupBy("bucket").agg(count(lit(1)).as("cb"))
     val tot = cnt.agg(sum(col("cb")).as("tt"))
     b.join(cnt, Seq("bucket"))
@@ -198,7 +200,8 @@ object ImportanceSampling {
   def bigramNll(docs: DataFrame, keyCol: String = "doc_id",
       textCol: String = "text", lambdaMix: Double = 0.75): DataFrame = {
     require(lambdaMix > 0.0 && lambdaMix < 1.0, s"lambda must be in (0,1): $lambdaMix")
-    val uni = tokenBuckets(docs, keyCol, textCol)
+    // cached: feeds c1, tot and (via bg's shape) nothing else — one pass
+    val uni = tokenBuckets(docs, keyCol, textCol).cache()
     val c1 = uni.groupBy("bucket").agg(count(lit(1)).as("cb"))
     val tot = uni.agg(count(lit(1)).as("tt"))
     val bg = TextAnalysis.withTokens(docs, textCol)
@@ -208,6 +211,9 @@ object ImportanceSampling {
           |  i -> struct(substr(md5(element_at(tokens, i - 1)), 1, 3) AS pb,
           |              substr(md5(element_at(tokens, i)), 1, 3) AS b))""".stripMargin)).as("g"))
       .select(col(keyCol), col("g.pb").as("pb"), col("g.b").as("b"))
+      // cached: bg feeds the c2 aggregate and the scoring join — lazily the
+      // tokenize + 2-md5-per-bigram explode ran once per consumer
+      .cache()
     val c2 = bg.groupBy("pb", "b").agg(count(lit(1)).as("c2"))
     bg.join(c2, Seq("pb", "b"))
       .join(c1.select(col("bucket").as("pb"), col("cb").as("cp")), Seq("pb"))
@@ -261,7 +267,10 @@ object ImportanceSampling {
           |  i -> struct(substr(md5(element_at(tokens, i - 1)), 1, 3) AS pb,
           |              substr(md5(element_at(tokens, i)), 1, 3) AS b))""".stripMargin)).as("g"))
       .select(col(keyCol), col("g.pb").as("pb"), col("g.b").as("b"))
-    val c2 = bg.groupBy("pb", "b").agg(count(lit(1)).as("c2"))
+      // cached: bg feeds c2, ctx AND the scoring join (n1l/n1r reuse c2's
+      // exchange) — lazily the bigram explode ran once per consumer
+      .cache()
+    val c2 = bg.groupBy("pb", "b").agg(count(lit(1)).as("c2")).cache()
     val ctx = bg.groupBy("pb").agg(count(lit(1)).as("ctx"))
     val n1l = c2.groupBy("pb").agg(count(lit(1)).as("n1l"))
     val n1r = c2.groupBy("b").agg(count(lit(1)).as("n1r"))
