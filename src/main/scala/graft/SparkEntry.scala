@@ -2547,8 +2547,15 @@ object SparkEntry {
     //      flip and the gate goes red ----
     ("q_mmquality",
       (s, d) => Multimodal.captionImageScreen(
+        // repartition: the docs scan is one split at bench scale, so the
+        // PNG synth + decode otherwise runs single-task; checkpoint: the
+        // screen consumes the mixed frame twice (decode health + text
+        // stats) and the RDD-backed frame blocks column pruning, so the
+        // lazy form synthesized the media for BOTH branches
         Multimodal.withMixedMedia(
-          Tables(s, d).documents.select("doc_id", "text"), "doc_id"),
+          Tables(s, d).documents.select("doc_id", "text")
+            .repartition(s.sessionState.conf.numShufflePartitions),
+          "doc_id").localCheckpoint(),
         "doc_id"),
       Some("""WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens,

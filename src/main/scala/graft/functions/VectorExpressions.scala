@@ -92,6 +92,13 @@ object GraftFunctions {
         ShingleArray(children.head, children(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_lsh_buckets expects 3 arguments")
+        LshBuckets(children.head, children(1), children(2))
+      },
+      "built-in")
   }
 }
 
@@ -125,5 +132,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => ShingleArray(children.head, children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) =>
+        LshBuckets(children.head, children(1), children(2))))
   }
 }

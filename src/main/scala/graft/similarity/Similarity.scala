@@ -186,18 +186,24 @@ object Similarity {
   def withBuckets(df: DataFrame, keyCol: String, nPlanes: Int, numTables: Int,
       seed: Long, embCol: String = "embedding"): DataFrame = {
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val planes = (0 until numTables).flatMap { t =>
-      hyperplanes(dim, nPlanes, seed + t).map { case (p, vec) => (t, p, vec) }
+    // All numTables buckets per row in ONE native codegen'd projection
+    // (graft_lsh_buckets) instead of exploding the corpus across the
+    // numTables·nPlanes plane rows and re-collecting the bits with a
+    // (key, table) groupBy — that form paid a corpus×planes Exchange per
+    // bucketing pass (guide §2.4: remove shuffles outright). The planes
+    // ride along as one foldable array<array<double>> literal
+    // (table-major, plane-minor); dot products are the same sequential
+    // graft_dot fold, so bucket values are bit-identical
+    // (LshExpressionsSpec asserts equality with the join+groupBy form).
+    val planes: Seq[Seq[Double]] = (0 until numTables).flatMap { t =>
+      hyperplanes(dim, nPlanes, seed + t).map(_._2)
     }
-    val planesDf = df.sparkSession.createDataFrame(planes)
-      .toDF("table_id", "plane_id", "pvec")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     withNorm(df, embCol)
-      .select(col(keyCol), col("v"))
-      .join(broadcast(planesDf))
-      .withColumn("bit",
-        when(expr(s"${dot("pvec", "v")} > 0"), expr("shiftleft(1L, plane_id)")).otherwise(0L))
-      .groupBy(col(keyCol), col("table_id"))
-      .agg(sum(col("bit")).as("bucket"))
+      .select(col(keyCol), posexplode(call_function("graft_lsh_buckets",
+        col("v"), typedlit(planes), lit(nPlanes))).as(Seq("table_id", "bucket")))
+      .select(col(keyCol), col("table_id").cast("int").as("table_id"),
+        col("bucket"))
   }
 
   /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
