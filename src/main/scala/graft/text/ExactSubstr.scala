@@ -674,6 +674,14 @@ object ExactSubstr {
     if (v == null) -1L else v.asInstanceOf[Long]
   }
 
+  /** Max rank of a dictionary column (−1 on empty) — the value
+    * `knownMaxRanks` forwards so probes skip the per-level 1-row max
+    * actions ([[extendLadder]]'s driver-job note). Public so callers
+    * holding MATERIALIZED dicts can compute the maxima once and memoize
+    * them (deterministic and bounded: one long per ladder level).
+    */
+  def dictMaxRank(df: DataFrame, c: String): Long = maxOrMinus1(df, c)
+
   /** The result of extending a standing ladder index with one batch
     * ([[extendLadder]]): `batchRounds` are the batch's per-level rank
     * frames (the probe surface — what [[batchRanksVsCorpus]] returns);

@@ -61,4 +61,26 @@ class StatsSpec extends SparkSpec {
     assert(flat.getAs[Long]("assoc_num") === 0L)
     assert(flat.getAs[Boolean]("reversed") === false)
   }
+
+  test("exactPercentiles is bit-identical to the percentile() aggregate") {
+    val rng = new scala.util.Random(11)
+    // mixed continuum + heavy ties + a tiny frame (interpolation edges)
+    val vals = Seq.fill(5000)(math.floor(rng.nextDouble() * 100000) / 100.0) ++
+      Seq.fill(500)(42.5) ++ Seq.fill(3)(-7.25)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(7)
+    val probs = Seq(0.0, 0.01, 0.5, 0.9, 0.99, 1.0)
+    val agg = df.agg(org.apache.spark.sql.functions.expr(
+      s"percentile(v, array(${probs.mkString(", ")}))").as("ex"))
+      .head().getSeq[Double](0)
+    val sorted = Stats.exactPercentiles(df, "v", probs)
+    probs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(agg(i)) ===
+        java.lang.Double.doubleToRawLongBits(sorted(i)),
+        s"p=${probs(i)}: agg ${agg(i)} vs sorted ${sorted(i)}")
+    }
+    // 1-row edge
+    val one = Seq((1L, 3.5)).toDF("id", "v")
+    assert(Stats.exactPercentiles(one, "v", Seq(0.5)) === Seq(3.5))
+  }
 }
