@@ -2317,7 +2317,11 @@ object SparkEntry {
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + lit(10000000L)).as("doc_b"))
         val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
-        images.agg(count(lit(1)).as("n_images"))
+        // count the checkpointed fingerprint table, not `images`: dHashes
+        // emits exactly one row per media row, and re-counting `images`
+        // re-ran the whole synth+PNG-encode pass a second time (measured
+        // ~1.2 s at sf0.1 — the count was the only consumer of that pass)
+        hashes.agg(count(lit(1)).as("n_images"))
           .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
           .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
           .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
@@ -2351,7 +2355,9 @@ object SparkEntry {
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + lit(10000000L)).as("doc_b"))
         val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
-        clips.agg(count(lit(1)).as("n_clips"))
+        // hashes-count, not clips-count (see q_imgdedup): one less pass
+        // over the materialized clip parquet
+        hashes.agg(count(lit(1)).as("n_clips"))
           .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
           .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
           .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
@@ -2380,9 +2386,14 @@ object SparkEntry {
         // bytes sit in object storage and the pipeline READS them — the
         // per-run work this query measures is the decode+hash+band path,
         // not re-synthesizing and re-ENCODING 60k FLAC streams
-        val clips = graft.core.Materialize.once(s, s"flacclips|$d") {
-          Multimodal.syntheticBlockFlacs(docs, "doc_id")
-        }
+        // Par.boost: the session-materialized clip parquet fits one local
+        // 128 MB split, which ran the whole FLAC decode on one core; at
+        // production scale a media store is many files and the guard is a
+        // no-op (the one local shuffle moves the clips' bytes once)
+        val clips = graft.core.Par.boost(
+          graft.core.Materialize.once(s, s"flacclips|$d") {
+            Multimodal.syntheticBlockFlacs(docs, "doc_id")
+          }) // boost: the memo parquet fits one local split (decode ran 1-core)
         // same one-decode billing as q_imgdedup (see comment there) — here
         // the saved pass is the full FLAC decode per clip
         val hashes = Multimodal.audioEnergyHashes(clips, "aud_id").localCheckpoint()
@@ -2392,7 +2403,9 @@ object SparkEntry {
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + lit(10000000L)).as("doc_b"))
         val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
-        clips.agg(count(lit(1)).as("n_clips"))
+        // hashes-count, not clips-count: one row per clip either way, and
+        // the clips re-count re-ran the WAV synthesis (see q_imgdedup)
+        hashes.agg(count(lit(1)).as("n_clips"))
           .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
           .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
           .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
@@ -2427,7 +2440,9 @@ object SparkEntry {
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + lit(10000000L)).as("doc_b"))
         val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi")
-        clips.agg(count(lit(1)).as("n_clips"))
+        // hashes-count, not clips-count (see q_imgdedup): saves the second
+        // Y4M synthesis pass
+        hashes.agg(count(lit(1)).as("n_clips"))
           .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
           .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
           .crossJoin(broadcast(found.agg(count(lit(1)).as("planted_found"))))
@@ -2474,11 +2489,14 @@ object SparkEntry {
         val batch = Multimodal.syntheticImageBatch(docs, "doc_id")
         // one-decode billing (see q_imgdedup): both fingerprint tables and
         // the match table feed multiple agg branches below
+        val bh = Multimodal.dHashes(batch, "img_id").localCheckpoint()
         val m = graft.dedup.ImageDedup.incrementalDHashPairs(
-          Multimodal.dHashes(batch, "img_id").localCheckpoint(),
-          Multimodal.dHashes(corpus, "img_id").localCheckpoint(), "img_id")
+          bh, Multimodal.dHashes(corpus, "img_id").localCheckpoint(), "img_id")
           .localCheckpoint()
-        batch.agg(count(lit(1)).as("n_batch"))
+        // batch-hash count, not batch count: one fingerprint row per batch
+        // image, so this is the same value without re-running the batch
+        // synthesis pass (see q_imgdedup)
+        bh.agg(count(lit(1)).as("n_batch"))
           .crossJoin(broadcast(m.filter(col("source") === "corpus")
             .agg(count(lit(1)).as("corpus_matches"))))
           .crossJoin(broadcast(m.filter(col("source") === "batch")
@@ -2507,11 +2525,12 @@ object SparkEntry {
         val corpus = Multimodal.syntheticBaseWavs(docs, "doc_id")
         val batch = Multimodal.syntheticAudioBatch(docs, "doc_id")
         // one-decode billing (see q_imgdedup)
+        val bh = Multimodal.audioEnergyHashes(batch, "aud_id").localCheckpoint()
         val m = graft.dedup.ImageDedup.incrementalDHashPairs(
-          Multimodal.audioEnergyHashes(batch, "aud_id").localCheckpoint(),
-          Multimodal.audioEnergyHashes(corpus, "aud_id").localCheckpoint(),
+          bh, Multimodal.audioEnergyHashes(corpus, "aud_id").localCheckpoint(),
           "aud_id").localCheckpoint()
-        batch.agg(count(lit(1)).as("n_batch"))
+        // batch-hash count ≡ batch count without the second synthesis pass
+        bh.agg(count(lit(1)).as("n_batch"))
           .crossJoin(broadcast(m.filter(col("source") === "corpus")
             .agg(count(lit(1)).as("corpus_matches"))))
           .crossJoin(broadcast(m.filter(col("source") === "batch")
@@ -2537,11 +2556,12 @@ object SparkEntry {
         val corpus = Multimodal.syntheticBaseY4ms(docs, "doc_id")
         val batch = Multimodal.syntheticVideoBatch(docs, "doc_id")
         // one-decode billing (see q_imgdedup)
+        val bh = Multimodal.videoTemporalHashes(batch, "vid_id").localCheckpoint()
         val m = graft.dedup.ImageDedup.incrementalDHashPairs(
-          Multimodal.videoTemporalHashes(batch, "vid_id").localCheckpoint(),
-          Multimodal.videoTemporalHashes(corpus, "vid_id").localCheckpoint(),
+          bh, Multimodal.videoTemporalHashes(corpus, "vid_id").localCheckpoint(),
           "vid_id").localCheckpoint()
-        batch.agg(count(lit(1)).as("n_batch"))
+        // batch-hash count ≡ batch count without the second synthesis pass
+        bh.agg(count(lit(1)).as("n_batch"))
           .crossJoin(broadcast(m.filter(col("source") === "corpus")
             .agg(count(lit(1)).as("corpus_matches"))))
           .crossJoin(broadcast(m.filter(col("source") === "batch")

@@ -46,6 +46,11 @@ final class Tables(val spark: SparkSession, val dir: String) {
       case _ => df
     }
   }
+  // documents/embeddings are NOT blanket-boosted: a registry-wide A/B
+  // (round 14) showed the repartition's extra tasks through every
+  // downstream tiny stage cost more than the parallelism wins on most
+  // text queries; Par.boost is applied instead at the measured
+  // compute-dense sites (media synthesis/decode, FLAC clips read).
   def documents: DataFrame  = apply("documents")
   def embeddings: DataFrame = apply("embeddings")
 }

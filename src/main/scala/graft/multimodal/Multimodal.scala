@@ -647,12 +647,18 @@ object Multimodal {
     */
   def syntheticBlockImages(df: DataFrame, keyCol: String,
       plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame = {
-    val spark = df.sparkSession
-    val keyIdx = df.schema.fieldIndex(keyCol)
+    // Par.boost: the id frame is a projected scan that fits one local
+    // split, which serialized the synth+encode AND the downstream decode
+    // (pipelined into this RDD) on one core — measured 3.2 s at 32 cores
+    // (round 14). No-op at scale (corpus scans carry >= parallelism
+    // splits); only ids are shuffled, never media bytes.
+    val src = graft.core.Par.boost(df)
+    val spark = src.sparkSession
+    val keyIdx = src.schema.fieldIndex(keyCol)
     val outSchema = StructType(Seq(
       StructField("img_id", LongType, nullable = false),
       StructField("media", BinaryType)))
-    val rdd = df.rdd.mapPartitions { iter =>
+    val rdd = src.rdd.mapPartitions { iter =>
       iter.flatMap { r =>
         val id = r.get(keyIdx) match {
           case l: java.lang.Long => l.longValue()
@@ -699,14 +705,22 @@ object Multimodal {
       recrawl ++ second ++ fresh
     }
 
-  private def mapIds(df: DataFrame, keyCol: String, idCol: String = "img_id")(
+  private def mapIds(df: DataFrame, keyCol: String, idCol: String = "img_id",
+      boost: Boolean = true)(
       gen: Long => Iterator[Row]): DataFrame = {
-    val spark = df.sparkSession
-    val keyIdx = df.schema.fieldIndex(keyCol)
+    // Par.boost: see syntheticBlockImages — parallelize the synthesis and
+    // the decode pipelined on top of it; ids shuffle, media bytes never do.
+    // boost=false for the Y4M generators: their synthesis is a header +
+    // constant-luma planes (no codec work), where the A/B showed the extra
+    // tasks through the downstream fingerprint stages cost more than the
+    // synthesis win.
+    val src = if (boost) graft.core.Par.boost(df) else df
+    val spark = src.sparkSession
+    val keyIdx = src.schema.fieldIndex(keyCol)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("media", BinaryType)))
-    val rdd = df.rdd.mapPartitions { iter =>
+    val rdd = src.rdd.mapPartitions { iter =>
       iter.flatMap { r =>
         val id = r.get(keyIdx) match {
           case l: java.lang.Long => l.longValue()
@@ -1108,7 +1122,7 @@ object Multimodal {
     */
   def syntheticBlockY4ms(df: DataFrame, keyCol: String,
       plantEvery: Int = 20, idOffset: Long = 10000000L): DataFrame =
-    mapIds(df, keyCol, idCol = "vid_id") { id =>
+    mapIds(df, keyCol, idCol = "vid_id", boost = false) { id =>
       val base = Row(id, blockY4m(s"vid|$id"))
       if (id % plantEvery == 0) {
         val twin =
@@ -1122,7 +1136,7 @@ object Multimodal {
     * incremental VIDEO dedup demo (same deterministic [[blockY4m]] clips
     * as [[syntheticBlockY4ms]]' base rows). */
   def syntheticBaseY4ms(df: DataFrame, keyCol: String): DataFrame =
-    mapIds(df, keyCol, idCol = "vid_id") { id =>
+    mapIds(df, keyCol, idCol = "vid_id", boost = false) { id =>
       Iterator(Row(id, blockY4m(s"vid|$id")))
     }
 
@@ -1135,7 +1149,7 @@ object Multimodal {
     * tag). All planting is id arithmetic a SQL oracle can derive.
     */
   def syntheticVideoBatch(df: DataFrame, keyCol: String): DataFrame =
-    mapIds(df, keyCol, idCol = "vid_id") { id =>
+    mapIds(df, keyCol, idCol = "vid_id", boost = false) { id =>
       val recrawl = if (id % 10 == 0)
         Iterator(Row(id + 10000000L, blockY4m(s"vid|$id", levelDelta = 8)))
       else Iterator.empty
@@ -1183,7 +1197,7 @@ object Multimodal {
       sharedFrames: Int = 3, nFrames: Int = 12): DataFrame = {
     require(sharedFrames >= 1 && sharedFrames < nFrames,
       s"shared prefix must be a proper prefix: $sharedFrames/$nFrames")
-    mapIds(df, keyCol, idCol = "vid_id") { id =>
+    mapIds(df, keyCol, idCol = "vid_id", boost = false) { id =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def content(owner: Long, f: Int): Array[Byte] = {
         val d = md.digest(s"vidfr|$owner|$f"
