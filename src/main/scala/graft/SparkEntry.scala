@@ -3482,8 +3482,14 @@ object SparkEntry {
         // projection decodes back to the exact same node strings, so the
         // result is row-identical to the string-keyed form the oracle
         // replays.
-        val edges = t.orders
-          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        // Par.boost on the probe side: the lineitem file is one local
+        // split, so the broadcast-join probe + edge projection ran on one
+        // core (no-op at production scan widths); project to the two join
+        // columns before the boost so only 16 bytes/row shuffle
+        val edges = graft.core.Par.boost(
+            t.lineitem.select("l_orderkey", "l_partkey"))
+          .join(t.orders.select("o_orderkey", "o_custkey"),
+            col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("src"),
             (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()

@@ -48,6 +48,22 @@ object Par {
     * planning pass; the naive `df.rdd.getNumPartitions` guard measurably
     * taxed every accessor call with a full physical-planning pass).
     */
+  /** Spread a COMPUTE-bound narrow frame across the session parallelism.
+    *
+    * AQE coalesces post-shuffle partitions by BYTES (advisory 64 MB /
+    * 1 MB minimum), which under-parallelizes frames whose rows are tiny
+    * but whose downstream per-row work is not: a candidate-pair set is
+    * 16 bytes/row, so a 125k-candidate screen coalesces to 1-2
+    * partitions and runs its array-intersect verify nearly single-core
+    * (measured 2.2 s of q_setsim). The explicit round-robin exchange
+    * this inserts moves only the narrow pair keys — negligible against
+    * the per-row verify compute it unlocks, at any scale (the relative
+    * cost shrinks as volume grows; `defaultParallelism` scales with the
+    * cluster, so this is not a local[32] constant).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def boostScan(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism

@@ -126,7 +126,9 @@ object Dedup {
       col("sz"))
       .withColumn("loss", col("sz") - size(col("hs")).cast("long"))
       .select(keyCol, "hs", "sz", "loss")
-    val screened = candidates.select("doc_a", "doc_b")
+    // Par.spread: the screen is per-PAIR compute over 16-byte rows — AQE's
+    // byte-based coalescing ran it on 1-2 partitions (guide §2.6)
+    val screened = graft.core.Par.spread(candidates.select("doc_a", "doc_b"))
       .join(hsized.toDF("doc_a", "hs_a", "size_a", "loss_a"), Seq("doc_a"))
       .join(hsized.toDF("doc_b", "hs_b", "size_b", "loss_b"), Seq("doc_b"))
       .withColumn("_ih", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
@@ -244,7 +246,9 @@ object Dedup {
     */
   def jaccardPairsScalable(df: DataFrame, keyCol: String, textCol: String = "text",
       n: Int = 3, minJaccard: Double = 0.5, numHashTables: Int = 4): DataFrame = {
-    val arr = shingleArrays(df, keyCol, textCol, n)
+    // Par.boost: the per-row shingle + numTables min-hash projections ran
+    // on one local scan split (guide §2.6; no-op at production widths)
+    val arr = shingleArrays(graft.core.Par.boost(df), keyCol, textCol, n)
       .filter(size(col("sh")) > 0).cache()
     exactJaccardFromArrays(arr,
       minHashCandidatesFromArrays(arr, keyCol, numHashTables), keyCol, minJaccard)
@@ -324,7 +328,10 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1]: $minJaccard")
     require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
     val tMicros = math.round(minJaccard * 1e6)
-    val arr = shingleArrays(df, keyCol, textCol, n)
+    // Par.boost: shingling + the emission's partial sorted-collect run on
+    // the cached array frame's partitioning — one local scan split made
+    // that single-core (guide §2.6; no-op at production scan widths)
+    val arr = shingleArrays(graft.core.Par.boost(df), keyCol, textCol, n)
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
     val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
@@ -461,7 +468,8 @@ object Dedup {
     require(maxDfRatio > 0 && maxDfRatio <= 1, s"maxDfRatio in (0,1]: $maxDfRatio")
     val tMicros = math.round(minContainment * 1e6)
     val rMicros = math.round(maxDfRatio * 1e6)
-    val arr = shingleArrays(df, keyCol, textCol, n)
+    // Par.boost: see prefixFilterJaccardPairs
+    val arr = shingleArrays(graft.core.Par.boost(df), keyCol, textCol, n)
       .filter(size(col("sh")) > 0).cache()
     val long = arr.select(col(keyCol), explode(col("sh")).as("shingle"))
     val emitted = emittedPrefixShingles(arr, long, keyCol, tMicros, maxDfRatio,
@@ -511,7 +519,9 @@ object Dedup {
       col("sz"))
       .withColumn("loss", col("sz") - size(col("hs")).cast("long"))
       .select(keyCol, "hs", "sz", "loss")
-    val screened = cand
+    // Par.spread: per-pair verify compute over 16-byte rows (see
+    // exactJaccardFromArrays)
+    val screened = graft.core.Par.spread(cand)
       .join(hsized.toDF("doc_a", "hs_a", "size_a", "loss_a"), Seq("doc_a"))
       .join(hsized.toDF("doc_b", "hs_b", "size_b", "loss_b"), Seq("doc_b"))
       .withColumn("_ih", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
@@ -592,12 +602,16 @@ object Dedup {
       nPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
       embCol: String = "embedding"): DataFrame = {
     import graft.similarity.Similarity
-    val buckets = Similarity.withBuckets(df, keyCol, nPlanes, numTables, seed, embCol)
+    // Par.boost: the bucket projection is numTables·nPlanes dim-d dot
+    // products per ROW — a corpus that fits one local scan split ran all
+    // of it on one core (guide §2.6; no-op at production scan widths)
+    val src = graft.core.Par.boost(df)
+    val buckets = Similarity.withBuckets(src, keyCol, nPlanes, numTables, seed, embCol)
     val cand = buckets.toDF("doc_a", "table_id", "bucket")
       .join(buckets.toDF("doc_b", "table_id", "bucket"), Seq("table_id", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val base = Similarity.withNorm(df, embCol).select(col(keyCol), col("v"), col("norm"))
+    val base = Similarity.withNorm(src, embCol).select(col(keyCol), col("v"), col("norm"))
     cand
       .join(base.toDF("doc_a", "va", "na"), Seq("doc_a"))
       .join(base.toDF("doc_b", "vb", "nb"), Seq("doc_b"))
@@ -772,8 +786,14 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // local path: LAZY checkpoint — lineage is still truncated to a flat
+    // leaf (the reason for the checkpoint), but materialization happens
+    // inside the iteration's `changed` count instead of its own eager job,
+    // halving the actions per propagation round (the loop was job-count
+    // bound on bench-scale graphs). The reliable-checkpoint path keeps
+    // eager semantics (callers with a checkpointDir want durability).
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
     val edges = truncate(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -869,15 +889,23 @@ object Dedup {
     * aggregation (64 conditional sums fused in a single pass).
     */
   def simHash(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.withTokens(df, textCol)
+    // Par.boost: tokenize + explode + the 64 partial vote sums all run
+    // before the first exchange — on a single-split local scan that whole
+    // pass was single-core (guide §2.6; no-op at production scan widths)
+    val toks = TextAnalysis.withTokens(graft.core.Par.boost(df), textCol)
       .select(col(keyCol), explode(col("tokens")).as("token"))
       .withColumn("h", xxhash64(col("token")))
+    // branch-free votes: vote_b = Σ(bit_b ? 1 : −1) = 2·cnt_b − n, so
+    // vote_b > 0 ⟺ 2·cnt_b > n — the 64 conditional sums become 64
+    // shift-and sums plus one count, identical signatures at ~half the
+    // per-row aggregation cost (measured: the 64-agg pass was the
+    // largest single phase of q_simhash)
     val voteAggs = (0 until 64).map { b =>
-      sum(when(expr(s"(h & ${1L << b}L) != 0L"), 1).otherwise(-1)).as(s"_b$b")
-    }
+      sum(expr(s"(h >> $b) & 1L")).as(s"_b$b")
+    } :+ count(lit(1)).as("_n")
     val voted = toks.groupBy(keyCol).agg(voteAggs.head, voteAggs.tail: _*)
     val sig = (0 until 64).map { b =>
-      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"_b$b") * 2 > col("_n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
     voted.withColumn("simhash", sig).select(col(keyCol), col("simhash"))
   }

@@ -172,7 +172,11 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    var e = und.localCheckpoint()
+    // lazy checkpoints throughout the peel: lineage still truncates to a
+    // flat leaf per round, but materialization happens inside the round's
+    // own count() instead of a separate eager job — halves the actions
+    // per round (job-count bound at bench scale)
+    var e = und.localCheckpoint(eager = false)
     var m = e.count()
     var rounds = 0
     var converged = m == 0L
@@ -185,7 +189,7 @@ object Graph {
         .join(alive.select(col("node").as("a")), Seq("a"))
         .join(alive.select(col("node").as("b")), Seq("b"))
         .select("a", "b")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val m2 = pruned.count()
       converged = m2 == m || m2 == 0 // empty IS the fixpoint — no confirm round
       e = pruned

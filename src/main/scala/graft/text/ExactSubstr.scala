@@ -786,7 +786,13 @@ object ExactSubstr {
       .join(novelToks.withColumnRenamed("rank", "_rn"), Seq("tok"), "left")
       .select(col(keyCol), col("pos"), col("len"), col("pk"),
         coalesce(col("_rd"), col("_rn")).as("rank"))
-      .localCheckpoint() // the ONE eager job per level (the kCore pattern)
+      // LAZY local checkpoint: still truncates lineage to a flat leaf (the
+      // kCore pattern's purpose — r is referenced 4× per doubling), but
+      // materializes inside the FIRST consuming action instead of its own
+      // eager job: the per-level probes fuse into one job per query
+      // instead of one per level (measured: the probes were job-count
+      // bound, ~0.3 s fixed cost per tiny job)
+      .localCheckpoint(eager = false)
     val out = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, r))
     val grownDicts = scala.collection.mutable.Map.empty[Int, DataFrame]
     var k = 1
@@ -815,7 +821,7 @@ object ExactSubstr {
         .join(novelPairs, Seq("rank", "_rb"), "left")
         .select(col(keyCol), col("pos"), col("len"), col("pk"),
           coalesce(col("_rd"), col("_rn")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // lazy: see the level-1 note
       k *= 2
       out += ((k, r))
     }
@@ -949,7 +955,8 @@ object ExactSubstr {
     val h = Integer.highestOneBit(L)
     val br = batchRanksVsCorpus(batch, keyCol, textCol, corpusRounds,
       tokenDict, h, pairDicts, knownMaxRanks).last._2
-    val bw = windowKeys(br, keyCol, L).localCheckpoint() // starts + counts
+    val bw = windowKeys(br, keyCol, L)
+      .localCheckpoint(eager = false) // starts + counts (lazy: extendLadder note)
     val dupKeys = bw.groupBy("ia", "ib").agg(count(lit(1)).as("bcnt"))
       .join(corpusWinCounts, Seq("ia", "ib"), "left")
       .filter(col("bcnt") >= 2 || coalesce(col("ccnt"), lit(0L)) >= 1)
