@@ -799,10 +799,16 @@ object Dedup {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
     // seed from the neighborhood minimum: every node in `pairs` appears as
-    // src (edges hold both directions), so one groupBy covers all nodes
-    var labels = truncate(edges.groupBy("src")
+    // src (edges hold both directions), so one groupBy covers all nodes.
+    // The SEED stays eager even on the local path: round 1 references it
+    // (and `edges` beneath it) from two branches of one job, and an
+    // unmaterialized lazy checkpoint would compute the possibly-expensive
+    // upstream pair generator's narrow segments twice.
+    var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .toDF("id", "label"))
+      .toDF("id", "label")
+    labels = if (checkpointDir.isDefined) labels.checkpoint()
+             else labels.localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

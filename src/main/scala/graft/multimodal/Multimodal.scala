@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio defaults to FILE-backed stream caches: every encode and
+  // every createImageInputStream spins a temp file — per image, per task —
+  // which serializes 32 concurrent codec tasks on filesystem churn. The
+  // in-memory cache is strictly faster for these small (KB-scale) streams
+  // and changes no bytes. JVM-global; the object initializer runs on every
+  // classloader that touches a codec path (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("width", IntegerType),
@@ -613,6 +621,11 @@ object Multimodal {
     val md = java.security.MessageDigest.getInstance("MD5")
     val img = new java.awt.image.BufferedImage(36, 32,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // fill the INT_RGB backing buffer directly — same pixel values as the
+    // former per-pixel setRGB loop (TYPE_INT_RGB stores exactly this
+    // packed int) without 1,152 color-model calls per image
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var by = 0
     while (by < 8) {
       var bx = 0
@@ -624,7 +637,7 @@ object Multimodal {
         var y = by * 4
         while (y < by * 4 + 4) {
           var x = bx * 4
-          while (x < bx * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          while (x < bx * 4 + 4) { px(y * 36 + x) = rgb; x += 1 }
           y += 1
         }
         bx += 1
