@@ -1008,9 +1008,11 @@ object ExactSubstr {
       }
       val dupBatch = full.groupBy("rank").agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).select("rank")
+      // no per-level distinct: the consumer is groupBy(key).max(h), for
+      // which duplicate (key, h) rows are value-neutral — dropping the
+      // seven per-level exchanges the distincts cost (guide §2.4)
       full.join(dupBatch, Seq("rank"), "left_semi").select(col(keyCol))
         .unionByName(adopted)
-        .distinct()
         .withColumn("h", lit(h.toLong))
     }.reduce(_ unionByName _)
     TextAnalysis.withTokens(batch, textCol)
