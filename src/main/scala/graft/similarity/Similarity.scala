@@ -249,10 +249,11 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // Par.boost: the KMeans fit's per-iteration distance pass runs on the
-    // input's partitioning — one local scan split ran it single-core
-    // (guide §2.6; no-op at production scan widths)
-    val base = withNorm(graft.core.Par.boost(df), embCol).select(col("v"))
+    // (A round-14 A/B boosted this fit input to session parallelism and
+    // LOST ~0.6 s on q_ann_ivf: KMeans runs several jobs per iteration,
+    // and 32 tasks per tiny job cost more than the parallel distance
+    // pass saved — the fit input stays as scanned.)
+    val base = withNorm(df, embCol).select(col("v"))
       .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(4)
       .setFeaturesCol("features").setPredictionCol("cell").fit(base)
